@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.profile.{Detector, Profiler}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a named query here;
+  * each query with a DuckDB-expressible oracle has matching SQL in
+  * [[oracleSql]] (column names aligned — the driver hash-compares after
+  * sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def packs: Seq[QEntry] =
+    Relational.entries ++ Profiling.entries ++ Pipeline.entries
+
+  /** Flagship: the full profiling pipeline (detect → single-pass classify
+    * → code histogram) over a synthesized multi-semantic-type table at
+    * sf0.001. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    packs.find(_.name == "q28_profile_summary").get
+      .fn(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(e => e.name -> e.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    packs.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, and a partition-wise decode/feature-extract stage.
+  *
+  * The Spark-side plumbing (schema, batching, partitioning, typed
+  * signatures) is real; the media decode itself is a clearly-marked
+  * deterministic STUB (the container ships no image/audio codecs — the
+  * builder prompt's contract). Swap `stubDecode` for a real codec and
+  * everything else stands.
+  */
+object Multimodal {
+
+  case class MediaCell(media_id: Long, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      sha256_hex: String,
+      width: Int,        // STUB: derived, not decoded
+      height: Int,       // STUB: derived, not decoded
+      feature: Array[Float]) // STUB: deterministic fake embedding
+
+  /** Deterministic fake "decode": derives pseudo metadata + a fixed-size
+    * feature vector from the bytes. Replaces a real image/audio decoder.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = payload.length
+    val w = 64 + (n % 577)
+    val h = 64 + ((n * 7) % 417)
+    val feat = Array.tabulate(8) { i =>
+      val b = if (n == 0) 0 else (payload(i % n) & 0xff)
+      ((b * 31 + i * 17) % 256) / 256.0f
+    }
+    (w, h, feat)
+  }
+
+  /** Partition-wise decode stage: the idiomatic Spark shape for a
+    * per-record codec (mapPartitions => one codec init per partition, not
+    * per row — mirrors `mapInPandas` batch semantics from the PySpark
+    * world). */
+  def decodeFeatures(cells: Dataset[MediaCell]): Dataset[MediaFeatures] = {
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      // per-partition codec init would go here (expensive setup amortized)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { c =>
+        val (w, h, feat) = stubDecode(c.payload)
+        val sha = digest.digest(c.payload).map("%02x".format(_)).mkString
+        digest.reset()
+        MediaFeatures(c.media_id, c.payload.length, sha, w, h, feat)
+      }
+    }
+  }
+
+  /** documents.text → opaque binary payload table (the fixtures carry no
+    * real media; the bytes are the utf-8 text, treated as a blob). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set
+  * broadcast — one pass over the corpus, no shuffle of the corpus, the
+  * per-pair dot product is a codegen'd `zip_with`+`aggregate` lambda
+  * (no UDF). Scale path: random-hyperplane LSH bucketing so each query
+  * only scans its bucket (IVF-style pruning).
+  *
+  * Exactness: components are quantized to `round(v*10000)` int64 before
+  * the dot product, making scores exact integers (cross-engine
+  * reproducible — cosine denominators derive from the same exact ints).
+  */
+object Similarity {
+
+  /** Quantized int64 copy of an embedding column. */
+  def quantize(emb: Column, scale: Double = 10000.0): Column =
+    transform(emb, v => round(v.cast("double") * scale, 0).cast("long"))
+
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by quantized cosine. Output: q_id, vec_id, dot, rn. */
+  def cosineTopK(
+      queries: DataFrame, // (q_id, embedding)
+      corpus: DataFrame,  // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val q = queries.select(col("q_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("na", dotQ(col("qe"), col("qe")))
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"))
+      .withColumn("nb", dotQ(col("ce"), col("ce")))
+    val scored = c.join(broadcast(q), lit(true))
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits signs of deterministic
+    * pseudo-random projections). Deterministic: projection weights come
+    * from a hash of (bit, index) — no RNG state, cluster-reproducible. */
+  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column = {
+    val bits = (0 until nBits).map { b =>
+      // w(b,i) in {-1,+1} from parity of a cheap integer mix of (b,i)
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)), (v, i) => {
+          val mixed = pmod(i * lit(2654435761L) + lit(b.toLong * 40503L), lit(97L))
+          when(mixed < 48, v.cast("double")).otherwise(-v.cast("double"))
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucketed ANN: queries only scan their own bucket. Same output shape
+    * as [[cosineTopK]] (approximate: recall < 1 across bucket borders). */
+  def cosineTopKBucketed(
+      queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      nBits: Int = 4): DataFrame = {
+    val q = queries.select(col("q_id"), quantize(col("embedding")).as("qe"),
+        lshBucket(col("embedding"), dim, nBits).as("bucket"))
+      .withColumn("na", dotQ(col("qe"), col("qe")))
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"),
+        lshBucket(col("embedding"), dim, nBits).as("bucket"))
+      .withColumn("nb", dotQ(col("ce"), col("ce")))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
+  }
+}

@@ -1,0 +1,276 @@
+package graft.profile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Semantic-type validators as pure Catalyst expression builders.
+  *
+  * Each validator is a `Column => Column` producing
+  * `struct(code INT, norm STRING)` — the 5-code taxonomy of [[Codes]].
+  * This is the Spark-first re-expression of the reference's per-cell Python
+  * validators (SURVEY.md §2c, S1–S19): `when/otherwise` trees over built-in
+  * string functions, so every classification is whole-stage-codegen'd and
+  * runs column-at-a-time with zero (de)serialization — vs. the reference's
+  * pickled row-at-a-time lambdas (`phone-number-v0.py:43-83`,
+  * `check_states.py:39-57`, `zip-validate.py:34-67`, …).
+  *
+  * Scale notes: no UDFs, no shuffles — a validator is a projection. At
+  * 100 TB the cost is exactly one codegen'd pass over the column, and
+  * Parquet column pruning means only the validated columns are read.
+  *
+  * Documented divergences from reference defects (SURVEY.md §7 item 5):
+  * the `len>5` latitude quirk, the "any value containing the letter n is
+  * null" zip quirk, and the first-data-row drop are not reproduced.
+  */
+object Validators {
+
+  import Codes._
+
+  private def verdict(code: Column, norm: Column): Column =
+    struct(code.cast("int").as("code"), norm.as("norm"))
+
+  private def verdict(code: Int, norm: Column): Column = verdict(lit(code), norm)
+
+  /** Null-ish cell: SQL null, blank, or a null-marker token.
+    * Reference `common_lang_functions.py:7-14` (`isNull`). */
+  def isNullLike(c: Column): Column =
+    c.isNull || trim(c) === "" || lower(trim(c)).isin("n/a", "na", "none", "null", "unspecified")
+
+  /** Numeric-literal shape test (ANSI-safe guard for cast). */
+  private val NumRe = "^[+-]?([0-9]+)(\\.[0-9]+)?$"
+  def isNumericStr(c: Column): Column = trim(c).rlike(NumRe)
+
+  // ---------------------------------------------------------------------
+  // Phone (reference S1/S2/S3: `phone-number-v0.py:23-83`,
+  // `phone-number-v1.py:63-110`)
+  // ---------------------------------------------------------------------
+
+  /** Null-like phone: blank/null marker, or an all-repeated-digit sentinel
+    * such as `999-999-9999` (reference `checkForNull`,
+    * `phone-number-v0.py:23-40`). */
+  def phoneNullLike(c: Column): Column = {
+    val digits = regexp_replace(c.cast("string"), "[^0-9]", "")
+    isNullLike(c) ||
+      (length(digits) >= lit(5) && digits.rlike("^([0-9])\\1*$"))
+  }
+
+  /** Regex/NANP phone validator (reference v0 semantics,
+    * `phone-number-v0.py:43-83`):
+    *  - 4 null-like;
+    *  - 5 leading alpha, or digit count outside [5,15], or a bare 10/11
+    *    digit string violating NANP positional rules (area code/exchange
+    *    must not start 0/1) — phone-shaped but not a real number;
+    *  - 1 E.164-valid (with `+`), or bare NANP digits (valid after the
+    *    reference's `+1` retry, `phone-number-v0.py:71-81`) when the raw
+    *    form is already punctuation-free;
+    *  - 2 same validity but the raw form carries formatting chars
+    *    (`(201) 334-7135`) — valid value, non-canonical format;
+    *  - 3 otherwise (e.g. `+1` with a non-NANP body).
+    * Normalized form is E.164.
+    */
+  def phoneVerdict(c: Column): Column = phoneVerdictImpl(c, areaCodes = None)
+
+  /** Dictionary-backed variant (reference v1, `phone-number-v1.py:63-110`,
+    * which calls the `phonenumbers` lib): additionally requires the NANP
+    * area code to exist in a known-area-code dimension; unknown area code
+    * → 5. The dimension is a literal broadcast (`isin`) — SURVEY.md S3. */
+  def phoneVerdictV1(c: Column): Column =
+    phoneVerdictImpl(c, areaCodes = Some(Dicts.NycAreaCodes))
+
+  private def phoneVerdictImpl(c: Column, areaCodes: Option[Seq[String]]): Column = {
+    val s = trim(c.cast("string"))
+    val cleaned = regexp_replace(s, "[^0-9+]", "")       // keep digits and +
+    val digits = regexp_replace(cleaned, "\\+", "")
+    val hasPlus = cleaned.startsWith("+")
+    val nd = length(digits)
+    val hasFormatting = s =!= cleaned                    // any punctuation/space
+    val nanp10 = digits.rlike("^[2-9][0-9]{2}[2-9][0-9]{6}$")
+    val nanp11 = digits.rlike("^1[2-9][0-9]{2}[2-9][0-9]{6}$")
+    val e164Intl = digits.rlike("^[2-9][0-9]{7,14}$")    // non-NANP country
+    val area = when(nanp10, substring(digits, 1, 3))
+      .when(nanp11, substring(digits, 2, 3))
+    val areaKnown = areaCodes match {
+      case Some(codes) => area.isin(codes.map(x => x: Any): _*)
+      case None        => area.isNotNull
+    }
+    val validNanp = (nanp10 || nanp11) && areaKnown
+    // bare NANP-shaped-but-invalid digits -> 5 (plausible); an explicit
+    // `+`-prefixed claim that fails validation -> 3 (invalid)
+    val plausibleNanp =
+      !hasPlus && (nd === 10 || (nd === 11 && digits.startsWith("1"))) && !validNanp
+    val valid = when(hasPlus,
+        when(digits.startsWith("1"), nanp11 && areaKnown).otherwise(e164Intl))
+      .otherwise(validNanp)
+    val norm = when(digits.startsWith("1") && nanp11, concat(lit("+"), digits))
+      .when(nanp10, concat(lit("+1"), digits))
+      .when(hasPlus, concat(lit("+"), digits))
+      .otherwise(digits)
+    when(phoneNullLike(c), verdict(NullLike, lit("")))
+      .when(s.rlike("^[A-Za-z]"), verdict(Plausible, s))
+      .when(nd < 5 || nd > 15, verdict(Plausible, digits))
+      .when(valid && !hasFormatting, verdict(Valid, norm))
+      .when(valid && hasFormatting, verdict(ValidBadFormat, norm))
+      .when(plausibleNanp, verdict(Plausible, digits))
+      .otherwise(verdict(Invalid, digits))
+  }
+
+  // ---------------------------------------------------------------------
+  // US state (reference S5–S10: `check_states.py:15-57`,
+  // `common_lang_functions.py`, dicts `constants.py:13-36`)
+  // ---------------------------------------------------------------------
+
+  private def anySeq(xs: Seq[String]): Seq[Any] = xs.map(x => x: Any)
+
+  /** State validator:
+    * 4 null-like; 1 exact Title-Case name; 2 fixable (leading/trailing
+    * space, wrong capitalization, USPS acronym, AP abbreviation);
+    * 3 otherwise. Normalized: canonical Title-Case name, or the cleaned
+    * upper-case acronym. */
+  def stateVerdict(c: Column): Column = {
+    val s = c.cast("string")
+    val t = trim(s)
+    val titled = initcap(lower(t))
+    val cleanedUp = upper(translate(t, ". ", ""))        // strip dots+spaces
+    val cleanedLo = lower(translate(t, ". ", ""))
+    val inNames = titled.isin(anySeq(Dicts.StateNames): _*)
+    val isAcronym = cleanedUp.isin(anySeq(Dicts.StateAcronyms): _*)
+    val isAbbrev = cleanedLo.isin(anySeq(Dicts.StateAbbrevs): _*)
+    when(isNullLike(c), verdict(NullLike, lit("")))
+      .when(s.isin(anySeq(Dicts.StateNames): _*), verdict(Valid, s))
+      .when(inNames, verdict(ValidBadFormat, titled))    // spacing / caps
+      .when(isAcronym, verdict(ValidBadFormat, cleanedUp))
+      .when(isAbbrev, verdict(ValidBadFormat, cleanedLo))
+      .otherwise(verdict(Invalid, t))
+  }
+
+  // ---------------------------------------------------------------------
+  // NYC borough (reference S11–S13: `check_boros.py:13-42`,
+  // dicts `constants.py:8-10`)
+  // ---------------------------------------------------------------------
+
+  def boroVerdict(c: Column): Column = {
+    val s = c.cast("string")
+    val t = trim(s)
+    val titled = initcap(lower(t))
+    val inNames = titled.isin(anySeq(Dicts.BoroNames): _*)
+    val isAbbrev = t.isin(anySeq(Dicts.BoroAbbrevs): _*)
+    when(isNullLike(c), verdict(NullLike, lit("")))
+      .when(s.isin(anySeq(Dicts.BoroNames): _*), verdict(Valid, s))
+      .when(inNames, verdict(ValidBadFormat, titled))
+      .when(isAbbrev, verdict(ValidBadFormat, titled))   // e.g. `Bx`
+      .otherwise(verdict(Invalid, t))
+  }
+
+  // ---------------------------------------------------------------------
+  // Latitude / longitude (reference S14–S16:
+  // `latlong-validate.py:29-62`, `coords-validate.py:25-73`)
+  // ---------------------------------------------------------------------
+
+  /** One lat or long value. `maxAbs` = 90 (lat) or 180 (long).
+    * `outOfRangeCode` preserves the reference's deliberate difference:
+    * 5 for standalone columns (`latlong-validate.py:51-55`), 3 inside a
+    * coordinate pair (`coords-validate.py:66` comment). */
+  def latLongVerdict(c: Column, maxAbs: Double, outOfRangeCode: Int = Plausible): Column = {
+    val t = trim(c.cast("string"))
+    val stripped = trim(regexp_replace(t, "[NSEWnsew°]", ""))
+    val isNum = t.rlike(NumRe)
+    val strippedNum = stripped.rlike(NumRe)
+    // casts only evaluate on regex-validated rows (CaseWhen laziness) —
+    // safe under ANSI mode.
+    val inRange = abs(stripped.cast("double")) <= lit(maxAbs)
+    when(isNullLike(c), verdict(NullLike, lit("")))
+      .when(isNum && inRange, verdict(Valid, t))
+      .when(isNum, verdict(outOfRangeCode, t))
+      .when(strippedNum && inRange, verdict(ValidBadFormat, stripped))
+      .when(strippedNum, verdict(Invalid, stripped))
+      .otherwise(verdict(Invalid, t))
+  }
+
+  def latVerdict(c: Column): Column = latLongVerdict(c, 90.0)
+  def longVerdict(c: Column): Column = latLongVerdict(c, 180.0)
+
+  /** Coordinate-pair validator (reference S17, `coords-validate.py:34-48`):
+    * strips wrapping brackets/whitespace, splits on comma-or-space into a
+    * (lat, long) pair and validates each half (out-of-range → 3);
+    * 4 null-like; a 4–5 digit-fragment blob → 2; else 3.
+    * Result: `struct(code, norm, lat struct, long struct)`. */
+  def coordsVerdict(c: Column): Column = {
+    val t = trim(regexp_replace(c.cast("string"), "[\\[\\](){}]", ""))
+    val parts = split(t, "\\s*[,;]\\s*|\\s+")
+    val two = size(parts) === 2
+    val latV = latLongVerdict(element_at(parts, 1), 90.0, Invalid)
+    val lonV = latLongVerdict(element_at(parts, 2), 180.0, Invalid)
+    val halvesOk = latV.getField("code").isin(Valid, ValidBadFormat) &&
+      lonV.getField("code").isin(Valid, ValidBadFormat)
+    val nFrags = size(split(t, "[^0-9.+-]+"))
+    val empty = verdict(0, lit("")) // placeholder halves for non-pair rows
+    when(isNullLike(c), struct(lit(NullLike).as("code"), lit("").as("norm"), empty.as("lat"), empty.as("long")))
+      .when(two && halvesOk,
+        struct(lit(Valid).as("code"), t.as("norm"), latV.as("lat"), lonV.as("long")))
+      .when(two,
+        struct(lit(Invalid).as("code"), t.as("norm"), latV.as("lat"), lonV.as("long")))
+      .when(nFrags.between(4, 5),
+        struct(lit(ValidBadFormat).as("code"), t.as("norm"), empty.as("lat"), empty.as("long")))
+      .otherwise(
+        struct(lit(Invalid).as("code"), t.as("norm"), empty.as("lat"), empty.as("long")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Zip (reference S18/S19: `quick-zip.py:36-49`, `zip-validate.py:34-67`)
+  // ---------------------------------------------------------------------
+
+  /** Format-only zip check (reference `quick-zip.py` — the deliberately
+    * fast low-accuracy tier, SURVEY.md §4):
+    * 4 null-like; 1 exactly 5 digits or `#####-####`; 2 nine digits
+    * missing the hyphen (normalized by inserting it); 3 otherwise. */
+  def zipQuickVerdict(c: Column): Column = {
+    val t = trim(c.cast("string"))
+    val digits = regexp_replace(t, "[^0-9]", "")
+    val hyphen9 = concat(substring(digits, 1, 5), lit("-"), substring(digits, 6, 4))
+    when(isNullLike(c), verdict(NullLike, lit("")))
+      .when(t.rlike("^[0-9]{5}$"), verdict(Valid, t))
+      .when(t.rlike("^[0-9]{5}-[0-9]{4}$"), verdict(Valid, t))
+      .when(t.rlike("^[0-9]{9}$"), verdict(ValidBadFormat, hyphen9))
+      .otherwise(verdict(Invalid, t))
+  }
+
+  /** Dictionary-validated zip (reference `zip-validate.py` — the accurate
+    * tier whose per-cell linear scan over 42,632 entries produced the
+    * 4–11 rows/sec baseline, BASELINE.md): same format cascade, but
+    * format-valid zips whose 5-digit prefix is not a registered zip → 5.
+    * Membership compiles to a broadcast literal set probe — O(1)/row. */
+  def zipDictVerdict(c: Column, zips: Seq[String] = Dicts.NycZips): Column = {
+    val t = trim(c.cast("string"))
+    val digits = regexp_replace(t, "[^0-9]", "")
+    val five = substring(digits, 1, 5)
+    val known = five.isin(anySeq(zips): _*)
+    val hyphen9 = concat(substring(digits, 1, 5), lit("-"), substring(digits, 6, 4))
+    when(isNullLike(c), verdict(NullLike, lit("")))
+      .when(t.rlike("^[0-9]{5}$") && known, verdict(Valid, t))
+      .when(t.rlike("^[0-9]{5}-[0-9]{4}$") && known, verdict(Valid, t))
+      .when(t.rlike("^[0-9]{9}$") && known, verdict(ValidBadFormat, hyphen9))
+      .when(t.rlike("^[0-9]{5}$") || t.rlike("^[0-9]{5}-[0-9]{4}$") || t.rlike("^[0-9]{9}$"),
+        verdict(Plausible, five))
+      .otherwise(verdict(Invalid, t))
+  }
+
+  /** Detection indicator (reference `checkValid`,
+    * `phone-number-v0.py:86-91`): codes 1 and 2 count as hits. */
+  def isHit(verdictCol: Column): Column =
+    verdictCol.getField("code").isin(Valid, ValidBadFormat)
+
+  /** All named scalar validators, for the generic detector/profiler. */
+  val all: Map[String, Column => Column] = Map(
+    "phone" -> phoneVerdict _,
+    "phone_v1" -> phoneVerdictV1 _,
+    "state" -> stateVerdict _,
+    "boro" -> boroVerdict _,
+    "lat" -> latVerdict _,
+    "long" -> longVerdict _,
+    "coords" -> (c => {
+      val v = coordsVerdict(c)
+      struct(v.getField("code").as("code"), v.getField("norm").as("norm"))
+    }),
+    "zip_quick" -> zipQuickVerdict _,
+    "zip" -> (c => zipDictVerdict(c)))
+}

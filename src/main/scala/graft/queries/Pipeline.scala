@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over documents/embeddings
+  * (BASELINE.json north star): dedup (exact / Jaccard / MinHash-LSH /
+  * SimHash), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis, multimodal plumbing. Oracle-checked wherever DuckDB can
+  * express the semantics; hash-based candidate generation (MinHash /
+  * SimHash / LSH buckets use Spark's xxhash64) is rows-only checked.
+  */
+object Pipeline {
+
+  private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  val entries: Seq[QEntry] = Seq(
+
+    QEntry("q30_dedup_exact",
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("text_md5")),
+      Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+              FROM documents GROUP BY md5(text) ORDER BY text_md5""")),
+
+    // Exact token-Jaccard on a defined candidate set (adjacent doc ids) —
+    // integer-exact. The unbounded-candidate version is q37 (LSH).
+    QEntry("q31_jaccard_adjacent",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = docs.select(col("doc_id").as("a_id"),
+          (col("doc_id") + 1).as("b_id"))
+        Dedup.verifyJaccard(pairs, Dedup.tokens(docs, "doc_id", "text"), 0.0)
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+                GROUP BY a.doc_id, b.doc_id)
+              SELECT i.a_id, i.b_id, i.inter,
+                     sa.ntok + sb.ntok - i.inter AS uni
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              ORDER BY i.a_id""")),
+
+    QEntry("q32_text_stats",
+      (s, d) => {
+        val f = TextAnalysis.qualityFacets(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            f.getField("n_chars").as("n_chars"),
+            f.getField("n_tokens").as("n_tokens"),
+            f.getField("n_distinct").as("n_distinct"),
+            f.getField("n_stop").as("n_stop"),
+            f.getField("n_digits").as("n_digits"),
+            f.getField("n_punct").as("n_punct"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+                length(text) AS n_chars,
+                len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+                len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_distinct,
+                len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t IN ($stopList))) AS n_stop,
+                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+               FROM documents ORDER BY doc_id""")),
+
+    QEntry("q33_lang_id",
+      (s, d) => {
+        val ls = TextAnalysis.langScores(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("labeled"),
+            ls.getField("en").as("en"), ls.getField("es").as("es"),
+            ls.getField("de").as("de"), ls.getField("fr").as("fr"),
+            ls.getField("pred").as("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def occ(m: String) =
+          s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+        val en = s"${occ(" the ")} + ${occ(" and ")} + ${occ(" with ")}"
+        val es = s"${occ(" el ")} + ${occ(" los ")} + ${occ(" con ")}"
+        val de = s"${occ(" der ")} + ${occ(" und ")} + ${occ(" mit ")}"
+        val fr = s"${occ(" le ")} + ${occ(" les ")} + ${occ(" avec ")}"
+        s"""WITH padded AS (
+              SELECT doc_id, lang, concat(' ', lower(text), ' ') AS p FROM documents)
+            SELECT doc_id, lang AS labeled,
+              $en AS en, $es AS es, $de AS de, $fr AS fr,
+              CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+                   WHEN $es >= $de AND $es >= $fr THEN 'es'
+                   WHEN $de >= $fr THEN 'de'
+                   ELSE 'fr' END AS pred
+            FROM padded ORDER BY doc_id"""
+      }),
+
+    QEntry("q34_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i,
+                       text
+                FROM documents)
+              SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 8))) AS fingerprint
+              FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
+    QEntry("q35_multimodal_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"),
+          (lit(64) + length(encode(col("text"), "UTF-8")) % 577).as("width"),
+          (lit(64) + (length(encode(col("text"), "UTF-8")) * 7) % 417).as("height"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256_hex,
+               64 + octet_length(encode(text)) % 577 AS width,
+               64 + (octet_length(encode(text)) * 7) % 417 AS height
+              FROM documents ORDER BY doc_id""")),
+
+    // Brute-force cosine top-k, quantized-exact (SURVEY.md §7 ext.).
+    QEntry("q36_embed_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        Similarity.cosineTopK(queries, emb, 5)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id AS q_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings WHERE vec_id % 100 = 0),
+              cz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS ce
+                FROM embeddings),
+              scored AS (
+                SELECT q_id, vec_id,
+                  CAST(list_sum(list_transform(range(len(qe)),
+                       i -> qe[i+1] * ce[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(ce, x -> x*x)) AS BIGINT) AS nb
+                FROM qz, cz),
+              ranked AS (
+                SELECT q_id, vec_id, dot,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM scored)
+              SELECT q_id, vec_id, dot, rn FROM ranked
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // MinHash+LSH near-dup pairs, verified with exact Jaccard. Candidate
+    // generation depends on xxhash64 → rows-only check (no oracle).
+    QEntry("q37_minhash_pairs",
+      (s, d) => Dedup.minhashNearDupPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+      None),
+
+    // SimHash signatures (xxhash64-based → rows-only check).
+    QEntry("q38_simhash",
+      (s, d) => Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      None),
+
+    // LSH-bucketed ANN (approximate recall → rows-only check).
+    QEntry("q39_ann_bucketed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        Similarity.cosineTopKBucketed(queries, emb, dim = 64, k = 5, nBits = 4)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.profile.{Detector, Profiler, Validators}
+
+/** Profiler operator coverage (SURVEY.md §2b/§2c): every validator runs
+  * per-cell over a synthesized semantic column on `customer` (FIXTURES.md
+  * §B), totally ordered by `c_custkey`. The DuckDB oracle re-derives the
+  * expected code/normalization directly from the variant index
+  * (`c_custkey % k`), so the oracle asserts the validator's documented
+  * semantics value-by-value.
+  */
+object Profiling {
+
+  private def validateQuery(synth: Column, v: Column => Column)(
+      s: SparkSession, d: String): DataFrame = {
+    val verdict = v(col("raw"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), synth.as("raw"))
+      .select(col("c_custkey"), col("raw"),
+        verdict.getField("code").as("code"), verdict.getField("norm").as("norm"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def validateOracle(synthSql: String, codeSql: String, normSql: String): String =
+    s"""SELECT c_custkey, $synthSql AS raw, $codeSql AS code, $normSql AS norm
+        FROM customer ORDER BY c_custkey"""
+
+  /** The 7 (column, semType) pairs detection finds on the synth table —
+    * including the honest false positive: `location_col` coordinates like
+    * `40.575 -74.107` strip to 10 NANP-plausible digits and also detect as
+    * phone (mirrors the reference's Block/CENSUS_TRACT→zip false
+    * positives, SURVEY.md §2b). Hit residues are derived per Synth's
+    * variant→code mapping (codes 1,2 count — `checkValid`). */
+  private val detectedSpec: Seq[(String, String, String)] = Seq(
+    // (column, semType, DuckDB hit-predicate over c_custkey)
+    ("boro_col", "boro", "c_custkey % 6 IN (0, 1, 2, 5)"),
+    ("lat_col", "lat", "c_custkey % 6 IN (0, 2, 5)"),
+    ("location_col", "coords", "c_custkey % 5 IN (0, 1)"),
+    ("location_col", "phone", "c_custkey % 5 = 1"),
+    ("phone_col", "phone", "c_custkey % 8 IN (0, 1, 7)"),
+    ("state_col", "state", "c_custkey % 8 IN (0, 1, 2, 3, 6, 7)"),
+    ("zip_col", "zip", "c_custkey % 7 IN (0, 1, 2)"))
+
+  private def synthTable(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      Synth.phone.as("phone_col"), Synth.state.as("state_col"),
+      Synth.boro.as("boro_col"), Synth.zip.as("zip_col"),
+      Synth.lat.as("lat_col"), Synth.coords.as("location_col"))
+
+  private val synthCols = Seq(
+    "phone_col", "state_col", "boro_col", "zip_col", "lat_col", "location_col")
+
+  val entries: Seq[QEntry] = Seq(
+
+    QEntry("q20_phone_validate",
+      validateQuery(Synth.phone, Validators.phoneVerdict),
+      Some(validateOracle(Synth.phoneSql, Synth.phoneCodeSql, Synth.phoneNormSql))),
+
+    QEntry("q21_state_validate",
+      validateQuery(Synth.state, Validators.stateVerdict),
+      Some(validateOracle(Synth.stateSql, Synth.stateCodeSql, Synth.stateNormSql))),
+
+    QEntry("q22_boro_validate",
+      validateQuery(Synth.boro, Validators.boroVerdict),
+      Some(validateOracle(Synth.boroSql, Synth.boroCodeSql, Synth.boroNormSql))),
+
+    QEntry("q23_zip_quick_validate",
+      validateQuery(Synth.zip, Validators.zipQuickVerdict),
+      Some(validateOracle(Synth.zipSql, Synth.zipQuickCodeSql, Synth.zipQuickNormSql))),
+
+    QEntry("q24_zip_dict_validate",
+      validateQuery(Synth.zip, c => Validators.zipDictVerdict(c)),
+      Some(validateOracle(Synth.zipSql, Synth.zipDictCodeSql, Synth.zipDictNormSql))),
+
+    QEntry("q25_latlong_validate",
+      validateQuery(Synth.lat, Validators.latVerdict),
+      Some(validateOracle(Synth.latSql, Synth.latCodeSql, Synth.latNormSql))),
+
+    QEntry("q26_coords_validate",
+      (s, d) => {
+        val v = Validators.coordsVerdict(col("raw"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), Synth.coords.as("raw"))
+          .select(col("c_custkey"), col("raw"), v.getField("code").as("code"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, ${Synth.coordsSql} AS raw,
+                ${Synth.coordsCodeSql} AS code
+               FROM customer ORDER BY c_custkey""")),
+
+    // D1/D2/D3: one-job detection over all columns × all types.
+    QEntry("q27_detect_columns",
+      (s, d) => {
+        val detected = Detector.detect(
+          synthTable(s, d).orderBy(col("c_custkey")),
+          Detector.defaultSpecs, sampleN = 100, candidateCols = Some(synthCols))
+        import s.implicits._
+        detected.sortBy(x => (x.column, x.semType)).toDF()
+          .select(col("column").as("col_name"), col("semType").as("semtype"),
+            col("hits"), col("sampled"))
+          .orderBy(col("col_name"), col("semtype"))
+      },
+      Some {
+        val rows = detectedSpec.map { case (c, t, pred) =>
+          s"""SELECT '$c' AS col_name, '$t' AS semtype,
+               sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS hits,
+               count(*) AS sampled
+              FROM customer WHERE c_custkey < 100"""
+        }
+        rows.mkString("", " UNION ALL ", " ORDER BY col_name, semtype")
+      }),
+
+    // Full pipeline: detect → single-pass classify → code histogram.
+    QEntry("q28_profile_summary",
+      (s, d) => Profiler.profile(
+        synthTable(s, d).orderBy(col("c_custkey")),
+        Detector.defaultSpecs, sampleN = 100, keyCol = Some("c_custkey"))
+        .withColumnRenamed("semType", "semtype")
+        .withColumnRenamed("column", "col_name")
+        .orderBy(col("col_name"), col("semtype"), col("code")),
+      Some {
+        // expected per-(column, semType) code histograms, re-derived from
+        // the synth variant residues (location_col/phone: the coordinate
+        // strings' phone verdicts: m0->3, m1->2, m2->3, m3->4, m4->5).
+        def hist(colName: String, semType: String, codeCase: String) =
+          s"""SELECT '$colName' AS col_name, '$semType' AS semtype,
+               code, count(*) AS n
+              FROM (SELECT $codeCase AS code FROM customer)
+              GROUP BY code"""
+        val parts = Seq(
+          hist("boro_col", "boro", Synth.boroCodeSql),
+          hist("lat_col", "lat", Synth.latCodeSql),
+          hist("location_col", "coords", Synth.coordsCodeSql),
+          hist("location_col", "phone",
+            """CASE c_custkey % 5
+                WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 3
+                WHEN 3 THEN 4 ELSE 5 END"""),
+          hist("phone_col", "phone", Synth.phoneCodeSql),
+          hist("state_col", "state", Synth.stateCodeSql),
+          hist("zip_col", "zip", Synth.zipDictCodeSql))
+        parts.mkString("", " UNION ALL ", " ORDER BY col_name, semtype, code")
+      })
+  )
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic semantic-typed string columns synthesized from
+  * `customer.c_custkey` (FIXTURES.md §B: validators are exercised on data
+  * DuckDB can reproduce exactly). Every generator exists twice, side by
+  * side: as a Spark `Column` and as the equivalent DuckDB SQL fragment —
+  * both pure integer arithmetic + string literals, so the two engines
+  * produce byte-identical values.
+  *
+  * The variants per type are chosen to cover all 5 QA codes, mirroring
+  * the reference's golden-sample value shapes (FIXTURES.md §A4).
+  */
+object Synth {
+
+  private val k = col("c_custkey")
+
+  // -------- phone (covers codes 1,2,3,4,5) --------
+  // m=0: +1 212 2xx-xxxx valid E.164            -> 1
+  // m=1: 212-555-xxxx punctuated NANP           -> 2
+  // m=2: 999-999-9999 repeated-digit sentinel   -> 4
+  // m=3: ''                                     -> 4
+  // m=4: 'hello' leading alpha                  -> 5
+  // m=5: '+1018840042' area code starts 0       -> 3
+  // m=6: 16 digits                              -> 5
+  // m=7: +1 646 5xx-xxxx valid                  -> 1
+  def phone: Column = {
+    val m = k % 8
+    when(m === 0, concat(lit("+1212"), lpad((lit(2000000) + k % 7999999).cast("string"), 7, "0")))
+      .when(m === 1, concat(lit("212-555-"), lpad((k % 10000).cast("string"), 4, "0")))
+      .when(m === 2, lit("999-999-9999"))
+      .when(m === 3, lit(""))
+      .when(m === 4, lit("hello"))
+      .when(m === 5, lit("+1018840042"))
+      .when(m === 6, lit("0123456789012345"))
+      .otherwise(concat(lit("+1646"), lpad((lit(5000000) + k % 4999999).cast("string"), 7, "0")))
+  }
+  val phoneSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('+1212', lpad(cast(2000000 + c_custkey % 7999999 AS VARCHAR), 7, '0'))
+       WHEN 1 THEN concat('212-555-', lpad(cast(c_custkey % 10000 AS VARCHAR), 4, '0'))
+       WHEN 2 THEN '999-999-9999'
+       WHEN 3 THEN ''
+       WHEN 4 THEN 'hello'
+       WHEN 5 THEN '+1018840042'
+       WHEN 6 THEN '0123456789012345'
+       ELSE concat('+1646', lpad(cast(5000000 + c_custkey % 4999999 AS VARCHAR), 7, '0'))
+       END"""
+
+  /** Expected phone code per variant (used by the oracle). */
+  val phoneCodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 4
+       WHEN 4 THEN 5 WHEN 5 THEN 3 WHEN 6 THEN 5 ELSE 1 END"""
+
+  /** Expected E.164 normalization per variant ('' for null-like). */
+  val phoneNormSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('+1212', lpad(cast(2000000 + c_custkey % 7999999 AS VARCHAR), 7, '0'))
+       WHEN 1 THEN concat('+1212555', lpad(cast(c_custkey % 10000 AS VARCHAR), 4, '0'))
+       WHEN 2 THEN '' WHEN 3 THEN ''
+       WHEN 4 THEN 'hello'
+       WHEN 5 THEN '1018840042'
+       WHEN 6 THEN '0123456789012345'
+       ELSE concat('+1646', lpad(cast(5000000 + c_custkey % 4999999 AS VARCHAR), 7, '0'))
+       END"""
+
+  // -------- US state --------
+  // m=0 'New York'->1   m=1 'NY'->2         m=2 ' new york '->2
+  // m=3 'N.Y.'->2       m=4 'Narnia'->3     m=5 'n/a'->4
+  // m=6 'TEXAS'->2      m=7 'Wash.'->2
+  def state: Column = {
+    val m = k % 8
+    when(m === 0, lit("New York")).when(m === 1, lit("NY"))
+      .when(m === 2, lit(" new york ")).when(m === 3, lit("N.Y."))
+      .when(m === 4, lit("Narnia")).when(m === 5, lit("n/a"))
+      .when(m === 6, lit("TEXAS")).otherwise(lit("Wash."))
+  }
+  val stateSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 'New York' WHEN 1 THEN 'NY' WHEN 2 THEN ' new york '
+       WHEN 3 THEN 'N.Y.' WHEN 4 THEN 'Narnia' WHEN 5 THEN 'n/a'
+       WHEN 6 THEN 'TEXAS' ELSE 'Wash.' END"""
+  val stateCodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2
+       WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 2 ELSE 2 END"""
+  val stateNormSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 'New York' WHEN 1 THEN 'NY' WHEN 2 THEN 'New York'
+       WHEN 3 THEN 'NY' WHEN 4 THEN 'Narnia' WHEN 5 THEN ''
+       WHEN 6 THEN 'Texas' ELSE 'wash' END"""
+
+  // -------- NYC borough --------
+  // m=0 'Brooklyn'->1  m=1 'BRONX'->2  m=2 'Bx'->2
+  // m=3 'Amherst St'->3  m=4 ''->4  m=5 'staten island'->2
+  def boro: Column = {
+    val m = k % 6
+    when(m === 0, lit("Brooklyn")).when(m === 1, lit("BRONX"))
+      .when(m === 2, lit("Bx")).when(m === 3, lit("Amherst St"))
+      .when(m === 4, lit("")).otherwise(lit("staten island"))
+  }
+  val boroSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN 'Brooklyn' WHEN 1 THEN 'BRONX' WHEN 2 THEN 'Bx'
+       WHEN 3 THEN 'Amherst St' WHEN 4 THEN '' ELSE 'staten island' END"""
+  val boroCodeSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 3
+       WHEN 4 THEN 4 ELSE 2 END"""
+  val boroNormSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN 'Brooklyn' WHEN 1 THEN 'Bronx' WHEN 2 THEN 'Bx'
+       WHEN 3 THEN 'Amherst St' WHEN 4 THEN '' ELSE 'Staten Island' END"""
+
+  // -------- zip --------
+  // m=0 '10012'->1      m=1 '10012-1234'->1  m=2 '100121234'->2
+  // m=3 '01310'->5(dict)/1(quick)  m=4 '123'->3  m=5 'n/a'->4
+  // m=6 '99999'->5(dict)/1(quick)
+  def zip: Column = {
+    val m = k % 7
+    when(m === 0, lit("10012")).when(m === 1, lit("10012-1234"))
+      .when(m === 2, lit("100121234")).when(m === 3, lit("01310"))
+      .when(m === 4, lit("123")).when(m === 5, lit("n/a"))
+      .otherwise(lit("99999"))
+  }
+  val zipSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN '10012' WHEN 1 THEN '10012-1234' WHEN 2 THEN '100121234'
+       WHEN 3 THEN '01310' WHEN 4 THEN '123' WHEN 5 THEN 'n/a'
+       ELSE '99999' END"""
+  val zipQuickCodeSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 1
+       WHEN 4 THEN 3 WHEN 5 THEN 4 ELSE 1 END"""
+  val zipQuickNormSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN '10012' WHEN 1 THEN '10012-1234' WHEN 2 THEN '10012-1234'
+       WHEN 3 THEN '01310' WHEN 4 THEN '123' WHEN 5 THEN ''
+       ELSE '99999' END"""
+  val zipDictCodeSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 5
+       WHEN 4 THEN 3 WHEN 5 THEN 4 ELSE 5 END"""
+  val zipDictNormSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN '10012' WHEN 1 THEN '10012-1234' WHEN 2 THEN '10012-1234'
+       WHEN 3 THEN '01310' WHEN 4 THEN '123' WHEN 5 THEN ''
+       ELSE '99999' END"""
+
+  // -------- latitude (standalone column semantics: out of range -> 5) ----
+  // m=0 '40.NNNNNN'->1  m=1 '95.5'->5  m=2 '40.81N'->2
+  // m=3 'abc'->3  m=4 'None'->4  m=5 '-12.345678'->1
+  def lat: Column = {
+    val m = k % 6
+    when(m === 0, concat(lit("40."), lpad((k % 1000000).cast("string"), 6, "0")))
+      .when(m === 1, lit("95.5"))
+      .when(m === 2, lit("40.81N"))
+      .when(m === 3, lit("abc"))
+      .when(m === 4, lit("None"))
+      .otherwise(concat(lit("-12."), lpad((k % 1000000).cast("string"), 6, "0")))
+  }
+  val latSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN concat('40.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0'))
+       WHEN 1 THEN '95.5' WHEN 2 THEN '40.81N' WHEN 3 THEN 'abc'
+       WHEN 4 THEN 'None'
+       ELSE concat('-12.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0')) END"""
+  val latCodeSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 2 WHEN 3 THEN 3
+       WHEN 4 THEN 4 ELSE 1 END"""
+  val latNormSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN concat('40.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0'))
+       WHEN 1 THEN '95.5' WHEN 2 THEN '40.81' WHEN 3 THEN 'abc'
+       WHEN 4 THEN ''
+       ELSE concat('-12.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0')) END"""
+
+  // -------- coordinate pair --------
+  // m=0 '(40.5754, -74.1078)'->1   m=1 '40.575 -74.107'->1
+  // m=2 '92.09, 19.23' lat out of range -> 3   m=3 'None'->4  m=4 'foo'->3
+  def coords: Column = {
+    val m = k % 5
+    when(m === 0, lit("(40.5754, -74.1078)"))
+      .when(m === 1, lit("40.575 -74.107"))
+      .when(m === 2, lit("92.09, 19.23"))
+      .when(m === 3, lit("None"))
+      .otherwise(lit("foo"))
+  }
+  val coordsSql: String =
+    """CASE c_custkey % 5
+       WHEN 0 THEN '(40.5754, -74.1078)' WHEN 1 THEN '40.575 -74.107'
+       WHEN 2 THEN '92.09, 19.23' WHEN 3 THEN 'None' ELSE 'foo' END"""
+  val coordsCodeSql: String =
+    """CASE c_custkey % 5
+       WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 3 END"""
+}
