@@ -1,0 +1,152 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the custom hash-signature expressions.
+  *
+  * Why custom expressions (SURVEY.md §7 "built-in vs custom" revisited):
+  * the built-in formulation — 32 × `array_min(transform(...))` over a
+  * shingle array — is semantically identical but runs as interpreted
+  * higher-order lambdas (~1.5 ms/doc measured at sf0.1). One fused loop
+  * per row brings the whole signature to a few µs/doc and stays inside
+  * whole-stage codegen via a static call (preference order (b) of the
+  * build contract: custom `Expression` before custom operators).
+  */
+object HashSig {
+
+  val Prime: Long = 2147483647L // 2^31 - 1, products stay < 2^62
+
+  private val FnvOffset = -3750763034362895579L // FNV-1a 64-bit offset
+  private val FnvPrime = 1099511628211L
+
+  /** FNV-1a over the utf8 bytes of tokens[i..i+k-1] with a separator. */
+  private def shingleFnv(tokens: Array[UTF8String], i: Int, k: Int): Long = {
+    var h = FnvOffset
+    var j = i
+    val end = math.min(i + k, tokens.length)
+    while (j < end) {
+      val b = tokens(j).getBytes
+      var x = 0
+      while (x < b.length) {
+        h = (h ^ (b(x) & 0xffL)) * FnvPrime
+        x += 1
+      }
+      h = (h ^ 0x20L) * FnvPrime // separator
+      j += 1
+    }
+    h
+  }
+
+  private def nonEmpty(arr: ArrayData): Array[UTF8String] = {
+    val n = arr.numElements()
+    val out = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) { out(m) = s; m += 1 }
+      }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** MinHash signature over word k-shingles: for each of n hash functions
+    * h_i(s) = (base(s)*a_i + b_i) mod P, the min over all shingles.
+    * Returns null for token arrays with no usable tokens. */
+  def minhash(tokensArr: ArrayData, k: Int, n: Int): ArrayData = {
+    val tokens = nonEmpty(tokensArr)
+    if (tokens.length == 0) return null
+    val nShingles = math.max(tokens.length - k + 1, 1)
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var s = 0
+    while (s < nShingles) {
+      val base = java.lang.Math.floorMod(shingleFnv(tokens, s, k), Prime)
+      var i = 0
+      while (i < n) {
+        val a = (1103515245L * (i + 1)) % Prime
+        val b = (12345L + 7919L * i) % Prime
+        val h = (base * a + b) % Prime
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over distinct tokens: FNV per token, signed bit
+    * votes, sign of each bit sum. Null-safe like [[minhash]]. */
+  def simhash(tokensArr: ArrayData): Long = {
+    val tokens = nonEmpty(tokensArr)
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < tokens.length) {
+      if (seen.add(tokens(i))) {
+        val h = shingleFnv(tokens, i, 1)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `minhash_signature(tokens, k, n)`: array<string> → array<long>. */
+case class MinHashSignature(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.minhash(input.asInstanceOf[ArrayData], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.HashSig.minhash($c, $k, $numHashes);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)`: array<string> → long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the custom expressions. */
+object functions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** MinHash signature of word k-shingles of a token array. */
+  def minhash_signature(tokens: Column, k: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), k, numHashes))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: every variant is shuffle-minimal —
   *  - exact: one hash-aggregate on a digest (map-side partial agg).
-  *  - MinHash+LSH: candidate generation is a group-by on (band, band
-  *    signature); only candidate pairs (a tiny fraction of n²) are
-  *    verified. No cross join ever materializes.
-  *  - SimHash: signature per doc + banded blocking, same pattern.
+  *  - MinHash+LSH: signatures are a pure per-row projection (array
+  *    higher-order functions — no explode, no shuffle); candidate
+  *    generation is a self-join on (band, band signature); only candidate
+  *    pairs (a tiny fraction of n²) get exact verification. No cross join
+  *    ever materializes.
+  *  - SimHash: signature per doc via per-row array fold, banded blocking.
   * All hashing is Spark-native (`xxhash64` — codegen'd) — no UDFs.
   */
 object Dedup {
+
+  // 31-bit modulus keeps h*a < 2^62 — no int64 overflow under ANSI mode.
+  private val Prime = 2147483647L // 2^31 - 1
 
   /** Exact duplicate groups by content digest. O(n) + one shuffle. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -27,58 +32,52 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
 
-  /** Word k-shingles per doc (distinct). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(array_distinct(
-        // sliding window of k tokens, joined by ''
-        filter(
-          transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
-            i => array_join(slice(col("toks"), i + 1, lit(k)), "")),
-          s => length(s) > 0))).as("shingle"))
-  }
-
-  /** MinHash signatures: 2-universal rehash family over a base xxhash64.
-    * numHashes aggregates = one group-by pass over exploded shingles. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    // 31-bit modulus keeps base*a < 2^62 — no int64 overflow under ANSI.
-    val prime = 2147483647L // 2^31 - 1
-    val base = pmod(xxhash64(col("shingle")), lit(prime))
-    val mins = (0 until numHashes).map { i =>
-      val a = (1103515245L * (i + 1)) % prime
-      val b = (12345L + 7919L * i) % prime
-      min(pmod(base * lit(a) + lit(b), lit(prime))).as(s"h$i")
-    }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
-
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs; pairs are then verified with exact token Jaccard. Returns
     * (a_id, b_id, inter, uni) for verified pairs with
-    * inter/uni >= threshold. */
+    * inter/uni >= threshold.
+    *
+    * Tuning: collision probability for similarity J is
+    * 1-(1-J^(numHashes/bands))^bands — pick bands so that candidates
+    * below the verify threshold are rare (default 32 hashes / 4 bands of
+    * 8 targets J >= ~0.8). */
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
-      bands: Int = 8,
+      bands: Int = 4,
       shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(shingles(docs, idCol, textCol, shingleK), numHashes)
+    // fused custom expression: whole signature in one codegen'd loop
+    // (graft.expressions.MinHashSignature) — ~1000x less per-row overhead
+    // than the equivalent 32 x array_min(transform(...)) lambda tree.
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        graft.expressions.functions.minhash_signature(
+          split(lower(col(textCol)), "\\s+"), shingleK, numHashes).as("sig"))
+      .filter(col("sig").isNotNull) // empty docs can't band-collide
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-          .as("sig"))
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // candidate pairs: join within bucket, a < b; distinct across bands
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // candidate pairs in ONE pass: group per bucket, emit in-group
+    // combinations (a < b). A self-join here would recompute the whole
+    // signature lineage twice — the group-by scans it once. Degenerate
+    // buckets (mass exact-dups) are capped to bound the m² fan-out;
+    // exact dups are [[exactGroups]]' job anyway.
+    val maxBucket = 1000
+    val grouped = buckets.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val combos = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a_id"), b.as("b_id")))))
+    val cand = grouped.select(explode(combos).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
     verifyJaccard(cand, tokens(docs, idCol, textCol), threshold)
   }
@@ -99,19 +98,11 @@ object Dedup {
       .filter(col("inter").cast("double") >= col("uni") * threshold)
   }
 
-  /** 64-bit SimHash per doc: per-token xxhash64, signed bit votes, sign of
-    * each bit-position sum. One explode + one group-by (64 conditional
-    * sums), fully codegen'd. */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(docs, idCol, textCol)
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+  /** 64-bit SimHash per doc via the fused custom expression
+    * (graft.expressions.SimHash64): token hashes + bit votes in one
+    * codegen'd loop. Zero shuffle; one pass. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.expressions.functions.simhash64(
+        split(lower(col(textCol)), "\\s+")).as("simhash"))
 }

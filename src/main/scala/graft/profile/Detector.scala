@@ -21,30 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object Detector {
 
-  /** Per-type detection config: validator, hit threshold over the sample
-    * (reference: >0 for phone/state/boro, >=5 for zip/lat/long —
-    * SURVEY.md §2b "quirks"), and an optional column-name hint (reference
-    * D3: lat/long columns must have "lat"/"long" in the header,
+  /** Per-type detection config: full verdict validator (classification),
+    * a small boolean `hit` predicate equivalent to `code IN (1,2)` of the
+    * validator (detection — keeps the detection aggregate's expression
+    * trees tiny), the hit threshold over the sample (reference: >0 for
+    * phone/state/boro, >=5 for zip/lat/long — SURVEY.md §2b "quirks"),
+    * and an optional column-name hint (reference D3: lat/long columns
+    * must have "lat"/"long" in the header,
     * `latlong-validate.py:74,95-98`). */
   case class TypeSpec(
       semType: String,
       validator: Column => Column,
+      hit: Column => Column,
       threshold: Long = 1,
       nameHint: Option[String => Boolean] = None)
 
   val defaultSpecs: Seq[TypeSpec] = Seq(
-    TypeSpec("phone", Validators.phoneVerdict, 1),
-    TypeSpec("state", Validators.stateVerdict, 1),
-    TypeSpec("boro", Validators.boroVerdict, 1),
-    TypeSpec("zip", c => Validators.zipDictVerdict(c), 5),
-    TypeSpec("lat", Validators.latVerdict, 5,
+    TypeSpec("phone", Validators.phoneVerdict, Validators.phoneHit, 1),
+    TypeSpec("state", Validators.stateVerdict, Validators.stateHit, 1),
+    TypeSpec("boro", Validators.boroVerdict, Validators.boroHit, 1),
+    TypeSpec("zip", c => Validators.zipDictVerdict(c),
+      c => Validators.zipDictHit(c), 5),
+    TypeSpec("lat", Validators.latVerdict,
+      c => Validators.latLongHit(c, 90.0), 5,
       Some(n => n.toLowerCase.contains("lat"))),
-    TypeSpec("long", Validators.longVerdict, 5,
+    TypeSpec("long", Validators.longVerdict,
+      c => Validators.latLongHit(c, 180.0), 5,
       Some(n => n.toLowerCase.contains("lon"))),
     TypeSpec("coords", c => {
       val v = Validators.coordsVerdict(c)
       struct(v.getField("code").as("code"), v.getField("norm").as("norm"))
-    }, 5, Some(n => { val l = n.toLowerCase; l.contains("coord") || l.contains("location") })))
+    }, Validators.coordsHit, 5,
+      Some(n => { val l = n.toLowerCase; l.contains("coord") || l.contains("location") })))
 
   /** One-job detection. Returns every (column, semType) whose hit count
     * over the first `sampleN` rows meets the type's threshold. */
@@ -64,7 +72,7 @@ object Detector {
 
     // One conditional aggregate per semantic type, single hash-agg pass.
     val hitAggs = specs.map { s =>
-      sum(when(Validators.isHit(s.validator(col("value"))), 1L).otherwise(0L))
+      sum(when(s.hit(col("value")), 1L).otherwise(0L))
         .as(s"hits_${s.semType}")
     }
     val summary = pairs.groupBy(col("column"))

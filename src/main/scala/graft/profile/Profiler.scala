@@ -34,20 +34,22 @@ object Profiler {
       specs: Seq[Detector.TypeSpec] = Detector.defaultSpecs,
       keyCol: Option[String] = None): DataFrame = {
     val byType = specs.map(s => s.semType -> s.validator).toMap
+    // the verdict struct stays NESTED through the explode: extracting
+    // code/norm only after the Generate means each validator tree is
+    // planned + codegen'd exactly once (getField before the explode would
+    // clone the whole when-tree per extracted field).
     val cells = detected.map { d =>
-      val v = byType(d.semType)(col(d.column))
       struct(
         lit(d.column).as("column"),
         lit(d.semType).as("semType"),
-        v.getField("code").as("code"),
         col(d.column).cast("string").as("raw"),
-        v.getField("norm").as("norm"))
+        byType(d.semType)(col(d.column)).as("v"))
     }
     withRowId(df, keyCol)
       .select(col("rowId"), explode(array(cells: _*)).as("cell"))
       .select(col("rowId"), col("cell.column").as("column"),
-        col("cell.semType").as("semType"), col("cell.code").as("code"),
-        col("cell.raw").as("raw"), col("cell.norm").as("norm"))
+        col("cell.semType").as("semType"), col("cell.v.code").as("code"),
+        col("cell.raw").as("raw"), col("cell.v.norm").as("norm"))
   }
 
   /** detect + classify + aggregate: per (column, semType, code) counts —

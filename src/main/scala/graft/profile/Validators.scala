@@ -110,6 +110,10 @@ object Validators {
       .when(nd < 5 || nd > 15, verdict(Plausible, digits))
       .when(valid && !hasFormatting, verdict(Valid, norm))
       .when(valid && hasFormatting, verdict(ValidBadFormat, norm))
+      // NANP-shaped with an unknown area code (v1 dict variant): plausible
+      // but not a real number — reference v1's `phonenumbers` "invalid
+      // number" outcome (`phone-number-v1.py:88-99`).
+      .when((nanp10 || nanp11) && !areaKnown, verdict(Plausible, digits))
       .when(plausibleNanp, verdict(Plausible, digits))
       .otherwise(verdict(Invalid, digits))
   }
@@ -198,8 +202,8 @@ object Validators {
     val t = trim(regexp_replace(c.cast("string"), "[\\[\\](){}]", ""))
     val parts = split(t, "\\s*[,;]\\s*|\\s+")
     val two = size(parts) === 2
-    val latV = latLongVerdict(element_at(parts, 1), 90.0, Invalid)
-    val lonV = latLongVerdict(element_at(parts, 2), 180.0, Invalid)
+    val latV = latLongVerdict(get(parts, lit(0)), 90.0, Invalid)
+    val lonV = latLongVerdict(get(parts, lit(1)), 180.0, Invalid)
     val halvesOk = latV.getField("code").isin(Valid, ValidBadFormat) &&
       lonV.getField("code").isin(Valid, ValidBadFormat)
     val nFrags = size(split(t, "[^0-9.+-]+"))
@@ -258,6 +262,71 @@ object Validators {
     * `phone-number-v0.py:86-91`): codes 1 and 2 count as hits. */
   def isHit(verdictCol: Column): Column =
     verdictCol.getField("code").isin(Valid, ValidBadFormat)
+
+  // ---------------------------------------------------------------------
+  // Hit predicates: small boolean trees equivalent to `code IN (1,2)` of
+  // the corresponding verdict, used by detection. The full verdict trees
+  // (struct + normalization branches) cost seconds of Catalyst analysis /
+  // codegen when 7 of them land in one detection aggregate; these stay
+  // tiny because they skip codes 3/4/5 and normalization entirely.
+  // ---------------------------------------------------------------------
+
+  def phoneHit(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val cleaned = regexp_replace(s, "[^0-9+]", "")
+    val digits = regexp_replace(cleaned, "\\+", "")
+    val hasPlus = cleaned.startsWith("+")
+    val nanp10 = digits.rlike("^[2-9][0-9]{2}[2-9][0-9]{6}$")
+    val nanp11 = digits.rlike("^1[2-9][0-9]{2}[2-9][0-9]{6}$")
+    val e164Intl = digits.rlike("^[2-9][0-9]{7,14}$")
+    !phoneNullLike(c) && !s.rlike("^[A-Za-z]") &&
+      when(hasPlus, when(digits.startsWith("1"), nanp11).otherwise(e164Intl))
+        .otherwise(nanp10 || nanp11)
+  }
+
+  def stateHit(c: Column): Column = {
+    val t = trim(c.cast("string"))
+    initcap(lower(t)).isin(anySeq(Dicts.StateNames): _*) ||
+      upper(translate(t, ". ", "")).isin(anySeq(Dicts.StateAcronyms): _*) ||
+      lower(translate(t, ". ", "")).isin(anySeq(Dicts.StateAbbrevs): _*)
+  }
+
+  def boroHit(c: Column): Column = {
+    val t = trim(c.cast("string"))
+    initcap(lower(t)).isin(anySeq(Dicts.BoroNames): _*) ||
+      t.isin(anySeq(Dicts.BoroAbbrevs): _*)
+  }
+
+  def zipDictHit(c: Column, zips: Seq[String] = Dicts.NycZips): Column = {
+    val t = trim(c.cast("string"))
+    t.rlike("^[0-9]{5}(-[0-9]{4})?$|^[0-9]{9}$") &&
+      substring(regexp_replace(t, "[^0-9]", ""), 1, 5).isin(anySeq(zips): _*)
+  }
+
+  /** Range check via pure regex — under ANSI + codegen subexpression
+    * elimination a guarded `cast` can still be hoisted and evaluated on
+    * non-numeric rows; a regex can't fail. */
+  def latLongHit(c: Column, maxAbs: Double): Column = {
+    val t = trim(c.cast("string"))
+    val stripped = trim(regexp_replace(t, "[NSEWnsew°]", ""))
+    !isNullLike(c) && stripped.rlike(rangeRe(maxAbs.toInt))
+  }
+
+  /** Numeric-literal-in-[-max,max] as a regex (cast-free, ANSI-proof). */
+  private def rangeRe(maxAbs: Int): String = maxAbs match {
+    case 90  => "^[+-]?0*(([0-8]?[0-9])(\\.[0-9]+)?|90(\\.0+)?)$"
+    case 180 => "^[+-]?0*((1[0-7][0-9]|[0-9]{1,2})(\\.[0-9]+)?|180(\\.0+)?)$"
+    case m   => sys.error(s"unsupported range bound $m")
+  }
+
+  def coordsHit(c: Column): Column = {
+    val t = trim(regexp_replace(c.cast("string"), "[\\[\\](){}]", ""))
+    val parts = split(t, "\\s*[,;]\\s*|\\s+")
+    def half(e: Column, maxAbs: Double): Column =
+      trim(regexp_replace(e, "[NSEWnsew°]", "")).rlike(rangeRe(maxAbs.toInt))
+    !isNullLike(c) && size(parts) === 2 &&
+      half(get(parts, lit(0)), 90.0) && half(get(parts, lit(1)), 180.0)
+  }
 
   /** All named scalar validators, for the generic detector/profiler. */
   val all: Map[String, Column => Column] = Map(

@@ -167,7 +167,7 @@ object Pipeline {
     QEntry("q37_minhash_pairs",
       (s, d) => Dedup.minhashNearDupPairs(
         Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, bands = 8, shingleK = 3, threshold = 0.5)
+        numHashes = 32, bands = 4, shingleK = 3, threshold = 0.8)
         .orderBy(col("a_id"), col("b_id")),
       None),
 

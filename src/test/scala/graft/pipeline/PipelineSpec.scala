@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "spark engines shuffle data across many executors"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "completely different content about databases and queries")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n_dups") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 0L)
+    assert(groups.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash LSH finds near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleK = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)),
+      s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false pair: $pairs")
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated far") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(0L) == sigs(3L))
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)),
+      s"expected near-dup closer than unrelated: ${sigs.toSeq}")
+  }
+
+  test("jaccard verification is exact") {
+    val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
+    val got = Dedup.verifyJaccard(pairs, Dedup.tokens(docs, "doc_id", "text"), 0.0)
+      .collect().head
+    // doc0/doc1 distinct tokens: 8 each ("the" repeats), intersection 7
+    assert(got.getAs[Long]("inter") == 7L)
+    assert(got.getAs[Long]("uni") == 9L)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine top-1 of a corpus vector is itself") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val top = Similarity.cosineTopK(queries, emb, 3).collect()
+    assert(top.head.getAs[Long]("vec_id") == 7L, "top-1 must be the query itself")
+    assert(top.length == 3)
+  }
+
+  test("bucketed ANN returns the query itself too (same bucket trivially)") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val top = Similarity.cosineTopKBucketed(queries, emb, dim = 64, k = 3)
+      .collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 7L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token/quality facets on a literal") {
+    val f = TextAnalysis.qualityFacets(lit("The quick fox! 42 times."))
+    val r = spark.range(1).select(f.as("f")).select(
+      col("f.n_chars"), col("f.n_tokens"), col("f.n_stop"),
+      col("f.n_digits"), col("f.n_punct")).collect().head
+    assert(r.getInt(0) == 24)
+    assert(r.getInt(1) == 5)
+    assert(r.getInt(2) == 1)  // "the"
+    assert(r.getInt(3) == 2)  // "42"
+    assert(r.getInt(4) == 2)  // "!" "."
+  }
+
+  test("lang-id picks the marker-heavy language") {
+    val r = spark.range(1).select(
+      TextAnalysis.langScores(lit("el mundo con los datos con el tiempo"))
+        .getField("pred")).collect().head.getString(0)
+    assert(r == "es")
+  }
+
+  test("fingerprint is stable and content-defined") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("partition-wise decode emits typed features with real digests") {
+    import spark.implicits._
+    val cells = Seq(
+      Multimodal.MediaCell(1L, "hello".getBytes("UTF-8")),
+      Multimodal.MediaCell(2L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodeFeatures(cells).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(1L).n_bytes == 5)
+    // sha256("hello")
+    assert(out(1L).sha256_hex ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(out(1L).feature.length == 8)
+    assert(out(2L).n_bytes == 0)
+  }
+}
