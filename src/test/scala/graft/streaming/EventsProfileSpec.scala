@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventsProfileSpec extends SparkSpec {
+
+  test("streaming windowed profile matches the batch twin") {
+    // file-source streaming needs a directory; the fixture is one file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventsProfile.start(spark, dir.toString, "ep_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ep_test")
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_cents"))
+
+    val batch = EventsProfile.windowedProfile(
+      EventsProfile.withEventTime(graft.queries.Tables.events(spark, sf)))
+
+    // Append mode emits only watermark-closed windows; every emitted row
+    // must match the batch result, and most windows should have closed.
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val s = streamed.collect()
+    assert(s.nonEmpty, "no windows closed")
+    s.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      assert(b.contains(key), s"streamed window $key missing from batch")
+      assert(b(key) == ((r.getLong(2), r.getLong(3))), s"mismatch at $key")
+    }
+    assert(s.length >= b.size / 2, s"too few closed windows: ${s.length} of ${b.size}")
+  }
+
+  test("stateful sessionization counts all events exactly once") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val sessions = EventsProfile.sessionize(spark, ev, gapUs = 60L * 1000 * 1000)
+    val total = sessions.agg(sum(col("nEvents"))).collect().head.getLong(0)
+    assert(total == ev.count(), s"session event counts must partition the stream")
+    val multi = sessions.filter(col("nEvents") > 1).count()
+    assert(multi > 0, "expected at least one multi-event session")
+  }
+}
