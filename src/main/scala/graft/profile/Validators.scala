@@ -324,8 +324,11 @@ object Validators {
     val parts = split(t, "\\s*[,;]\\s*|\\s+")
     def half(e: Column, maxAbs: Double): Column =
       trim(regexp_replace(e, "[NSEWnsew°]", "")).rlike(rangeRe(maxAbs.toInt))
-    !isNullLike(c) && size(parts) === 2 &&
-      half(get(parts, lit(0)), 90.0) && half(get(parts, lit(1)), 180.0)
+    val nFrags = size(split(t, "[^0-9.+-]+"))
+    val two = size(parts) === 2
+    !isNullLike(c) &&
+      when(two, half(get(parts, lit(0)), 90.0) && half(get(parts, lit(1)), 180.0))
+        .otherwise(nFrags.between(4, 5)) // S17 digit-fragment blob -> code 2
   }
 
   /** All named scalar validators, for the generic detector/profiler. */
