@@ -108,6 +108,38 @@ object HashSig {
     }
     out
   }
+
+  /** Quantize a float/double array to round(v*scale) int64. */
+  def quantize(arr: ArrayData, scale: Double): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v: Double = arr.get(i, org.apache.spark.sql.types.FloatType) match {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d
+        case x => x.toString.toDouble
+      }
+      // HALF_UP (away from zero) to match Spark/DuckDB round(), not
+      // Math.round's floor(x+0.5)
+      val x = v * scale
+      out(i) = (if (x >= 0) Math.floor(x + 0.5) else Math.ceil(x - 0.5)).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact int64 dot product of two equal-length long arrays. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `minhash_signature(tokens, k, n)`: array<string> → array<long>. */
@@ -149,4 +181,39 @@ object functions {
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** round(v*scale) int64 quantization of a float array. */
+  def quantize_vec(arr: Column, scale: Double): Column =
+    Bridge.column(QuantizeVec(Bridge.expression(arr), scale))
+
+  /** Exact int64 dot product. */
+  def dot_long(a: Column, b: Column): Column =
+    Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** `quantize_vec(arr, scale)`: array<float/double> → array<long> via
+  * round(v*scale) — the exact-integer embedding quantization used by the
+  * similarity operators (one fused loop instead of a `transform` lambda).
+  */
+case class QuantizeVec(child: Expression, scale: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.quantize(input.asInstanceOf[ArrayData], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.quantize($c, $scale)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/** `dot_long(a, b)`: array<long> × array<long> → long (fused loop). */
+case class DotLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashSig.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashSig.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
+    copy(left = l, right = r)
 }

@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized int64 copy of an embedding column. */
+  /** Quantized int64 copy of an embedding column (fused custom
+    * expression — a `transform` lambda here runs interpreted). */
   def quantize(emb: Column, scale: Double = 10000.0): Column =
-    transform(emb, v => round(v.cast("double") * scale, 0).cast("long"))
+    graft.expressions.functions.quantize_vec(emb, scale)
 
   private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.expressions.functions.dot_long(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by quantized cosine. Output: q_id, vec_id, dot, rn. */

@@ -92,6 +92,35 @@ object Profiling {
                 ${Synth.coordsCodeSql} AS code
                FROM customer ORDER BY c_custkey""")),
 
+    // O16 as a true broadcast hash join against a dimension table (the
+    // reference's zips.json flow): dictionary arrives as a DataFrame and
+    // the membership test is join-presence, not a literal isin — the
+    // shape that scales to multi-MB dimensions at 100 TB.
+    QEntry("q29_zip_join_validate",
+      (s, d) => {
+        import s.implicits._
+        val dim = graft.profile.Dicts.NycZips.toDF("zip_code")
+        val t = trim(col("raw"))
+        val five = substring(regexp_replace(t, "[^0-9]", ""), 1, 5)
+        val known = col("zip_code").isNotNull
+        val code = when(Validators.isNullLike(col("raw")), 4)
+          .when(t.rlike("^[0-9]{5}$") && known, 1)
+          .when(t.rlike("^[0-9]{5}-[0-9]{4}$") && known, 1)
+          .when(t.rlike("^[0-9]{9}$") && known, 2)
+          .when(t.rlike("^[0-9]{5}$") || t.rlike("^[0-9]{5}-[0-9]{4}$") ||
+            t.rlike("^[0-9]{9}$"), 5)
+          .otherwise(3)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), Synth.zip.as("raw"))
+          .withColumn("five", five)
+          .join(broadcast(dim), col("five") === col("zip_code"), "left")
+          .select(col("c_custkey"), col("raw"), code.as("code"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, ${Synth.zipSql} AS raw,
+                ${Synth.zipDictCodeSql} AS code
+               FROM customer ORDER BY c_custkey""")),
+
     // D1/D2/D3: one-job detection over all columns × all types.
     QEntry("q27_detect_columns",
       (s, d) => {
