@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL-surface registration for the custom expressions, so
+  * `spark.sql("SELECT simhash64(split(text, ' ')) ...")` works.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]] for session construction:
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *    `--conf spark.sql.extensions=graft.expressions.GraftExtensions`.
+  *  - [[registerAll]] for an existing session (the driver owns the
+  *    session in Verify/Bench, so runtime registration is the path the
+  *    query packs use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(e: SparkSessionExtensions): Unit =
+    builtins.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft.expressions", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case n: java.lang.Number => n.intValue
+      case other => throw new IllegalArgumentException(s"$what must be an int, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builtins: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { args =>
+      require(args.length == 3, "minhash_signature(tokens, k, numHashes)")
+      MinHashSignature(args.head, intArg(args(1), "k"), intArg(args(2), "numHashes"))
+    },
+    "simhash64" -> { args =>
+      require(args.length == 1, "simhash64(tokens)")
+      SimHash64(args.head)
+    },
+    "quantize_vec" -> { args =>
+      require(args.length == 2, "quantize_vec(arr, scale)")
+      val scale = args(1) match {
+        case e if e.foldable => e.eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.doubleValue
+          case n: java.lang.Number => n.doubleValue
+          case other => throw new IllegalArgumentException(s"scale must be numeric, got $other")
+        }
+        case other => throw new IllegalArgumentException(s"scale must be a literal, got $other")
+      }
+      QuantizeVec(args.head, scale)
+    },
+    "dot_long" -> { args =>
+      require(args.length == 2, "dot_long(a, b)")
+      DotLong(args.head, args(1))
+    })
+
+  /** Runtime registration on an existing session. */
+  def registerAll(spark: SparkSession): Unit =
+    builtins.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

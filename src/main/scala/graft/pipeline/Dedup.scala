@@ -79,22 +79,26 @@ object Dedup {
     val cand = grouped.select(explode(combos).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, tokens(docs, idCol, textCol), threshold)
+    verifyJaccard(cand, tokenArrays(docs, idCol, textCol), threshold)
   }
 
-  /** Exact token-Jaccard verification for an explicit candidate-pair set.
-    * Pure integer output (inter, uni) — oracle-safe. */
-  def verifyJaccard(pairs: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
-    val inter = pairs
-      .join(toks.as("ta"), col("a_id") === col("ta.doc_id"))
-      .join(toks.as("tb"), col("b_id") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
-      .select(col("a_id"), col("b_id"), col("inter"),
-        (col("sa.ntok") + col("sb.ntok") - col("inter")).as("uni"))
+  /** Distinct-token arrays per doc (for set-based verification). */
+  def tokenArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(lower(col(textCol)), "\\s+")).as("toks"))
+
+  /** Exact token-Jaccard verification for an explicit candidate-pair set:
+    * two joins + `array_intersect` per pair (pairs are few post-LSH, so
+    * per-pair set math beats a token-explode join — smaller plan, no
+    * aggregation). Pure integer output (inter, uni) — oracle-safe. */
+  def verifyJaccard(pairs: DataFrame, toksArr: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
+    val uni = (size(col("ta")) + size(col("tb"))).cast("long") - inter
+    pairs
+      .join(toksArr.select(col("doc_id"), col("toks").as("ta")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(toksArr.select(col("doc_id"), col("toks").as("tb")), col("b_id") === col("doc_id"))
+      .select(col("a_id"), col("b_id"), inter.as("inter"), uni.as("uni"))
       .filter(col("inter").cast("double") >= col("uni") * threshold)
   }
 

@@ -31,7 +31,7 @@ object Pipeline {
         val docs = Tables.documents(s, d)
         val pairs = docs.select(col("doc_id").as("a_id"),
           (col("doc_id") + 1).as("b_id"))
-        Dedup.verifyJaccard(pairs, Dedup.tokens(docs, "doc_id", "text"), 0.0)
+        Dedup.verifyJaccard(pairs, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
           .orderBy(col("a_id"))
       },
       Some("""WITH tok AS (
@@ -175,6 +175,46 @@ object Pipeline {
     QEntry("q38_simhash",
       (s, d) => Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id")),
+      None),
+
+    // Embedding-cosine near-dup on a defined candidate set (adjacent vec
+    // ids) — quantized-exact, oracle-backed; the unbounded-candidate
+    // scale path is the LSH-bucketed q39.
+    QEntry("q43_embed_neardup_adjacent",
+      (s, d) => {
+        import graft.expressions.functions.{dot_long, quantize_vec}
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), quantize_vec(col("embedding"), 10000.0).as("qe"))
+        val a = emb.select(col("vec_id").as("a_id"), col("qe").as("qa"))
+        val b = emb.select(col("vec_id").as("b_id"), col("qe").as("qb"))
+        a.join(b, col("b_id") === col("a_id") + 1)
+          .select(col("a_id"), col("b_id"),
+            dot_long(col("qa"), col("qb")).as("dot"),
+            round(dot_long(col("qa"), col("qb")) /
+              (sqrt(dot_long(col("qa"), col("qa"))) * sqrt(dot_long(col("qb"), col("qb")))), 4)
+              .as("cos4"))
+          .filter(col("cos4") > -2) // keep all; cos4 exposes the score
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH q AS (
+                SELECT vec_id,
+                  list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings)
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                CAST(list_sum(list_transform(range(len(a.qe)), i -> a.qe[i+1]*b.qe[i+1])) AS BIGINT) AS dot,
+                round(CAST(list_sum(list_transform(range(len(a.qe)), i -> a.qe[i+1]*b.qe[i+1])) AS BIGINT) /
+                  (sqrt(CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT)) *
+                   sqrt(CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT))), 4) AS cos4
+              FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+              ORDER BY a_id""")),
+
+    // Stateful sessionization (flatMapGroupsWithState — deterministic
+    // per-group ordering, but typed-state output → rows-only check).
+    QEntry("q42_sessionize",
+      (s, d) => graft.streaming.EventsProfile.sessionize(
+        s, Tables.events(s, d), gapUs = 60L * 1000 * 1000)
+        .orderBy(col("user_id"), col("durationUs"), col("nEvents")),
       None),
 
     // LSH-bucketed ANN (approximate recall → rows-only check).

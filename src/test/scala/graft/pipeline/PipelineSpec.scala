@@ -45,7 +45,7 @@ class DedupSpec extends SparkSpec {
 
   test("jaccard verification is exact") {
     val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
-    val got = Dedup.verifyJaccard(pairs, Dedup.tokens(docs, "doc_id", "text"), 0.0)
+    val got = Dedup.verifyJaccard(pairs, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
       .collect().head
     // doc0/doc1 distinct tokens: 8 each ("the" repeats), intersection 7
     assert(got.getAs[Long]("inter") == 7L)
