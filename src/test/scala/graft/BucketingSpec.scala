@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join: pre-bucketing both sides on the join key
+  * removes the shuffle from every subsequent join — the 100 TB pattern
+  * for repeated fact⋈fact joins (SURVEY.md "partitioning & shuffle"). */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // at fixture scale Spark prefers broadcast; disable it so the join
+    // actually exercises the bucket layout (sort-merge, no exchange)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    graft.queries.Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.queries.Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not shuffle either side (only the final
+    // aggregation exchanges)
+    val joinPart = plan.split("HashAggregate").last
+    assert(joinPart.contains("SortMergeJoin") || joinPart.contains("ShuffledHashJoin"),
+      plan.take(800))
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join should not shuffle:\n${plan.take(1200)}")
+
+    val n = joined.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n == graft.queries.Tables.lineitem(spark, sf).count())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
