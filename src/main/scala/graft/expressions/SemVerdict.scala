@@ -1,0 +1,334 @@
+package graft.expressions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.profile.{Codes, Dicts}
+
+/** Fused scalar kernels for the semantic-type validators.
+  *
+  * Semantics are IDENTICAL to the `when`-tree builders in
+  * `graft.profile.Validators` (the Catalyst-native reference
+  * implementation, kept + spec'd); these exist because seven wide
+  * `when`-trees in one plan cost seconds of Catalyst analysis + codegen
+  * per query — a constant that dominates small benches. One expression
+  * per cell with a plain-Scala kernel compiles in milliseconds and
+  * evaluates in ~100 ns. Equivalence is enforced by a differential
+  * random-junk spec (FusedVerdictSpec) and by the same DuckDB oracles.
+  *
+  * Kernel fidelity notes (match Spark built-in semantics, not JDK ones):
+  * space-only `trim`, `split(re, -1)` (Spark keeps trailing empties),
+  * locale-independent ASCII case ops, `initcap` = capitalize after
+  * space.
+  */
+object SemKernels {
+
+  import Codes._
+
+  private val SpaceTrim = (s: String) => {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  private val NullMarkers = Set("n/a", "na", "none", "null", "unspecified")
+
+  def isNullLike(raw: String): Boolean = {
+    if (raw == null) return true
+    val t = SpaceTrim(raw)
+    t.isEmpty || NullMarkers.contains(t.toLowerCase)
+  }
+
+  private def stripNonDigitPlus(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= '0' && c <= '9') || c == '+') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def digitsOf(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def allSameDigit(d: String): Boolean = {
+    if (d.isEmpty) return false
+    val c = d.charAt(0)
+    var i = 1
+    while (i < d.length) { if (d.charAt(i) != c) return false; i += 1 }
+    true
+  }
+
+  private def isNanp10(d: String): Boolean =
+    d.length == 10 && d.charAt(0) >= '2' && d.charAt(3) >= '2' && d.forall(_.isDigit)
+
+  private def isNanp11(d: String): Boolean =
+    d.length == 11 && d.charAt(0) == '1' && isNanp10(d.substring(1))
+
+  def phoneNullLike(raw: String): Boolean = {
+    if (isNullLike(raw)) return true
+    val d = digitsOf(raw)
+    d.length >= 5 && allSameDigit(d)
+  }
+
+  /** Mirrors Validators.phoneVerdictImpl (v0: areaCodes = null). */
+  def phone(raw: String, areaCodes: java.util.Set[String]): (Int, String) = {
+    if (phoneNullLike(raw)) return (NullLike, "")
+    val s = SpaceTrim(raw)
+    if (s.nonEmpty && Character.isLetter(s.charAt(0)) && s.charAt(0) < 128)
+      return (Plausible, s)
+    val cleaned = stripNonDigitPlus(s)
+    val digits = digitsOf(cleaned)
+    val nd = digits.length
+    if (nd < 5 || nd > 15) return (Plausible, digits)
+    val hasPlus = cleaned.startsWith("+")
+    val hasFormatting = s != cleaned
+    val nanp10 = isNanp10(digits)
+    val nanp11 = isNanp11(digits)
+    val e164Intl = nd >= 8 && nd <= 15 && digits.charAt(0) >= '2'
+    val area =
+      if (nanp10) digits.substring(0, 3)
+      else if (nanp11) digits.substring(1, 4)
+      else null
+    val areaKnown =
+      if (areaCodes == null) area != null
+      else area != null && areaCodes.contains(area)
+    val validNanp = (nanp10 || nanp11) && areaKnown
+    val valid =
+      if (hasPlus) {
+        if (digits.startsWith("1")) nanp11 && areaKnown else e164Intl
+      } else validNanp
+    val norm =
+      if (digits.startsWith("1") && nanp11) "+" + digits
+      else if (nanp10) "+1" + digits
+      else if (hasPlus) "+" + digits
+      else digits
+    if (valid && !hasFormatting) (Valid, norm)
+    else if (valid) (ValidBadFormat, norm)
+    else if ((nanp10 || nanp11) && !areaKnown) (Plausible, digits)
+    else if (!hasPlus && (nd == 10 || (nd == 11 && digits.startsWith("1"))))
+      (Plausible, digits)
+    else (Invalid, digits)
+  }
+
+  /** Spark-compatible initcap(lower(x)): capitalize after space. */
+  private def initcapLower(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var cap = true
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      sb.append(if (cap) Character.toUpperCase(c) else Character.toLowerCase(c))
+      cap = c == ' '
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def stripDotSpace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '.' && c != ' ') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val stateNames = Dicts.StateNames.toSet
+  private val stateAcr = Dicts.StateAcronyms.toSet
+  private val stateAbb = Dicts.StateAbbrevs.toSet
+  private val boroNames = Dicts.BoroNames.toSet
+  private val boroAbb = Dicts.BoroAbbrevs.toSet
+  private val nycZips = Dicts.NycZips.toSet
+
+  def state(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val titled = initcapLower(t)
+    val up = stripDotSpace(t).toUpperCase
+    val lo = stripDotSpace(t).toLowerCase
+    if (stateNames.contains(raw)) (Valid, raw)
+    else if (stateNames.contains(titled)) (ValidBadFormat, titled)
+    else if (stateAcr.contains(up)) (ValidBadFormat, up)
+    else if (stateAbb.contains(lo)) (ValidBadFormat, lo)
+    else (Invalid, t)
+  }
+
+  def boro(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val titled = initcapLower(t)
+    if (boroNames.contains(raw)) (Valid, raw)
+    else if (boroNames.contains(titled)) (ValidBadFormat, titled)
+    else if (boroAbb.contains(t)) (ValidBadFormat, titled)
+    else (Invalid, t)
+  }
+
+  private val NumRe = Pattern.compile("^[+-]?([0-9]+)(\\.[0-9]+)?$")
+
+  private def stripNsew(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ("NSEWnsew°".indexOf(c) < 0) sb.append(c)
+      i += 1
+    }
+    SpaceTrim(sb.toString)
+  }
+
+  def latLong(raw: String, maxAbs: Double, outOfRangeCode: Int): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val isNum = NumRe.matcher(t).matches()
+    if (isNum) {
+      val v = java.lang.Double.parseDouble(t)
+      return if (math.abs(v) <= maxAbs) (Valid, t) else (outOfRangeCode, t)
+    }
+    val stripped = stripNsew(t)
+    if (NumRe.matcher(stripped).matches()) {
+      val v = java.lang.Double.parseDouble(stripped)
+      if (math.abs(v) <= maxAbs) (ValidBadFormat, stripped) else (Invalid, stripped)
+    } else (Invalid, t)
+  }
+
+  private val CoordSplit = Pattern.compile("\\s*[,;]\\s*|\\s+")
+  private val FragSplit = Pattern.compile("[^0-9.+-]+")
+
+  /** Mirrors Validators.coordsVerdict's top-level (code, norm). */
+  def coords(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val noBrackets = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if ("[](){}".indexOf(c) < 0) sb.append(c)
+        i += 1
+      }
+      SpaceTrim(sb.toString)
+    }
+    val parts = CoordSplit.split(noBrackets, -1)
+    if (parts.length == 2) {
+      val la = latLong(parts(0), 90.0, Invalid)
+      val lo = latLong(parts(1), 180.0, Invalid)
+      val ok = (la._1 == Valid || la._1 == ValidBadFormat) &&
+        (lo._1 == Valid || lo._1 == ValidBadFormat)
+      (if (ok) Valid else Invalid, noBrackets)
+    } else {
+      val nFrags = FragSplit.split(noBrackets, -1).length
+      if (nFrags >= 4 && nFrags <= 5) (ValidBadFormat, noBrackets)
+      else (Invalid, noBrackets)
+    }
+  }
+
+  def zipQuick(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val d = digitsOf(t)
+    if (t.length == 5 && d.length == 5) (Valid, t)
+    else if (t.length == 10 && t.charAt(5) == '-' && d.length == 9 &&
+      t.substring(0, 5) == d.substring(0, 5)) (Valid, t)
+    else if (t.length == 9 && d.length == 9)
+      (ValidBadFormat, d.substring(0, 5) + "-" + d.substring(5))
+    else (Invalid, t)
+  }
+
+  def zipDict(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val d = digitsOf(t)
+    val is5 = t.length == 5 && d.length == 5
+    val is54 = t.length == 10 && t.charAt(5) == '-' && d.length == 9 &&
+      t.substring(0, 5) == d.substring(0, 5)
+    val is9 = t.length == 9 && d.length == 9
+    if (!(is5 || is54 || is9)) return (Invalid, t)
+    val known = nycZips.contains(d.substring(0, 5))
+    if (is5 && known) (Valid, t)
+    else if (is54 && known) (Valid, t)
+    else if (is9 && known) (ValidBadFormat, d.substring(0, 5) + "-" + d.substring(5))
+    else (Plausible, d.substring(0, 5))
+  }
+
+  private val nycAreaSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Dicts.NycAreaCodes.foreach(s.add)
+    s
+  }
+
+  /** Dispatch by kernel id (stable — referenced from generated code). */
+  def eval(kernel: Int, raw: UTF8String): InternalRow = {
+    val s = if (raw == null) null else raw.toString
+    val (code, norm) = kernel match {
+      case 0 => phone(s, null)
+      case 1 => phone(s, nycAreaSet)
+      case 2 => state(s)
+      case 3 => boro(s)
+      case 4 => latLong(s, 90.0, Codes.Plausible)
+      case 5 => latLong(s, 180.0, Codes.Plausible)
+      case 6 => coords(s)
+      case 7 => zipQuick(s)
+      case 8 => zipDict(s)
+      case k => sys.error(s"unknown kernel $k")
+    }
+    InternalRow(code, UTF8String.fromString(norm))
+  }
+}
+
+/** `sem_verdict(raw, kernel)`: string → struct(code int, norm string),
+  * the fused equivalent of a Validators when-tree. Null input is handled
+  * INSIDE the kernel (null-like → code 4), so eval overrides the
+  * null-skipping default. */
+case class SemVerdict(child: Expression, kernel: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", IntegerType, nullable = false),
+    StructField("norm", StringType, nullable = false)))
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    SemKernels.eval(kernel, v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      InternalRow ${ev.value} = graft.expressions.SemKernels.eval(
+        $kernel, ${c.isNull} ? null : ${c.value});
+      boolean ${ev.isNull} = false;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SemVerdict =
+    copy(child = newChild)
+}
+
+object SemVerdict {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  val kernels: Map[String, Int] = Map(
+    "phone" -> 0, "phone_v1" -> 1, "state" -> 2, "boro" -> 3,
+    "lat" -> 4, "long" -> 5, "coords" -> 6, "zip_quick" -> 7, "zip" -> 8)
+
+  def verdict(raw: Column, semType: String): Column =
+    Bridge.column(SemVerdict(Bridge.expression(raw), kernels(semType)))
+}

@@ -143,11 +143,20 @@ object Profiling {
         rows.mkString("", " UNION ALL ", " ORDER BY col_name, semtype")
       }),
 
-    // Full pipeline: detect → single-pass classify → code histogram.
+    // S2 through the fused single-expression kernel (SemVerdict) — the
+    // same DuckDB oracle as q20 pins the fused path value-by-value.
+    QEntry("q44_fused_phone_validate",
+      validateQuery(Synth.phone,
+        c => graft.expressions.SemVerdict.verdict(c, "phone")),
+      Some(validateOracle(Synth.phoneSql, Synth.phoneCodeSql, Synth.phoneNormSql))),
+
+    // Full pipeline: detect → single-pass classify → code histogram,
+    // classification on the fused kernels (codes differential-proven
+    // equal to the when-trees; this is the production-scale path).
     QEntry("q28_profile_summary",
       (s, d) => Profiler.profile(
         synthTable(s, d).orderBy(col("c_custkey")),
-        Detector.defaultSpecs, sampleN = 100, keyCol = Some("c_custkey"))
+        Detector.fusedSpecs, sampleN = 100, keyCol = Some("c_custkey"))
         .withColumnRenamed("semType", "semtype")
         .withColumnRenamed("column", "col_name")
         .orderBy(col("col_name"), col("semtype"), col("code")),

@@ -1,0 +1,71 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+import graft.profile.Validators
+
+/** Differential: the fused SemVerdict kernels must agree cell-for-cell
+  * (code AND norm) with the Catalyst when-tree reference implementation
+  * on curated inputs and random junk. */
+class FusedVerdictSpec extends SparkSpec {
+
+  private val curated = Seq(
+    "+12013347135", "2013347135", "(201) 334-7135", "201-334-7135",
+    "999-999-9999", "", " ", "n/a", "hello", "012-000-0000", "+1018840042",
+    "0123456789012345", "123", "+442071838750", "1-212-555-0142",
+    "New York", "NY", "new york", " New York ", "N.Y.", "Wash.", "TEXAS",
+    "Narnia", "A2", "Brooklyn", "BRONX", "Bx", "staten island",
+    "Amherst St", "CAMBRIA HEIGHTS",
+    "10012", "10012-1234", "100121234", "01310", "99999", "10451",
+    "40.8150748", "91.2", "-90.0", "40.81N", "abc", "None", "-73.9426",
+    "181.0", "120.5", "0", "90", "90.000001", "-180",
+    "(40.575, -74.107)", "40.575 -74.107", "[40.575;-74.107]",
+    "92.09, 19.23", "foo", "40.5754", "12.34.56.78", "1,2,3",
+    null.asInstanceOf[String])
+
+  private val junkGen: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(_.take(24)),
+    Gen.numStr.map(_.take(18)),
+    Gen.chooseNum(-200.0, 200.0).map(d => f"$d%.4f"),
+    Gen.chooseNum(0L, 999999999999L).map(_.toString),
+    for {
+      a <- Gen.chooseNum(100, 999); b <- Gen.chooseNum(100, 999)
+      c <- Gen.chooseNum(1000, 9999)
+    } yield s"$a-$b-$c")
+
+  test("fused kernels agree with the when-tree validators") {
+    val junk = Gen.listOfN(800, junkGen).sample.getOrElse(Nil)
+    val inputs = curated ++ junk
+    val rows = inputs.map(org.apache.spark.sql.Row(_))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val treeOf: Map[String, Column => Column] = Validators.all
+    for ((semType, _) <- SemVerdict.kernels if semType != "coords") {
+      val tree = treeOf(semType)(col("raw"))
+      val fused = SemVerdict.verdict(col("raw"), semType)
+      val bad = df.select(col("raw"),
+          tree.getField("code").as("tc"), tree.getField("norm").as("tn"),
+          fused.getField("code").as("fc"), fused.getField("norm").as("fn"))
+        .filter(col("tc") =!= col("fc") ||
+          !(col("tn") <=> col("fn")))
+        .collect()
+      assert(bad.isEmpty, s"$semType diverges: " +
+        bad.take(5).map(r => s"'${r.get(0)}' tree=(${r.get(1)},${r.get(2)}) fused=(${r.get(3)},${r.get(4)})").mkString("; "))
+    }
+    // coords: top-level code must agree (norm shapes differ by design:
+    // the tree returns struct with halves, fused returns (code, norm))
+    val treeC = Validators.coordsVerdict(col("raw"))
+    val fusedC = SemVerdict.verdict(col("raw"), "coords")
+    val badC = df.select(col("raw"),
+        treeC.getField("code").as("tc"), fusedC.getField("code").as("fc"))
+      .filter(col("tc") =!= col("fc")).collect()
+    assert(badC.isEmpty, s"coords diverges: " +
+      badC.take(5).map(r => s"'${r.get(0)}' tree=${r.get(1)} fused=${r.get(2)}").mkString("; "))
+  }
+}
