@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan quality gates — the properties that make these plans
+  * survive a 100× scale-up, asserted so a regression fails the build:
+  *
+  *  - filters reach the parquet scan (PushedFilters), projection prunes
+  *    the read schema (a 2-column query must not read 16 columns);
+  *  - small-dim joins resolve to broadcast hash joins, never a shuffle
+  *    of the fact side's join key for a KB-sized dim;
+  *  - aggregations are partial+final (map-side combine before shuffle);
+  *  - validator projections stay inside whole-stage codegen.
+  *
+  * Plans are inspected AFTER execution so AQE's final plan is graded,
+  * same as a production run.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def query(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q01 scan: filters pushed to parquet, read schema pruned") {
+    val plan = finalPlan(query("q01_scan_filter_project"))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown in:\n$plan")
+    assert(plan.contains("l_discount"), s"discount filter not pushed:\n$plan")
+    // 16-column lineitem, 5-column query: untouched columns must not be read.
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"),
+      s"read schema not pruned:\n$plan")
+  }
+
+  test("q02 aggregation is partial+final (map-side combine)") {
+    val plan = finalPlan(query("q02_agg_pricing_summary"))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("q10 dim joins broadcast, fact side never shuffled on the dim key") {
+    val plan = finalPlan(query("q10_join_dims"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected 2 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+  }
+
+  test("q08/q09 existence joins execute as hash joins (no cartesian)") {
+    for (q <- Seq("q08_semi_join", "q09_anti_join")) {
+      val plan = finalPlan(query(q))
+      // AQE may prove the anti-join empty at tiny SF and eliminate it
+      // outright (EmptyRelation) — also a correct, scale-safe outcome.
+      assert(plan.contains("HashJoin") || plan.contains("EmptyRelation"),
+        s"$q: no hash join:\n$plan")
+      assert(!plan.contains("Cartesian"), s"$q: cartesian product:\n$plan")
+    }
+  }
+
+  test("validator projection stays inside whole-stage codegen") {
+    // AQE's compact plan string marks codegen spans as `*(n)`.
+    val plan = finalPlan(query("q20_phone_validate"))
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+
+  test("fused-kernel profile summary: one scan, one explode, agg combined") {
+    val plan = finalPlan(query("q28_profile_summary"))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected exactly 1 explode, got $generates:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final agg:\n$plan")
+  }
+}
