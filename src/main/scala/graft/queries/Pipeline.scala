@@ -226,6 +226,25 @@ object Pipeline {
         Similarity.cosineTopKBucketed(queries, emb, dim = 64, k = 5, nBits = 4)
           .orderBy(col("q_id"), col("rn"))
       },
-      None)
+      None),
+
+    // Skew-safe two-phase (salted) aggregation — same answer as a direct
+    // GROUP BY, pinned by the direct SQL oracle; the salt spreads any one
+    // hot key over `buckets` reducers (see pipeline/Skew.scala).
+    QEntry("q45_skew_twophase_agg",
+      (s, d) => graft.pipeline.Skew.twoPhaseSumCount(
+        Tables.lineitem(s, d),
+        keys = Seq("l_suppkey"),
+        sums = Seq("revenue_cents" ->
+          round(col("l_extendedprice") * 100, 0).cast("long")),
+        uniq = col("l_orderkey"),
+        buckets = 16)
+        .orderBy(col("l_suppkey")),
+      Some("""SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+               count(*) AS cnt
+              FROM lineitem
+              GROUP BY l_suppkey
+              ORDER BY l_suppkey"""))
   )
 }
