@@ -136,6 +136,32 @@ object Relational2 {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_id
                 FROM events)
               WHERE event_type = 'click'
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // The spark.sql entry point end-to-end: same engine, SQL text in —
+    // revenue by nation through two joins (dims broadcast by size), with
+    // the identical statement (modulo money casting) as its own oracle.
+    QEntry("q46_sql_surface",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.orders(s, d).createOrReplaceTempView("g_orders")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        s.sql("""SELECT n_name,
+                  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+                  count(*) AS n_orders
+                 FROM g_orders
+                 JOIN g_customer ON o_custkey = c_custkey
+                 JOIN g_nation ON c_nationkey = n_nationkey
+                 GROUP BY n_name
+                 ORDER BY n_name""")
+      },
+      Some("""SELECT n_name,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_orders
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name
+              ORDER BY n_name"""))
   )
 }

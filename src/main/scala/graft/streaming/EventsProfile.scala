@@ -48,6 +48,17 @@ object EventsProfile {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exactGroups`:
+    * drops re-deliveries of the same `event_id` arriving within the
+    * watermark (at-least-once sources re-deliver; this makes the
+    * downstream pipeline effectively-once). State is one tiny record per
+    * id seen inside the watermark, evicted as event time advances — the
+    * bounded-state analogue of a full-corpus dedup. */
+  def dedupped(withTime: DataFrame): DataFrame =
+    withTime
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Start the streaming profile over a parquet directory (file-source
     * streaming), writing to an in-memory sink named `queryName`. */
   def start(

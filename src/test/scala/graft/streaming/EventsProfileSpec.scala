@@ -34,6 +34,28 @@ class EventsProfileSpec extends SparkSpec {
     assert(s.length >= b.size / 2, s"too few closed windows: ${s.length} of ${b.size}")
   }
 
+  test("streaming dedup drops watermark-window re-deliveries exactly") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // simulate an at-least-once source: every event delivered twice
+    val ev = graft.queries.Tables.events(spark, sf).limit(500)
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    ev.unionAll(ev).repartition(4)
+      .write.mode("overwrite").parquet(dir.toString)
+
+    val stream = spark.readStream
+      .schema(EventsProfile.eventsSchema).parquet(dir.toString)
+    val q = EventsProfile.dedupped(EventsProfile.withEventTime(stream))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ep_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ep_dedup")
+    assert(got.count() == 500, s"expected 500 distinct events, got ${got.count()}")
+    assert(got.select("event_id").distinct().count() == 500)
+  }
+
   test("stateful sessionization counts all events exactly once") {
     val ev = graft.queries.Tables.events(spark, sf)
     val sessions = EventsProfile.sessionize(spark, ev, gapUs = 60L * 1000 * 1000)
