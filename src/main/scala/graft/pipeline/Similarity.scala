@@ -86,4 +86,58 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
   }
+
+  /** IVF (inverted-file) ANN — the other classic scale path besides LSH:
+    * a coarse quantizer of `nList` centroids partitions the corpus into
+    * cluster lists; each query probes only its `nProbe` nearest lists,
+    * so per-query work drops from O(corpus) to O(corpus×nProbe/nList).
+    *
+    * Centroids are the first `nList` corpus vectors (deterministic, no
+    * training pass); recall improves with k-means-trained centroids but
+    * the dataflow — assign, invert, probe — is identical. Assignment is
+    * ONE broadcast pass + a `max_by` hash aggregation (partial+final, no
+    * window over the ×nList-amplified rows, so the shuffle stays
+    * O(corpus)). Probes broadcast to the corpus side; only candidate
+    * rows reach the final top-k shuffle. */
+  def cosineTopKIvf(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.orderBy(col("vec_id")).limit(nList)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cente"))
+      .withColumn("nc", dotQ(col("cente"), col("cente")))
+
+    // nearest centroid per corpus vector: |ce| is constant within the
+    // group, so argmax cosine = argmax dot/sqrt(|centroid|).
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"))
+      .withColumn("nb", dotQ(col("ce"), col("ce")))
+    val assigned = c.join(broadcast(cent), lit(true))
+      .withColumn("cscore",
+        dotQ(col("ce"), col("cente")).cast("double") / sqrt(col("nc")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("ce")).as("ce"), first(col("nb")).as("nb"),
+        max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cluster"))
+
+    // each query's nProbe nearest centroid lists (tiny: queries × nList).
+    val q = queries.select(col("q_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("na", dotQ(col("qe"), col("qe")))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("cscore",
+        dotQ(col("qe"), col("cente")).cast("double") / sqrt(col("nc")))
+      .withColumn("prn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("cscore").desc, col("cid"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qe"), col("na"), col("cid").as("cluster"))
+
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
+  }
 }

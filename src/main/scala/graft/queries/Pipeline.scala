@@ -228,6 +228,19 @@ object Pipeline {
       },
       None),
 
+    // IVF ANN: coarse-quantizer cluster lists, nProbe-limited search —
+    // rows-only check (approximate by construction, like q39).
+    QEntry("q47_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        graft.pipeline.Similarity.cosineTopKIvf(queries, emb, k = 5,
+          nList = 16, nProbe = 4)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
+
     // Skew-safe two-phase (salted) aggregation — same answer as a direct
     // GROUP BY, pinned by the direct SQL oracle; the salt spreads any one
     // hot key over `buckets` reducers (see pipeline/Skew.scala).

@@ -72,6 +72,23 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 7L)
   }
+
+  test("IVF ANN: self is found, and recall vs brute force is sane") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.cosineTopK(queries, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.cosineTopKIvf(queries, emb, k = 5,
+      nList = 16, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query must at least find itself (it probes its own cluster)
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      assert(ivf.contains((qid, qid)), s"query $qid did not find itself")
+    }
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low (untrained centroids)")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
