@@ -329,6 +329,8 @@ object SemVerdict {
     "phone" -> 0, "phone_v1" -> 1, "state" -> 2, "boro" -> 3,
     "lat" -> 4, "long" -> 5, "coords" -> 6, "zip_quick" -> 7, "zip" -> 8)
 
+  /** Input is cast to string first (the when-tree validators get this
+    * implicitly from Catalyst; a bare Expression child does not). */
   def verdict(raw: Column, semType: String): Column =
-    Bridge.column(SemVerdict(Bridge.expression(raw), kernels(semType)))
+    Bridge.column(SemVerdict(Bridge.expression(raw.cast("string")), kernels(semType)))
 }
