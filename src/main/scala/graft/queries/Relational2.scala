@@ -162,6 +162,53 @@ object Relational2 {
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_name
-              ORDER BY n_name"""))
+              ORDER BY n_name""")),
+
+    // CUBE: all grouping-set combinations in one pass; null group markers
+    // tagged 'ALL' via grouping() so both engines order identically.
+    QEntry("q48_cube_pricing",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_cents"),
+          grouping(col("l_returnflag")).as("g_r"),
+          grouping(col("l_linestatus")).as("g_l"))
+        .select(
+          when(col("g_r") === 1, "ALL").otherwise(col("l_returnflag")).as("rflag"),
+          when(col("g_l") === 1, "ALL").otherwise(col("l_linestatus")).as("lstatus"),
+          col("n"), col("sum_cents"))
+        .orderBy(col("rflag"), col("lstatus")),
+      Some("""SELECT
+               CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
+               count(*) AS n,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_cents
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY rflag, lstatus""")),
+
+    // Exact interpolated percentiles (R-7, both engines' continuous
+    // quantile): p in {.25,.5,.75} over integer cents interpolates on
+    // quarter fractions — exactly representable doubles, so the oracle
+    // hash-matches without rounding games.
+    QEntry("q49_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(cents, 0.25)").as("p25"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+               quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS p25,
+               quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50,
+               quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS p75,
+               count(*) AS n
+              FROM orders
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority"""))
   )
 }
