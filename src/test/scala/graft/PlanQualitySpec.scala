@@ -68,6 +68,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*("), s"no codegen span:\n$plan")
   }
 
+  test("q45 salted agg: two aggregation rounds, both partial+final") {
+    val plan = finalPlan(query("q45_skew_twophase_agg"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected two partial+final agg rounds:\n$plan")
+  }
+
+  test("q47 IVF: centroids and probes broadcast, corpus never sort-merged") {
+    val plan = finalPlan(query("q47_ann_ivf"))
+    assert("Broadcast".r.findAllIn(plan).nonEmpty, s"no broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length
