@@ -58,14 +58,17 @@ class FusedVerdictSpec extends SparkSpec {
       assert(bad.isEmpty, s"$semType diverges: " +
         bad.take(5).map(r => s"'${r.get(0)}' tree=(${r.get(1)},${r.get(2)}) fused=(${r.get(3)},${r.get(4)})").mkString("; "))
     }
-    // coords: top-level code must agree (norm shapes differ by design:
-    // the tree returns struct with halves, fused returns (code, norm))
+    // coords: compare top-level (code, norm) — the tree's struct carries
+    // extra per-half fields the fused kernel doesn't reproduce, but code
+    // and norm must agree cell-for-cell.
     val treeC = Validators.coordsVerdict(col("raw"))
     val fusedC = SemVerdict.verdict(col("raw"), "coords")
     val badC = df.select(col("raw"),
-        treeC.getField("code").as("tc"), fusedC.getField("code").as("fc"))
-      .filter(col("tc") =!= col("fc")).collect()
+        treeC.getField("code").as("tc"), treeC.getField("norm").as("tn"),
+        fusedC.getField("code").as("fc"), fusedC.getField("norm").as("fn"))
+      .filter(col("tc") =!= col("fc") || !(col("tn") <=> col("fn")))
+      .collect()
     assert(badC.isEmpty, s"coords diverges: " +
-      badC.take(5).map(r => s"'${r.get(0)}' tree=${r.get(1)} fused=${r.get(2)}").mkString("; "))
+      badC.take(5).map(r => s"'${r.get(0)}' tree=(${r.get(1)},${r.get(2)}) fused=(${r.get(3)},${r.get(4)})").mkString("; "))
   }
 }
