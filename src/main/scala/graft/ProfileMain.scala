@@ -64,7 +64,12 @@ object ProfileMain {
     println(s"[profile] detected: " + detected.map(d =>
       s"${d.column}:${d.semType}(${d.hits}/${d.sampled})").mkString(", "))
 
-    val verdicts = Profiler.verdicts(df.cache(), detected, specs)
+    import spark.implicits._
+    val verdicts =
+      if (detected.isEmpty)
+        Seq.empty[(Long, String, String, Int, String, String)]
+          .toDF("rowId", "column", "semType", "code", "raw", "norm")
+      else Profiler.verdicts(df.cache(), detected, specs)
     verdicts.write.mode("overwrite")
       .partitionBy("semType").parquet(s"${a.outDir}/verdicts")
     if (a.text) CsvSource.writeVerdictText(verdicts, s"${a.outDir}/text")

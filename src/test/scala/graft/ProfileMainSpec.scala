@@ -37,4 +37,16 @@ class ProfileMainSpec extends SparkSpec {
     val text = spark.read.text(s"$out/text").collect().map(_.getString(0))
     assert(text.length == 80 && text.forall(_.startsWith("(")))
   }
+
+  test("ProfileMain reads parquet input and survives zero detections") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pm2")
+    val pq = dir.resolve("in.parquet").toString
+    // no column here is a semantic type: nothing must detect
+    Seq((1L, "widget"), (2L, "gadget")).toDF("id", "name")
+      .write.parquet(pq)
+    val out = dir.resolve("out").toString
+    ProfileMain.run(spark, ProfileMain.parse(Array(pq, out)))
+    assert(spark.read.parquet(s"$out/summary").count() == 0)
+  }
 }
