@@ -32,6 +32,10 @@ object Pipeline {
         val pairs = docs.select(col("doc_id").as("a_id"),
           (col("doc_id") + 1).as("b_id"))
         Dedup.verifyJaccard(pairs, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+          // jaccard-0 pairs are never near-dup candidates; dropping them
+          // also aligns with the oracle's inner join on shared tokens
+          // (first diverges at sf0.1 — 3 adjacent pairs share no token)
+          .filter(col("inter") > 0)
           .orderBy(col("a_id"))
       },
       Some("""WITH tok AS (
