@@ -213,13 +213,34 @@ object Pipeline {
               FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
               ORDER BY a_id""")),
 
-    // Stateful sessionization (flatMapGroupsWithState — deterministic
-    // per-group ordering, but typed-state output → rows-only check).
+    // Stateful sessionization (flatMapGroupsWithState). The batch twin is
+    // SQL-expressible — lag → gap marker → cumulative session id — so the
+    // typed-state operator gets a full DuckDB oracle: same sessions, same
+    // open/closed flags (closed = not the user's last session).
     QEntry("q42_sessionize",
       (s, d) => graft.streaming.EventsProfile.sessionize(
         s, Tables.events(s, d), gapUs = 60L * 1000 * 1000)
-        .orderBy(col("user_id"), col("durationUs"), col("nEvents")),
-      None),
+        .orderBy(col("user_id"), col("durationUs"), col("nEvents"), col("closed")),
+      Some("""WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events),
+              marked AS (
+                SELECT user_id, us,
+                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                            > 60000000
+                       THEN 1 ELSE 0 END AS new_s
+                FROM e),
+              sess AS (
+                SELECT user_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked),
+              grouped AS (
+                SELECT user_id, sid, count(*) AS n, max(us) - min(us) AS dur
+                FROM sess GROUP BY user_id, sid)
+              SELECT user_id, n AS "nEvents", dur AS "durationUs",
+                sid <> max(sid) OVER (PARTITION BY user_id) AS closed
+              FROM grouped
+              ORDER BY user_id, "durationUs", "nEvents", closed""")),
 
     // LSH-bucketed ANN (approximate recall → rows-only check).
     QEntry("q39_ann_bucketed",
