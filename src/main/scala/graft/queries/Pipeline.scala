@@ -253,6 +253,32 @@ object Pipeline {
       },
       None),
 
+    // The shingling stage of the MinHash pipeline, oracle-pinned: 3-gram
+    // word shingles per doc (the signature hash itself is xxhash64 —
+    // Spark-specific, rows-only via q37 — but shingle generation must
+    // agree cross-engine or every downstream hash diverges).
+    QEntry("q50_shingles",
+      (s, d) => {
+        val toks = split(lower(col("text")), "\\s+")
+        val n = size(toks)
+        // sequence(0, n-3) DESCENDS when n < 3 — guard short docs
+        val shingles = when(n >= 3, transform(sequence(lit(0), n - 3),
+            i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), n.as("n_tokens"),
+            size(array_distinct(shingles)).as("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+               len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+               len(list_distinct(list_transform(
+                 range(1, len(string_split_regex(lower(text), '\s+')) - 1),
+                 i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' '))))
+                 AS n_shingles
+              FROM documents
+              ORDER BY doc_id""")),
+
     // IVF ANN: coarse-quantizer cluster lists, nProbe-limited search —
     // rows-only check (approximate by construction, like q39).
     QEntry("q47_ann_ivf",
