@@ -279,6 +279,52 @@ object Pipeline {
               FROM documents
               ORDER BY doc_id""")),
 
+    // MinHash with a PORTABLE hash (md5-prefix → uint32, affine
+    // permutations mod a >2^32 prime): slower than the fused xxhash64
+    // expression the production path uses (q37), but both engines can
+    // compute it — so the complete MinHash math (shingle → hash →
+    // permute → min) is hash-compared value-by-value against DuckDB.
+    QEntry("q51_minhash_md5", {
+      val P = 4294967311L // smallest prime > 2^32
+      val perms = Seq((1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L))
+      (s, d) => {
+        val toks = split(lower(col("text")), "\\s+")
+        val n = size(toks)
+        val shingles = when(n >= 3, transform(sequence(lit(0), n - 3),
+            i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val hs = transform(shingles,
+          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
+        val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
+          array_min(transform(hs, h => (h * a + b) % P)).as(s"sig$j")
+        }
+        Tables.documents(s, d)
+          .select((col("doc_id") +: sigs): _*)
+          .orderBy(col("doc_id"))
+      }
+    },
+      Some {
+        val P = 4294967311L
+        val perms = Seq((1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L))
+        val sigCols = perms.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(hs, x -> (x*$a+$b)%$P)) AS sig$j"
+        }.mkString(",\n                ")
+        s"""WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+              FROM t),
+            h AS (
+              SELECT doc_id, list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM sh)
+            SELECT doc_id,
+                $sigCols
+            FROM h ORDER BY doc_id"""
+      }),
+
     // IVF ANN: coarse-quantizer cluster lists, nProbe-limited search —
     // rows-only check (approximate by construction, like q39).
     QEntry("q47_ann_ivf",
