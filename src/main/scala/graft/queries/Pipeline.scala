@@ -351,7 +351,7 @@ object Pipeline {
         buckets = 16)
         .orderBy(col("l_suppkey")),
       Some("""SELECT l_suppkey,
-               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS cnt
               FROM lineitem
               GROUP BY l_suppkey

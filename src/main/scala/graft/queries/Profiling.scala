@@ -136,7 +136,7 @@ object Profiling {
       Some {
         val rows = detectedSpec.map { case (c, t, pred) =>
           s"""SELECT '$c' AS col_name, '$t' AS semtype,
-               sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS hits,
+               CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                count(*) AS sampled
               FROM customer WHERE c_custkey < 100"""
         }

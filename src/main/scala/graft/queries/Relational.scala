@@ -61,9 +61,9 @@ object Relational {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-               sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                count(*) AS cnt
               FROM lineitem
               GROUP BY l_returnflag, l_linestatus
@@ -78,7 +78,7 @@ object Relational {
         .filter(col("n_items") >= 10 && col("revenue_cents") > 1000000L)
         .orderBy(col("l_suppkey")),
       Some("""SELECT l_suppkey,
-               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
               FROM lineitem
               GROUP BY l_suppkey
@@ -125,9 +125,9 @@ object Relational {
           .orderBy(col("user_id"), col("event_id"))
       },
       Some("""SELECT user_id, event_id,
-               sum(CAST(round(value*100) AS BIGINT)) OVER (
+               CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
               FROM events
               ORDER BY user_id, event_id""")),
 
@@ -231,7 +231,7 @@ object Relational {
         .orderBy(col("hour_bucket"), col("event_type")),
       Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
                count(*) AS n,
-               sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
               FROM events
               GROUP BY 1, 2
               ORDER BY hour_bucket, event_type""")),
@@ -245,7 +245,7 @@ object Relational {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key")),
       Some("""SELECT count(*) AS n,
-               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
               FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)""")),
 

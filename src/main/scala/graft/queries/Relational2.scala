@@ -57,7 +57,7 @@ object Relational2 {
           max(col("value")).as("max_v"))
         .orderBy(col("col_name")),
       Some("""SELECT col_name, count(value) AS n,
-               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                count(DISTINCT value) AS n_distinct,
                min(value) AS min_v, max(value) AS max_v
               FROM (
@@ -85,11 +85,11 @@ object Relational2 {
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus,
-               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS urgent_cents,
-               sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS high_cents,
-               sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS medium_cents,
-               sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS notspec_cents,
-               sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS low_cents
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS urgent_cents,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS high_cents,
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS medium_cents,
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS notspec_cents,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS low_cents
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // Rollup with grouping labels.
@@ -104,7 +104,7 @@ object Relational2 {
         .orderBy(col("rf"), col("ls")),
       Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
                coalesce(l_linestatus, '(all)') AS ls,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                count(*) AS cnt
               FROM lineitem
               GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -156,7 +156,7 @@ object Relational2 {
                  ORDER BY n_name""")
       },
       Some("""SELECT n_name,
-               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_orders
               FROM orders
               JOIN customer ON o_custkey = c_custkey
@@ -182,7 +182,7 @@ object Relational2 {
                CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
                CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
                count(*) AS n,
-               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_cents
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
               FROM lineitem
               GROUP BY CUBE (l_returnflag, l_linestatus)
               ORDER BY rflag, lstatus""")),

@@ -61,6 +61,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
             n_fail += 1
             continue
+        # Dtype parity: the driver's hash is type-sensitive (DuckDB HUGEINT
+        # from an uncast integer sum() lands as float64 vs Spark's int64).
+        gt = [str(got.reindex(sorted(got.columns), axis=1).dtypes[c]) for c in gcols]
+        et = [str(exp.reindex(sorted(exp.columns), axis=1).dtypes[c]) for c in ecols]
+        if gt != et:
+            bad = [(c, a, b) for c, a, b in zip(gcols, gt, et) if a != b]
+            print(f"FAIL {name}: dtype mismatch {bad}")
+            n_fail += 1
+            continue
         if grows == erows:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
