@@ -312,9 +312,13 @@ case class SemVerdict(child: Expression, kernel: Int) extends UnaryExpression {
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
+    // Fully-qualified InternalRow: generated classes don't all import the
+    // catalyst package, and an unresolvable type makes janino reject the
+    // whole stage (silent interpreted fallback).
     ev.copy(code = c.code + code"""
-      InternalRow ${ev.value} = graft.expressions.SemKernels.eval(
-        $kernel, ${c.isNull} ? null : ${c.value});
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.expressions.SemKernels.eval(
+          $kernel, ${c.isNull} ? null : ${c.value});
       boolean ${ev.isNull} = false;
     """)
   }

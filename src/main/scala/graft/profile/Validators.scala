@@ -25,6 +25,56 @@ import org.apache.spark.sql.functions._
 object Validators {
 
   import Codes._
+  import org.apache.spark.sql.graftbridge.Bridge
+  import org.apache.spark.sql.catalyst.expressions.With
+
+  /** Evaluate each shared sub-expression exactly once (Catalyst
+    * `With`/`CommonExpressionDef`; the `RewriteWithExpression` rule hoists
+    * the defs into a projection below). Without this the CASE trees below
+    * duplicate `regexp_replace(regexp_replace(trim(x)))` per branch —
+    * Spark's automatic subexpression elimination skips conditional
+    * branches, so the phone/coords verdicts generated >64 KB of bytecode
+    * for one `processNext()` and janino refused to compile the stage
+    * (round-2 "ERROR CodeGenerator" fallback). Defs are evaluated
+    * unconditionally, so ONLY never-throwing expressions belong here
+    * (string ops, regex matches) — never a bare ANSI cast.
+    *
+    * Each def carries its statically-known type via [[graft.expressions.Pinned]]
+    * because `With` interrogates def dataTypes during analyzer passes,
+    * before the Column DSL's `UnresolvedFunction`s resolve.
+    */
+  private def once(shared: (Column, org.apache.spark.sql.types.DataType)*)(
+      body: Seq[Column] => Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionDef, CommonExpressionRef}
+    // Build defs/refs by hand: With.apply gives unresolved defs NullType
+    // refs, which type coercion then folds into literal nulls. With the
+    // pinned type on both the def and its refs, analysis sees consistent
+    // types from the start.
+    val defs = shared.map { case (col, dt) =>
+      CommonExpressionDef(graft.expressions.Pinned(Bridge.expression(col), dt))
+    }
+    val refs = defs.map(d => new CommonExpressionRef(d.id, d.dataType, true))
+    Bridge.column(With(Bridge.expression(body(refs.map(Bridge.column))), defs))
+  }
+
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, StringType, StructField, StructType}
+
+  private val Str = StringType
+  private val Bool = BooleanType
+  private val VerdictT = StructType(Seq(
+    StructField("code", org.apache.spark.sql.types.IntegerType),
+    StructField("norm", StringType)))
+  private val CoordsT = StructType(Seq(
+    StructField("code", org.apache.spark.sql.types.IntegerType),
+    StructField("norm", StringType),
+    StructField("lat", VerdictT),
+    StructField("long", VerdictT)))
+
+  /** Callers extract `.code` and `.norm` separately, which would clone the
+    * whole CASE tree per field; publishing the struct as its own With-def
+    * computes it once and hands consumers cheap field reads. */
+  private def publish(v: Column, t: StructType = VerdictT): Column =
+    once(v -> t) { case Seq(ref) => ref }
 
   private def verdict(code: Column, norm: Column): Column =
     struct(code.cast("int").as("code"), norm.as("norm"))
@@ -78,44 +128,51 @@ object Validators {
     phoneVerdictImpl(c, areaCodes = Some(Dicts.NycAreaCodes))
 
   private def phoneVerdictImpl(c: Column, areaCodes: Option[Seq[String]]): Column = {
-    val s = trim(c.cast("string"))
-    val cleaned = regexp_replace(s, "[^0-9+]", "")       // keep digits and +
-    val digits = regexp_replace(cleaned, "\\+", "")
-    val hasPlus = cleaned.startsWith("+")
-    val nd = length(digits)
-    val hasFormatting = s =!= cleaned                    // any punctuation/space
-    val nanp10 = digits.rlike("^[2-9][0-9]{2}[2-9][0-9]{6}$")
-    val nanp11 = digits.rlike("^1[2-9][0-9]{2}[2-9][0-9]{6}$")
-    val e164Intl = digits.rlike("^[2-9][0-9]{7,14}$")    // non-NANP country
-    val area = when(nanp10, substring(digits, 1, 3))
-      .when(nanp11, substring(digits, 2, 3))
-    val areaKnown = areaCodes match {
-      case Some(codes) => area.isin(codes.map(x => x: Any): _*)
-      case None        => area.isNotNull
-    }
-    val validNanp = (nanp10 || nanp11) && areaKnown
-    // bare NANP-shaped-but-invalid digits -> 5 (plausible); an explicit
-    // `+`-prefixed claim that fails validation -> 3 (invalid)
-    val plausibleNanp =
-      !hasPlus && (nd === 10 || (nd === 11 && digits.startsWith("1"))) && !validNanp
-    val valid = when(hasPlus,
-        when(digits.startsWith("1"), nanp11 && areaKnown).otherwise(e164Intl))
-      .otherwise(validNanp)
-    val norm = when(digits.startsWith("1") && nanp11, concat(lit("+"), digits))
-      .when(nanp10, concat(lit("+1"), digits))
-      .when(hasPlus, concat(lit("+"), digits))
-      .otherwise(digits)
-    when(phoneNullLike(c), verdict(NullLike, lit("")))
-      .when(s.rlike("^[A-Za-z]"), verdict(Plausible, s))
-      .when(nd < 5 || nd > 15, verdict(Plausible, digits))
-      .when(valid && !hasFormatting, verdict(Valid, norm))
-      .when(valid && hasFormatting, verdict(ValidBadFormat, norm))
-      // NANP-shaped with an unknown area code (v1 dict variant): plausible
-      // but not a real number — reference v1's `phonenumbers` "invalid
-      // number" outcome (`phone-number-v1.py:88-99`).
-      .when((nanp10 || nanp11) && !areaKnown, verdict(Plausible, digits))
-      .when(plausibleNanp, verdict(Plausible, digits))
-      .otherwise(verdict(Invalid, digits))
+    val str = c.cast("string")
+    once(trim(str) -> Str, regexp_replace(str, "[^0-9]", "") -> Str) { case Seq(s, digitsAll) =>
+    once(regexp_replace(s, "[^0-9+]", "") -> Str) { case Seq(cleaned) =>  // digits and +
+    once(regexp_replace(cleaned, "\\+", "") -> Str) { case Seq(digits) =>
+    once(digits.rlike("^[2-9][0-9]{2}[2-9][0-9]{6}$") -> Bool,
+         digits.rlike("^1[2-9][0-9]{2}[2-9][0-9]{6}$") -> Bool) { case Seq(nanp10, nanp11) =>
+      val area = when(nanp10, substring(digits, 1, 3))
+        .when(nanp11, substring(digits, 2, 3))
+      val areaKnownExpr = areaCodes match {
+        case Some(codes) => area.isin(codes.map(x => x: Any): _*)
+        case None        => area.isNotNull
+      }
+      val normExpr = when(digits.startsWith("1") && nanp11, concat(lit("+"), digits))
+        .when(nanp10, concat(lit("+1"), digits))
+        .when(cleaned.startsWith("+"), concat(lit("+"), digits))
+        .otherwise(digits)
+      once(areaKnownExpr -> Bool, normExpr -> Str) { case Seq(areaKnown, norm) =>
+        val nullLike = c.isNull || s === "" ||
+          lower(s).isin("n/a", "na", "none", "null", "unspecified") ||
+          (length(digitsAll) >= lit(5) && digitsAll.rlike("^([0-9])\\1*$"))
+        val hasPlus = cleaned.startsWith("+")
+        val nd = length(digits)
+        val hasFormatting = s =!= cleaned                // any punctuation/space
+        val e164Intl = digits.rlike("^[2-9][0-9]{7,14}$") // non-NANP country
+        val validNanp = (nanp10 || nanp11) && areaKnown
+        // bare NANP-shaped-but-invalid digits -> 5 (plausible); an explicit
+        // `+`-prefixed claim that fails validation -> 3 (invalid)
+        val plausibleNanp =
+          !hasPlus && (nd === 10 || (nd === 11 && digits.startsWith("1"))) && !validNanp
+        val valid = when(hasPlus,
+            when(digits.startsWith("1"), nanp11 && areaKnown).otherwise(e164Intl))
+          .otherwise(validNanp)
+        publish(when(nullLike, verdict(NullLike, lit("")))
+          .when(s.rlike("^[A-Za-z]"), verdict(Plausible, s))
+          .when(nd < 5 || nd > 15, verdict(Plausible, digits))
+          .when(valid && !hasFormatting, verdict(Valid, norm))
+          .when(valid && hasFormatting, verdict(ValidBadFormat, norm))
+          // NANP-shaped with an unknown area code (v1 dict variant): plausible
+          // but not a real number — reference v1's `phonenumbers` "invalid
+          // number" outcome (`phone-number-v1.py:88-99`).
+          .when((nanp10 || nanp11) && !areaKnown, verdict(Plausible, digits))
+          .when(plausibleNanp, verdict(Plausible, digits))
+          .otherwise(verdict(Invalid, digits)))
+      }
+    } } } }
   }
 
   // ---------------------------------------------------------------------
@@ -132,19 +189,20 @@ object Validators {
     * upper-case acronym. */
   def stateVerdict(c: Column): Column = {
     val s = c.cast("string")
-    val t = trim(s)
-    val titled = initcap(lower(t))
-    val cleanedUp = upper(translate(t, ". ", ""))        // strip dots+spaces
-    val cleanedLo = lower(translate(t, ". ", ""))
+    once(trim(s) -> Str) { case Seq(t) =>
+    once(initcap(lower(t)) -> Str, translate(t, ". ", "") -> Str) { case Seq(titled, cleanedBase) =>
+    val cleanedUp = upper(cleanedBase)                   // strip dots+spaces
+    val cleanedLo = lower(cleanedBase)
     val inNames = titled.isin(anySeq(Dicts.StateNames): _*)
     val isAcronym = cleanedUp.isin(anySeq(Dicts.StateAcronyms): _*)
     val isAbbrev = cleanedLo.isin(anySeq(Dicts.StateAbbrevs): _*)
-    when(isNullLike(c), verdict(NullLike, lit("")))
+    publish(when(isNullLike(c), verdict(NullLike, lit("")))
       .when(s.isin(anySeq(Dicts.StateNames): _*), verdict(Valid, s))
       .when(inNames, verdict(ValidBadFormat, titled))    // spacing / caps
       .when(isAcronym, verdict(ValidBadFormat, cleanedUp))
       .when(isAbbrev, verdict(ValidBadFormat, cleanedLo))
-      .otherwise(verdict(Invalid, t))
+      .otherwise(verdict(Invalid, t)))
+    } }
   }
 
   // ---------------------------------------------------------------------
@@ -154,15 +212,17 @@ object Validators {
 
   def boroVerdict(c: Column): Column = {
     val s = c.cast("string")
-    val t = trim(s)
-    val titled = initcap(lower(t))
-    val inNames = titled.isin(anySeq(Dicts.BoroNames): _*)
-    val isAbbrev = t.isin(anySeq(Dicts.BoroAbbrevs): _*)
-    when(isNullLike(c), verdict(NullLike, lit("")))
-      .when(s.isin(anySeq(Dicts.BoroNames): _*), verdict(Valid, s))
-      .when(inNames, verdict(ValidBadFormat, titled))
-      .when(isAbbrev, verdict(ValidBadFormat, titled))   // e.g. `Bx`
-      .otherwise(verdict(Invalid, t))
+    once(trim(s) -> Str) { case Seq(t) =>
+      once(initcap(lower(t)) -> Str) { case Seq(titled) =>
+        val inNames = titled.isin(anySeq(Dicts.BoroNames): _*)
+        val isAbbrev = t.isin(anySeq(Dicts.BoroAbbrevs): _*)
+        publish(when(isNullLike(c), verdict(NullLike, lit("")))
+          .when(s.isin(anySeq(Dicts.BoroNames): _*), verdict(Valid, s))
+          .when(inNames, verdict(ValidBadFormat, titled))
+          .when(isAbbrev, verdict(ValidBadFormat, titled))   // e.g. `Bx`
+          .otherwise(verdict(Invalid, t)))
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -174,21 +234,22 @@ object Validators {
     * `outOfRangeCode` preserves the reference's deliberate difference:
     * 5 for standalone columns (`latlong-validate.py:51-55`), 3 inside a
     * coordinate pair (`coords-validate.py:66` comment). */
-  def latLongVerdict(c: Column, maxAbs: Double, outOfRangeCode: Int = Plausible): Column = {
-    val t = trim(c.cast("string"))
-    val stripped = trim(regexp_replace(t, "[NSEWnsew°]", ""))
-    val isNum = t.rlike(NumRe)
-    val strippedNum = stripped.rlike(NumRe)
-    // casts only evaluate on regex-validated rows (CaseWhen laziness) —
-    // safe under ANSI mode.
-    val inRange = abs(stripped.cast("double")) <= lit(maxAbs)
-    when(isNullLike(c), verdict(NullLike, lit("")))
-      .when(isNum && inRange, verdict(Valid, t))
-      .when(isNum, verdict(outOfRangeCode, t))
-      .when(strippedNum && inRange, verdict(ValidBadFormat, stripped))
-      .when(strippedNum, verdict(Invalid, stripped))
-      .otherwise(verdict(Invalid, t))
-  }
+  def latLongVerdict(c: Column, maxAbs: Double, outOfRangeCode: Int = Plausible): Column =
+    once(trim(c.cast("string")) -> Str) { case Seq(t) =>
+      once(trim(regexp_replace(t, "[NSEWnsew°]", "")) -> Str) { case Seq(stripped) =>
+        val isNum = t.rlike(NumRe)
+        val strippedNum = stripped.rlike(NumRe)
+        // casts only evaluate on regex-validated rows (CaseWhen laziness) —
+        // safe under ANSI mode.
+        val inRange = abs(stripped.cast("double")) <= lit(maxAbs)
+        publish(when(isNullLike(c), verdict(NullLike, lit("")))
+          .when(isNum && inRange, verdict(Valid, t))
+          .when(isNum, verdict(outOfRangeCode, t))
+          .when(strippedNum && inRange, verdict(ValidBadFormat, stripped))
+          .when(strippedNum, verdict(Invalid, stripped))
+          .otherwise(verdict(Invalid, t)))
+      }
+    }
 
   def latVerdict(c: Column): Column = latLongVerdict(c, 90.0)
   def longVerdict(c: Column): Column = latLongVerdict(c, 180.0)
@@ -198,26 +259,32 @@ object Validators {
     * (lat, long) pair and validates each half (out-of-range → 3);
     * 4 null-like; a 4–5 digit-fragment blob → 2; else 3.
     * Result: `struct(code, norm, lat struct, long struct)`. */
-  def coordsVerdict(c: Column): Column = {
-    val t = trim(regexp_replace(c.cast("string"), "[\\[\\](){}]", ""))
-    val parts = split(t, "\\s*[,;]\\s*|\\s+")
-    val two = size(parts) === 2
-    val latV = latLongVerdict(get(parts, lit(0)), 90.0, Invalid)
-    val lonV = latLongVerdict(get(parts, lit(1)), 180.0, Invalid)
-    val halvesOk = latV.getField("code").isin(Valid, ValidBadFormat) &&
-      lonV.getField("code").isin(Valid, ValidBadFormat)
-    val nFrags = size(split(t, "[^0-9.+-]+"))
-    val empty = verdict(0, lit("")) // placeholder halves for non-pair rows
-    when(isNullLike(c), struct(lit(NullLike).as("code"), lit("").as("norm"), empty.as("lat"), empty.as("long")))
-      .when(two && halvesOk,
-        struct(lit(Valid).as("code"), t.as("norm"), latV.as("lat"), lonV.as("long")))
-      .when(two,
-        struct(lit(Invalid).as("code"), t.as("norm"), latV.as("lat"), lonV.as("long")))
-      .when(nFrags.between(4, 5),
-        struct(lit(ValidBadFormat).as("code"), t.as("norm"), empty.as("lat"), empty.as("long")))
-      .otherwise(
-        struct(lit(Invalid).as("code"), t.as("norm"), empty.as("lat"), empty.as("long")))
-  }
+  def coordsVerdict(c: Column): Column =
+    once(trim(regexp_replace(c.cast("string"), "[\\[\\](){}]", "")) -> Str) { case Seq(t) =>
+      once(split(t, "\\s*[,;]\\s*|\\s+") -> ArrayType(StringType)) { case Seq(parts) =>
+        // The half-verdicts are With-defs: evaluated once per row even for
+        // non-pair rows (safe — latLongVerdict never throws; its cast is
+        // regex-guarded), referenced from three branches below.
+        once(latLongVerdict(get(parts, lit(0)), 90.0, Invalid) -> VerdictT,
+             latLongVerdict(get(parts, lit(1)), 180.0, Invalid) -> VerdictT) { case Seq(latV, lonV) =>
+          val two = size(parts) === 2
+          val halvesOk = latV.getField("code").isin(Valid, ValidBadFormat) &&
+            lonV.getField("code").isin(Valid, ValidBadFormat)
+          val nFrags = size(split(t, "[^0-9.+-]+"))
+          val empty = verdict(0, lit("")) // placeholder halves for non-pair rows
+          publish(when(isNullLike(c), struct(lit(NullLike).as("code"), lit("").as("norm"), empty.as("lat"), empty.as("long")))
+            .when(two && halvesOk,
+              struct(lit(Valid).as("code"), t.as("norm"), latV.as("lat"), lonV.as("long")))
+            .when(two,
+              struct(lit(Invalid).as("code"), t.as("norm"), latV.as("lat"), lonV.as("long")))
+            .when(nFrags.between(4, 5),
+              struct(lit(ValidBadFormat).as("code"), t.as("norm"), empty.as("lat"), empty.as("long")))
+            .otherwise(
+              struct(lit(Invalid).as("code"), t.as("norm"), empty.as("lat"), empty.as("long"))),
+            CoordsT)
+        }
+      }
+    }
 
   // ---------------------------------------------------------------------
   // Zip (reference S18/S19: `quick-zip.py:36-49`, `zip-validate.py:34-67`)
@@ -227,36 +294,39 @@ object Validators {
     * fast low-accuracy tier, SURVEY.md §4):
     * 4 null-like; 1 exactly 5 digits or `#####-####`; 2 nine digits
     * missing the hyphen (normalized by inserting it); 3 otherwise. */
-  def zipQuickVerdict(c: Column): Column = {
-    val t = trim(c.cast("string"))
-    val digits = regexp_replace(t, "[^0-9]", "")
-    val hyphen9 = concat(substring(digits, 1, 5), lit("-"), substring(digits, 6, 4))
-    when(isNullLike(c), verdict(NullLike, lit("")))
-      .when(t.rlike("^[0-9]{5}$"), verdict(Valid, t))
-      .when(t.rlike("^[0-9]{5}-[0-9]{4}$"), verdict(Valid, t))
-      .when(t.rlike("^[0-9]{9}$"), verdict(ValidBadFormat, hyphen9))
-      .otherwise(verdict(Invalid, t))
-  }
+  def zipQuickVerdict(c: Column): Column =
+    once(trim(c.cast("string")) -> Str) { case Seq(t) =>
+      once(regexp_replace(t, "[^0-9]", "") -> Str) { case Seq(digits) =>
+        val hyphen9 = concat(substring(digits, 1, 5), lit("-"), substring(digits, 6, 4))
+        publish(when(isNullLike(c), verdict(NullLike, lit("")))
+          .when(t.rlike("^[0-9]{5}$"), verdict(Valid, t))
+          .when(t.rlike("^[0-9]{5}-[0-9]{4}$"), verdict(Valid, t))
+          .when(t.rlike("^[0-9]{9}$"), verdict(ValidBadFormat, hyphen9))
+          .otherwise(verdict(Invalid, t)))
+      }
+    }
 
   /** Dictionary-validated zip (reference `zip-validate.py` — the accurate
     * tier whose per-cell linear scan over 42,632 entries produced the
     * 4–11 rows/sec baseline, BASELINE.md): same format cascade, but
     * format-valid zips whose 5-digit prefix is not a registered zip → 5.
     * Membership compiles to a broadcast literal set probe — O(1)/row. */
-  def zipDictVerdict(c: Column, zips: Seq[String] = Dicts.NycZips): Column = {
-    val t = trim(c.cast("string"))
-    val digits = regexp_replace(t, "[^0-9]", "")
-    val five = substring(digits, 1, 5)
-    val known = five.isin(anySeq(zips): _*)
-    val hyphen9 = concat(substring(digits, 1, 5), lit("-"), substring(digits, 6, 4))
-    when(isNullLike(c), verdict(NullLike, lit("")))
-      .when(t.rlike("^[0-9]{5}$") && known, verdict(Valid, t))
-      .when(t.rlike("^[0-9]{5}-[0-9]{4}$") && known, verdict(Valid, t))
-      .when(t.rlike("^[0-9]{9}$") && known, verdict(ValidBadFormat, hyphen9))
-      .when(t.rlike("^[0-9]{5}$") || t.rlike("^[0-9]{5}-[0-9]{4}$") || t.rlike("^[0-9]{9}$"),
-        verdict(Plausible, five))
-      .otherwise(verdict(Invalid, t))
-  }
+  def zipDictVerdict(c: Column, zips: Seq[String] = Dicts.NycZips): Column =
+    once(trim(c.cast("string")) -> Str) { case Seq(t) =>
+      once(regexp_replace(t, "[^0-9]", "") -> Str) { case Seq(digits) =>
+        once(substring(digits, 1, 5).isin(anySeq(zips): _*) -> Bool) { case Seq(known) =>
+          val five = substring(digits, 1, 5)
+          val hyphen9 = concat(substring(digits, 1, 5), lit("-"), substring(digits, 6, 4))
+          publish(when(isNullLike(c), verdict(NullLike, lit("")))
+            .when(t.rlike("^[0-9]{5}$") && known, verdict(Valid, t))
+            .when(t.rlike("^[0-9]{5}-[0-9]{4}$") && known, verdict(Valid, t))
+            .when(t.rlike("^[0-9]{9}$") && known, verdict(ValidBadFormat, hyphen9))
+            .when(t.rlike("^[0-9]{5}$") || t.rlike("^[0-9]{5}-[0-9]{4}$") || t.rlike("^[0-9]{9}$"),
+              verdict(Plausible, five))
+            .otherwise(verdict(Invalid, t)))
+        }
+      }
+    }
 
   /** Detection indicator (reference `checkValid`,
     * `phone-number-v0.py:86-91`): codes 1 and 2 count as hits. */

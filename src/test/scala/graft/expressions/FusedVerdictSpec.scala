@@ -45,30 +45,26 @@ class FusedVerdictSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType, nullable = true)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
 
+    // Collect (tc,tn,fc,fn) and compare driver-side. A DataFrame filter on
+    // these columns would be pushed below the projection and re-inline the
+    // whole when-tree into the predicate (alias substitution), which blows
+    // the 64 KB codegen method limit — a plan shape no production query has.
     val treeOf: Map[String, Column => Column] = Validators.all
-    for ((semType, _) <- SemVerdict.kernels if semType != "coords") {
-      val tree = treeOf(semType)(col("raw"))
+    for ((semType, _) <- SemVerdict.kernels) {
+      // coords: compare top-level (code, norm) — the tree's struct carries
+      // extra per-half fields the fused kernel doesn't reproduce, but code
+      // and norm must agree cell-for-cell.
+      val tree =
+        if (semType == "coords") Validators.coordsVerdict(col("raw"))
+        else treeOf(semType)(col("raw"))
       val fused = SemVerdict.verdict(col("raw"), semType)
-      val bad = df.select(col("raw"),
+      val rows = df.select(col("raw"),
           tree.getField("code").as("tc"), tree.getField("norm").as("tn"),
           fused.getField("code").as("fc"), fused.getField("norm").as("fn"))
-        .filter(col("tc") =!= col("fc") ||
-          !(col("tn") <=> col("fn")))
         .collect()
+      val bad = rows.filter(r => r.get(1) != r.get(3) || r.get(2) != r.get(4))
       assert(bad.isEmpty, s"$semType diverges: " +
         bad.take(5).map(r => s"'${r.get(0)}' tree=(${r.get(1)},${r.get(2)}) fused=(${r.get(3)},${r.get(4)})").mkString("; "))
     }
-    // coords: compare top-level (code, norm) — the tree's struct carries
-    // extra per-half fields the fused kernel doesn't reproduce, but code
-    // and norm must agree cell-for-cell.
-    val treeC = Validators.coordsVerdict(col("raw"))
-    val fusedC = SemVerdict.verdict(col("raw"), "coords")
-    val badC = df.select(col("raw"),
-        treeC.getField("code").as("tc"), treeC.getField("norm").as("tn"),
-        fusedC.getField("code").as("fc"), fusedC.getField("norm").as("fn"))
-      .filter(col("tc") =!= col("fc") || !(col("tn") <=> col("fn")))
-      .collect()
-    assert(badC.isEmpty, s"coords diverges: " +
-      badC.take(5).map(r => s"'${r.get(0)}' tree=(${r.get(1)},${r.get(2)}) fused=(${r.get(3)},${r.get(4)})").mkString("; "))
   }
 }

@@ -61,10 +61,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
             n_fail += 1
             continue
-        # Dtype parity: the driver's hash is type-sensitive (DuckDB HUGEINT
-        # from an uncast integer sum() lands as float64 vs Spark's int64).
-        gt = [str(got.reindex(sorted(got.columns), axis=1).dtypes[c]) for c in gcols]
-        et = [str(exp.reindex(sorted(exp.columns), axis=1).dtypes[c]) for c in ecols]
+        # Dtype parity: the driver's hash is type-sensitive only across
+        # int-vs-float (DuckDB HUGEINT from an uncast integer sum() lands
+        # as float64 vs Spark's int64). Normalize dtype FAMILIES so equal
+        # data isn't false-FAILed on physical width/unit differences
+        # (int32 vs int64, datetime64[ns] vs [us], bool vs object-bool).
+        def family(dtype_str):
+            s = dtype_str.lower()
+            if s.startswith(("int", "uint")):
+                return "int"
+            if s.startswith("float"):
+                return "float"
+            if s.startswith("datetime64"):
+                return "datetime"
+            if s in ("bool", "boolean"):
+                return "bool"
+            return s
+        gdt = got.reindex(sorted(got.columns), axis=1).dtypes
+        edt = exp.reindex(sorted(exp.columns), axis=1).dtypes
+        gt = [family(str(t)) for t in gdt]
+        et = [family(str(t)) for t in edt]
         if gt != et:
             bad = [(c, a, b) for c, a, b in zip(gcols, gt, et) if a != b]
             print(f"FAIL {name}: dtype mismatch {bad}")
