@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering.
+  *
+  * `row_number() OVER (ORDER BY k)` with no partition clause funnels every
+  * row through ONE task (Spark moves all data to a single partition to
+  * satisfy the global sort) — correct at any SF, catastrophic at 100 TB.
+  * The reference's row-id assignment (dar `phone-number-v0.py:109`'s
+  * implicit CSV line numbering) has the same single-stream semantics, so
+  * this operator re-expresses it as the classic two-pass partition-offset
+  * rank:
+  *
+  *  1. range-partition + sort by the key — each partition holds a
+  *     contiguous, sorted key range (the ranges themselves are ordered);
+  *  2. number rows within each partition (narrow, codegen'd:
+  *     `monotonically_increasing_id`'s low 33 bits are exactly the
+  *     per-partition sequence);
+  *  3. count rows per partition — an O(numPartitions)-row aggregate —
+  *     cumulative-sum those counts into per-partition offsets, and
+  *     broadcast them back: `global_rn = offset(pid) + local_seq + 1`.
+  *
+  * The only single-partition window runs over the per-partition COUNTS
+  * (≤ numPartitions rows), not the data. Total cost: one range shuffle of
+  * the data (reused by both passes via exchange reuse) plus a
+  * numPartitions-row aggregate — the same shape `RDD.zipWithIndex` uses,
+  * kept in DataFrame land so the surrounding plan stays whole-stage
+  * codegen'd.
+  *
+  * Determinism: ties across partition boundaries follow the range
+  * partitioner, so ranks are reproducible when `key` is a total order
+  * (unique); with duplicate keys, peers may interleave differently than a
+  * single-stream sort — same caveat as `zipWithIndex`.
+  */
+object GlobalRank {
+
+  private val SeqMask = (1L << 33) - 1 // mid = (pid << 33) | per-partition seq
+
+  def rowNumber(df: DataFrame, out: String, key: Column*): DataFrame = {
+    // __mid is materialized as its own column first: it is nondeterministic
+    // (per-partition counter), so two independent occurrences could be
+    // split across projections by the optimizer and count separately.
+    val parted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .withColumn("__seq", col("__mid").bitwiseAND(lit(SeqMask)))
+      .drop("__mid")
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn(out, (col("__seq") + col("__offset") + 1).cast("int"))
+      .drop("__pid", "__seq")
+  }
+}

@@ -98,14 +98,17 @@ object Relational {
               ORDER BY total_cents DESC, o_orderkey
               LIMIT 100""")),
 
-    // O3: row identity as window row_number (global + per-partition).
+    // O3: row identity — global rank via the two-pass partition-offset
+    // operator (no single-partition window; see GlobalRank), per-user
+    // rank via an ordinary partitioned window.
     QEntry("q05_row_number",
       (s, d) => {
         val ev = Tables.events(s, d)
-        ev.select(col("event_id"), col("user_id"),
-            row_number().over(Window.orderBy(col("event_id"))).as("rn"),
-            row_number().over(
-              Window.partitionBy(col("user_id")).orderBy(col("event_id"))).as("rn_user"))
+        val withUser = ev.select(col("event_id"), col("user_id"),
+          row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))).as("rn_user"))
+        graft.operators.GlobalRank.rowNumber(withUser, "rn", col("event_id"))
+          .select(col("event_id"), col("user_id"), col("rn"), col("rn_user"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id,

@@ -80,6 +80,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
   }
 
+  test("q05 global row-number never single-partitions the data") {
+    val plan = finalPlan(query("q05_row_number"))
+    // The data-bearing window (rn_user) must be key-partitioned, and any
+    // window WITHOUT a partition clause may only run over the per-partition
+    // counts (GlobalRank offsets: input is an aggregate, not events rows).
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in q05 plan:\n$plan")
+    val unpartitioned = windowSpecs.filter(s => s.contains("event_id"))
+      .filterNot(s => s.contains("user_id"))
+    assert(unpartitioned.isEmpty,
+      s"global window over event rows (single-partition sort):\n$plan")
+    assert(plan.contains("REPARTITION_BY_RANGE") || plan.contains("rangepartitioning"),
+      s"no range partitioning for the two-pass rank:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length
