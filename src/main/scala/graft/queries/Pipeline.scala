@@ -213,13 +213,15 @@ object Pipeline {
               FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
               ORDER BY a_id""")),
 
-    // Stateful sessionization (flatMapGroupsWithState). The batch twin is
-    // SQL-expressible — lag → gap marker → cumulative session id — so the
-    // typed-state operator gets a full DuckDB oracle: same sessions, same
+    // Sessionization. Batch runs the window formulation (lag → gap marker
+    // → cumulative session id — spill-safe per-user sort, no in-memory
+    // group materialization); the typed flatMapGroupsWithState operator
+    // serves the streaming path and is spec-pinned equivalent
+    // (EventsProfileSpec). Full DuckDB oracle: same sessions, same
     // open/closed flags (closed = not the user's last session).
     QEntry("q42_sessionize",
-      (s, d) => graft.streaming.EventsProfile.sessionize(
-        s, Tables.events(s, d), gapUs = 60L * 1000 * 1000)
+      (s, d) => graft.streaming.EventsProfile.sessionizeBatch(
+        Tables.events(s, d), gapUs = 60L * 1000 * 1000)
         .orderBy(col("user_id"), col("durationUs"), col("nEvents"), col("closed")),
       Some("""WITH e AS (
                 SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -83,6 +83,33 @@ object EventsProfile {
   // custom-state primitive the reference lacks entirely.
   // ---------------------------------------------------------------------
 
+  /** Batch sessionization as pure windows — the scale-safe formulation:
+    * lag → gap marker → running-sum session id → group. Each step is a
+    * partitioned window or aggregate, so a user's history is sorted by
+    * Spark's spillable external sort instead of being materialized in
+    * executor memory (the typed [[sessionize]] operator's
+    * `it.toSeq.sortBy` is fine for streaming micro-batches, where state
+    * arrives incrementally, but would OOM on one hot user at 100 TB).
+    * Output schema and semantics match [[sessionize]] exactly
+    * (closed = not the user's last session); equivalence is spec-pinned.
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val marked = events
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+    val sess = marked.withColumn("sid",
+      sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("nEvents"), (max(col("us")) - min(col("us"))).as("durationUs"))
+      .withColumn("closed", col("sid") =!= max(col("sid")).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), col("nEvents"), col("durationUs"), col("closed"))
+  }
+
   case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
   case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   case class SessionUpdate(user_id: Long, nEvents: Long, durationUs: Long, closed: Boolean)

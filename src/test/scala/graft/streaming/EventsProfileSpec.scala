@@ -64,4 +64,16 @@ class EventsProfileSpec extends SparkSpec {
     val multi = sessions.filter(col("nEvents") > 1).count()
     assert(multi > 0, "expected at least one multi-event session")
   }
+
+  test("batch window sessionize is equivalent to the typed-state operator") {
+    val ev = graft.queries.Tables.events(spark, sf)
+    val gap = 60L * 1000 * 1000
+    val key = Seq("user_id", "nEvents", "durationUs", "closed").map(col)
+    val typed = EventsProfile.sessionize(spark, ev, gap)
+      .select(key: _*).orderBy(key: _*).collect().toSeq
+    val batch = EventsProfile.sessionizeBatch(ev, gap)
+      .select(key: _*).orderBy(key: _*).collect().toSeq
+    assert(batch == typed,
+      s"batch/typed sessionize diverge: ${batch.diff(typed).take(3)} vs ${typed.diff(batch).take(3)}")
+  }
 }
