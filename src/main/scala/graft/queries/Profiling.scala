@@ -80,6 +80,11 @@ object Profiling {
       validateQuery(Synth.lat, Validators.latVerdict),
       Some(validateOracle(Synth.latSql, Synth.latCodeSql, Synth.latNormSql))),
 
+    // S15 longitude half (the ±180 branch + E/W suffix; q25 is lat-only).
+    QEntry("q52_long_validate",
+      validateQuery(Synth.longitude, Validators.longVerdict),
+      Some(validateOracle(Synth.longitudeSql, Synth.longitudeCodeSql, Synth.longitudeNormSql))),
+
     QEntry("q26_coords_validate",
       (s, d) => {
         val v = Validators.coordsVerdict(col("raw"))

@@ -179,6 +179,37 @@ object Synth {
        WHEN 4 THEN ''
        ELSE concat('-12.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0')) END"""
 
+  // -------- longitude (standalone column semantics: out of range -> 5;
+  // exercises the ±180 branch and the E/W suffix, `latlong-validate.py:38-62`) --
+  // m=0 '73.NNNNNN'->1  m=1 '181.5'->5 (out of range)  m=2 '73.97W'->2
+  // m=3 '-180'->1 (boundary)  m=4 'None'->4  m=5 '190.00E'->3 (stripped,
+  // still out of range)  m=6 'abc'->3
+  def longitude: Column = {
+    val m = k % 7
+    when(m === 0, concat(lit("73."), lpad((k % 1000000).cast("string"), 6, "0")))
+      .when(m === 1, lit("181.5"))
+      .when(m === 2, lit("73.97W"))
+      .when(m === 3, lit("-180"))
+      .when(m === 4, lit("None"))
+      .when(m === 5, lit("190.00E"))
+      .otherwise(lit("abc"))
+  }
+  val longitudeSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN concat('73.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0'))
+       WHEN 1 THEN '181.5' WHEN 2 THEN '73.97W' WHEN 3 THEN '-180'
+       WHEN 4 THEN 'None' WHEN 5 THEN '190.00E'
+       ELSE 'abc' END"""
+  val longitudeCodeSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 2 WHEN 3 THEN 1
+       WHEN 4 THEN 4 WHEN 5 THEN 3 ELSE 3 END"""
+  val longitudeNormSql: String =
+    """CASE c_custkey % 7
+       WHEN 0 THEN concat('73.', lpad(cast(c_custkey % 1000000 AS VARCHAR), 6, '0'))
+       WHEN 1 THEN '181.5' WHEN 2 THEN '73.97' WHEN 3 THEN '-180'
+       WHEN 4 THEN '' WHEN 5 THEN '190.00' ELSE 'abc' END"""
+
   // -------- coordinate pair --------
   // m=0 '(40.5754, -74.1078)'->1   m=1 '40.575 -74.107'->1
   // m=2 '92.09, 19.23' lat out of range -> 3   m=3 'None'->4  m=4 'foo'->3
