@@ -127,6 +127,12 @@ object Validators {
   def phoneVerdictV1(c: Column): Column =
     phoneVerdictImpl(c, areaCodes = Some(Dicts.NycAreaCodes))
 
+  /** Same, with the area-code dimension supplied by the caller — q17
+    * sources it from the `zips.json` JSON side-input (ZipDim), the
+    * reference's actual dataflow. */
+  def phoneVerdictV1(c: Column, areaCodes: Seq[String]): Column =
+    phoneVerdictImpl(c, areaCodes = Some(areaCodes))
+
   private def phoneVerdictImpl(c: Column, areaCodes: Option[Seq[String]]): Column = {
     val str = c.cast("string")
     once(trim(str) -> Str, regexp_replace(str, "[^0-9]", "") -> Str) { case Seq(s, digitsAll) =>

@@ -98,13 +98,13 @@ object Profiling {
                FROM customer ORDER BY c_custkey""")),
 
     // O16 as a true broadcast hash join against a dimension table (the
-    // reference's zips.json flow): dictionary arrives as a DataFrame and
-    // the membership test is join-presence, not a literal isin — the
+    // reference's zips.json flow): the dictionary is READ from the
+    // zips.json side-input (spark.read.json, explicit schema — ZipDim)
+    // and the membership test is join-presence, not a literal isin — the
     // shape that scales to multi-MB dimensions at 100 TB.
     QEntry("q29_zip_join_validate",
       (s, d) => {
-        import s.implicits._
-        val dim = graft.profile.Dicts.NycZips.toDF("zip_code")
+        val dim = graft.sources.ZipDim.load(s).select(col("zip_code"))
         val t = trim(col("raw"))
         val five = substring(regexp_replace(t, "[^0-9]", ""), 1, 5)
         val known = col("zip_code").isNotNull

@@ -16,7 +16,9 @@ object Relational2 {
 
   val entries: Seq[QEntry] = Seq(
 
-    // Phone v1 (S3): NANP + registered-area-code dimension.
+    // Phone v1 (S3): NANP + registered-area-code dimension, with the
+    // area codes loaded from the zips.json JSON side-input (the
+    // reference's `set(area_codes)` driver-side flow, ZipDim scaladoc).
     QEntry("q17_phone_v1_validate",
       (s, d) => {
         val m = col("c_custkey") % 4
@@ -24,7 +26,8 @@ object Relational2 {
           .when(m === 1, concat(lit("+1999"), lpad((lit(2000000) + col("c_custkey") % 7999999).cast("string"), 7, "0")))
           .when(m === 2, lit("9995551234"))
           .otherwise(lit("212-555-1234"))
-        val v = Validators.phoneVerdictV1(col("raw"))
+        val v = Validators.phoneVerdictV1(col("raw"),
+          graft.sources.ZipDim.areaCodesFromFile(s))
         Tables.customer(s, d)
           .select(col("c_custkey"), synth.as("raw"))
           .select(col("c_custkey"), col("raw"), v.getField("code").as("code"))
