@@ -126,6 +126,35 @@ object Profiling {
                 ${Synth.zipDictCodeSql} AS code
                FROM customer ORDER BY c_custkey""")),
 
+    // O1: the reference's ONLY ingest path — CSV + header + inferSchema
+    // (`phone-number-v0.py:109` in all 8 scripts) — under the oracle
+    // gate: both engines read the same checked-in 311-shaped CSV file
+    // (id, phone), Spark through CsvSource (PERMISSIVE + inference),
+    // DuckDB through read_csv; codes/norms are recomputed from id so the
+    // oracle is independent of the Spark-side validator.
+    QEntry("q54_csv_profile",
+      (s, d) => {
+        val df = graft.sources.CsvSource.read(s, "/root/repo/data/csv_311.csv")
+        val v = Validators.phoneVerdict(col("phone"))
+        df.select(col("id").cast("long").as("id"), col("phone").as("raw"),
+            v.getField("code").as("code"), v.getField("norm").as("norm"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT id, phone AS raw,
+               CASE id % 8
+                 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 4
+                 WHEN 4 THEN 5 WHEN 5 THEN 3 WHEN 6 THEN 5 ELSE 1 END AS code,
+               CASE id % 8
+                 WHEN 0 THEN phone
+                 WHEN 1 THEN concat('+1212555', lpad(cast(id % 10000 AS VARCHAR), 4, '0'))
+                 WHEN 2 THEN '' WHEN 3 THEN ''
+                 WHEN 4 THEN 'hello'
+                 WHEN 5 THEN '1018840042'
+                 WHEN 6 THEN '0123456789012345'
+                 ELSE phone END AS norm
+              FROM read_csv('/root/repo/data/csv_311.csv')
+              ORDER BY id""")),
+
     // D1/D2/D3: one-job detection over all columns × all types.
     QEntry("q27_detect_columns",
       (s, d) => {
