@@ -109,4 +109,53 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       graft.expressions.functions.simhash64(
         split(lower(col(textCol)), "\\s+")).as("simhash"))
+
+  /** SimHash near-dup pairs via banded hamming LSH — the step that turns
+    * the q38 signatures into an actual dedup operator.
+    *
+    * The 64-bit signature splits into `bands` equal slices; by
+    * pigeonhole, two signatures within hamming distance
+    * `maxHamming < bands` agree exactly on at least one slice, so
+    * grouping on (band, slice-value) finds every such pair (full recall),
+    * and `bit_count(a^b) <= maxHamming` filters band-collision false
+    * positives exactly. Same one-pass bucket shape as
+    * [[minhashNearDupPairs]]: group per bucket, emit in-group
+    * combinations — no self-join (which would recompute the signature
+    * lineage twice), degenerate buckets capped (mass exact-dups are
+    * [[exactGroups]]' job).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"full recall needs maxHamming < bands ($maxHamming >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val buckets = simhash64(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val grouped = buckets.groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val combos = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(
+          a.getField("doc_id").as("a_id"), b.getField("doc_id").as("b_id"),
+          a.getField("simhash").as("ha"), b.getField("simhash").as("hb")))))
+    grouped.select(explode(combos).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        expr("bit_count(p.ha ^ p.hb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

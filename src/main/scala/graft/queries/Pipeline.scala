@@ -181,6 +181,16 @@ object Pipeline {
         .orderBy(col("doc_id")),
       None),
 
+    // SimHash banded hamming pair join — signatures (q38) turned into a
+    // dedup operator: band-bucket candidates, exact bit_count verify.
+    // xxhash64-based like q37/q38 → rows-only; recall is spec-pinned
+    // (DedupSpec plants near-dups).
+    QEntry("q53_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        bands = 4, maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id")),
+      None),
+
     // Embedding-cosine near-dup on a defined candidate set (adjacent vec
     // ids) — quantized-exact, oracle-backed; the unbounded-candidate
     // scale path is the LSH-bucketed q39.

@@ -43,6 +43,21 @@ class DedupSpec extends SparkSpec {
       s"expected near-dup closer than unrelated: ${sigs.toSeq}")
   }
 
+  test("simhash banded pair join: recalls planted near-dups, rejects unrelated") {
+    // Exact dups have hamming 0 → must pair regardless of banding; the
+    // one-word-changed near-dup lands within maxHamming for this corpus.
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)), s"exact dup pair missing: ${pairs.toSeq}")
+    assert(pairs.collect { case (0L, 3L, h) => h }.head == 0)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: ${pairs.toSeq}")
+    // pigeonhole guarantee: every pair emitted respects the verify bound
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("jaccard verification is exact") {
     val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
     val got = Dedup.verifyJaccard(pairs, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
