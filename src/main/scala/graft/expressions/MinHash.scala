@@ -129,6 +129,35 @@ object HashSig {
     new GenericArrayData(out)
   }
 
+  /** Random-hyperplane LSH bucket id — fused twin of the HOF
+    * formulation in graft.pipeline.Similarity (nBits × aggregate/zip_with
+    * ran as interpreted lambdas per row; this is one codegen'd loop).
+    * Projection weight w(b,i) ∈ {-1,+1} from parity of the same integer
+    * mix, doubles summed in the same ascending-i order so float
+    * association matches the HOF version bit-for-bit. */
+  def lshBucket(arr: ArrayData, nBits: Int): Int = {
+    val n = arr.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val v: Double = arr.get(i, org.apache.spark.sql.types.FloatType) match {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d
+          case x => x.toString.toDouble
+        }
+        val mixed = (i * 2654435761L + b.toLong * 40503L) % 97L
+        acc += (if (mixed < 48) v else -v)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Exact int64 dot product of two equal-length long arrays. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -189,6 +218,23 @@ object functions {
   /** Exact int64 dot product. */
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Random-hyperplane LSH bucket id of a float array. */
+  def lsh_bucket(arr: Column, nBits: Int): Column =
+    Bridge.column(LshBucket(Bridge.expression(arr), nBits))
+}
+
+/** `lsh_bucket(arr, nBits)`: array<float/double> → int bucket id (fused
+  * loop over nBits sign-projections; see HashSig.lshBucket). */
+case class LshBucket(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.lshBucket(input.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.lshBucket($c, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
 }
 
 /** `quantize_vec(arr, scale)`: array<float/double> → array<long> via

@@ -50,8 +50,18 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (nBits signs of deterministic
     * pseudo-random projections). Deterministic: projection weights come
-    * from a hash of (bit, index) — no RNG state, cluster-reproducible. */
-  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column = {
+    * from a hash of (bit, index) — no RNG state, cluster-reproducible.
+    * Fused custom expression (graft.expressions.LshBucket): one codegen'd
+    * loop per row; the HOF formulation below is kept as the spec-pinned
+    * reference (SimilaritySpec differential). */
+  def lshBucket(emb: Column, dim: Int, nBits: Int = 8): Column =
+    graft.expressions.functions.lsh_bucket(emb, nBits)
+
+  /** Reference HOF formulation of [[lshBucket]] — nBits ×
+    * aggregate(zip_with(...)) interpreted lambdas; semantically identical
+    * (same mix, same summation order), used only by the differential
+    * spec. */
+  private[pipeline] def lshBucketHof(emb: Column, dim: Int, nBits: Int = 8): Column = {
     val bits = (0 until nBits).map { b =>
       // w(b,i) in {-1,+1} from parity of a cheap integer mix of (b,i)
       val proj = aggregate(

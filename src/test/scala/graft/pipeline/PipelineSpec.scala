@@ -79,6 +79,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 3)
   }
 
+  test("fused lsh_bucket agrees with the HOF reference on every corpus vector") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    for (nBits <- Seq(4, 8)) {
+      val bad = emb.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), 64, nBits).as("fused"),
+          Similarity.lshBucketHof(col("embedding"), 64, nBits).as("hof"))
+        .collect().filter(r => r.getInt(1) != r.getInt(2))
+      assert(bad.isEmpty,
+        s"nBits=$nBits diverges: ${bad.take(3).map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq}")
+    }
+  }
+
   test("bucketed ANN returns the query itself too (same bucket trivially)") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") === 7)
