@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard ceiling on rows in a driver-broadcast query set. The query side
+    * of every ANN operator here is broadcast (brute force scans the
+    * corpus once per executor against the in-memory queries; buckets and
+    * IVF probes multiply it by a small factor), so an UNBOUNDED query set
+    * grows the broadcast linearly with the caller's selection and
+    * eventually kills the driver at 100 TB. The guard counts the query
+    * set (one cheap job over the small side) and fails fast with the
+    * scale-safe alternatives instead of OOMing mid-broadcast.
+    * [[cosineTopKBucketed]] degrades gracefully: past the cap it switches
+    * to a shuffle hash join on `bucket` — both sides hash-partitioned,
+    * no broadcast, unbounded-safe. */
+  val MaxBroadcastQueries: Long = 100000L
+
+  private def guardedBroadcast(q: DataFrame, what: String, cap: Long): DataFrame = {
+    val n = q.count()
+    require(n <= cap,
+      s"$what: query set has $n rows, over the broadcast cap $cap — " +
+        "shrink the query batch, raise the cap explicitly, or use the " +
+        "shuffle-join path (cosineTopKBucketed beyond the cap)")
+    broadcast(q)
+  }
+
   /** Quantized int64 copy of an embedding column (fused custom
     * expression — a `transform` lambda here runs interpreted). */
   def quantize(emb: Column, scale: Double = 10000.0): Column =
@@ -27,16 +49,19 @@ object Similarity {
     graft.expressions.functions.dot_long(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors by quantized cosine. Output: q_id, vec_id, dot, rn. */
+    * corpus vectors by quantized cosine. Output: q_id, vec_id, dot, rn.
+    * The query set must fit under [[MaxBroadcastQueries]] — brute force
+    * over an unbounded query set is O(Q×C) however it is joined. */
   def cosineTopK(
       queries: DataFrame, // (q_id, embedding)
       corpus: DataFrame,  // (vec_id, embedding)
-      k: Int): DataFrame = {
+      k: Int,
+      maxQueries: Long = MaxBroadcastQueries): DataFrame = {
     val q = queries.select(col("q_id"), quantize(col("embedding")).as("qe"))
       .withColumn("na", dotQ(col("qe"), col("qe")))
     val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"))
       .withColumn("nb", dotQ(col("ce"), col("ce")))
-    val scored = c.join(broadcast(q), lit(true))
+    val scored = c.join(guardedBroadcast(q, "cosineTopK", maxQueries), lit(true))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     scored
@@ -79,14 +104,21 @@ object Similarity {
     * as [[cosineTopK]] (approximate: recall < 1 across bucket borders). */
   def cosineTopKBucketed(
       queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-      nBits: Int = 4): DataFrame = {
+      nBits: Int = 4,
+      maxBroadcast: Long = MaxBroadcastQueries): DataFrame = {
     val q = queries.select(col("q_id"), quantize(col("embedding")).as("qe"),
         lshBucket(col("embedding"), dim, nBits).as("bucket"))
       .withColumn("na", dotQ(col("qe"), col("qe")))
     val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"),
         lshBucket(col("embedding"), dim, nBits).as("bucket"))
       .withColumn("nb", dotQ(col("ce"), col("ce")))
-    c.join(broadcast(q), Seq("bucket"))
+    // Under the cap: broadcast (corpus untouched, no shuffle). Over it:
+    // shuffle hash join on bucket — both sides hash-partition by bucket,
+    // unbounded-query-safe at the cost of one corpus shuffle.
+    val joinedQ =
+      if (q.count() <= maxBroadcast) broadcast(q)
+      else q.hint("shuffle_hash")
+    c.join(joinedQ, Seq("bucket"))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rn", row_number().over(
@@ -111,7 +143,8 @@ object Similarity {
     * rows reach the final top-k shuffle. */
   def cosineTopKIvf(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+      nList: Int = 16, nProbe: Int = 4,
+      maxQueries: Long = MaxBroadcastQueries): DataFrame = {
     val cent = corpus.orderBy(col("vec_id")).limit(nList)
       .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cente"))
       .withColumn("nc", dotQ(col("cente"), col("cente")))
@@ -140,7 +173,9 @@ object Similarity {
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qe"), col("na"), col("cid").as("cluster"))
 
-    assigned.join(broadcast(probes), Seq("cluster"))
+    // probes = queries × nProbe rows — bounded by guarding the query set.
+    assigned.join(guardedBroadcast(probes, "cosineTopKIvf probes",
+        maxQueries * nProbe), Seq("cluster"))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rn", row_number().over(

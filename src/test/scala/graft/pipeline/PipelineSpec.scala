@@ -100,6 +100,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 7L)
   }
 
+  test("brute-force ANN refuses an over-cap query set instead of broadcasting it") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val queries = emb.select(col("vec_id").as("q_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(queries, emb, k = 3, maxQueries = 10).collect()
+    }
+    assert(e.getMessage.contains("broadcast cap"))
+  }
+
+  test("bucketed ANN over the cap degrades to a shuffle join, same results") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getInt(3))
+    val viaBroadcast = Similarity.cosineTopKBucketed(queries, emb, dim = 64, k = 3)
+      .collect().map(key).toSet
+    val viaShuffle = Similarity.cosineTopKBucketed(queries, emb, dim = 64, k = 3,
+      maxBroadcast = 0).collect().map(key).toSet
+    assert(viaShuffle == viaBroadcast,
+      s"join strategies disagree: ${viaShuffle.diff(viaBroadcast).take(3)}")
+  }
+
   test("IVF ANN: self is found, and recall vs brute force is sane") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 7)
