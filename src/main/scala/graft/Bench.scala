@@ -15,9 +15,15 @@ object Bench {
     // (map iteration order shifts when the query set grows).
     try { spark.range(1000000).selectExpr("sum(id)").count() }
     catch { case _: Throwable => () }
+    // noop-format write: materializes every output row end-to-end.
+    // `.count()` let Catalyst prune the very projections being measured
+    // (a projection-only query degenerates to a scan count) — numbers
+    // were self-consistent but flattered. Anchor re-recorded in
+    // BASELINE.md with this methodology.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

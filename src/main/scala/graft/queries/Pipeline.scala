@@ -271,15 +271,22 @@ object Pipeline {
     // agree cross-engine or every downstream hash diverges).
     QEntry("q50_shingles",
       (s, d) => {
-        val toks = split(lower(col("text")), "\\s+")
-        val n = size(toks)
+        // Each stage is its own projection: a lambda body like
+        // `get(toks, i)` re-evaluates its whole argument subtree PER
+        // ELEMENT, so tokenization must be a materialized column (an
+        // attribute read) before any transform references it.
+        val toksCol = split(lower(col("text")), "\\s+")
+        val n = size(col("toks"))
         // sequence(0, n-3) DESCENDS when n < 3 — guard short docs
         val shingles = when(n >= 3, transform(sequence(lit(0), n - 3),
-            i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+            i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+              get(col("toks"), i + 2))))
           .otherwise(array().cast("array<string>"))
         Tables.documents(s, d)
-          .select(col("doc_id"), n.as("n_tokens"),
-            size(array_distinct(shingles)).as("n_shingles"))
+          .select(col("doc_id"), toksCol.as("toks"))
+          .select(col("doc_id"), n.as("n_tokens"), shingles.as("shingles"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(array_distinct(col("shingles"))).as("n_shingles"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -300,17 +307,23 @@ object Pipeline {
       val P = 4294967311L // smallest prime > 2^32
       val perms = Seq((1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L))
       (s, d) => {
-        val toks = split(lower(col("text")), "\\s+")
-        val n = size(toks)
+        // Staged projections (see q50): without them, each of the 4 sig
+        // columns inlines the whole md5 chain and each lambda re-derives
+        // its argument subtree per element — measured 40x slower.
+        val n = size(col("toks"))
         val shingles = when(n >= 3, transform(sequence(lit(0), n - 3),
-            i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+            i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+              get(col("toks"), i + 2))))
           .otherwise(array().cast("array<string>"))
-        val hs = transform(shingles,
+        val hs = transform(col("shingles"),
           sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
         val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
-          array_min(transform(hs, h => (h * a + b) % P)).as(s"sig$j")
+          array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig$j")
         }
         Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"), shingles.as("shingles"))
+          .select(col("doc_id"), hs.as("hs"))
           .select((col("doc_id") +: sigs): _*)
           .orderBy(col("doc_id"))
       }
