@@ -31,13 +31,15 @@ object Similarity {
     * no broadcast, unbounded-safe. */
   val MaxBroadcastQueries: Long = 100000L
 
-  private def guardedBroadcast(q: DataFrame, what: String, cap: Long): DataFrame = {
-    val n = q.count()
+  /** Count the CHEAP side (the raw query input, a column-pruned scan) —
+    * counting the derived broadcast frame would re-execute its whole
+    * lineage (quantize / probe windows) a second time. */
+  private def guardQueryCount(rawQueries: DataFrame, what: String, cap: Long): Unit = {
+    val n = rawQueries.count()
     require(n <= cap,
       s"$what: query set has $n rows, over the broadcast cap $cap — " +
         "shrink the query batch, raise the cap explicitly, or use the " +
         "shuffle-join path (cosineTopKBucketed beyond the cap)")
-    broadcast(q)
   }
 
   /** Quantized int64 copy of an embedding column (fused custom
@@ -61,7 +63,8 @@ object Similarity {
       .withColumn("na", dotQ(col("qe"), col("qe")))
     val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"))
       .withColumn("nb", dotQ(col("ce"), col("ce")))
-    val scored = c.join(guardedBroadcast(q, "cosineTopK", maxQueries), lit(true))
+    guardQueryCount(queries, "cosineTopK", maxQueries)
+    val scored = c.join(broadcast(q), lit(true))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     scored
@@ -114,9 +117,10 @@ object Similarity {
       .withColumn("nb", dotQ(col("ce"), col("ce")))
     // Under the cap: broadcast (corpus untouched, no shuffle). Over it:
     // shuffle hash join on bucket — both sides hash-partition by bucket,
-    // unbounded-query-safe at the cost of one corpus shuffle.
+    // unbounded-query-safe at the cost of one corpus shuffle. The count
+    // runs on the raw input (pruned scan), not the bucketed lineage.
     val joinedQ =
-      if (q.count() <= maxBroadcast) broadcast(q)
+      if (queries.count() <= maxBroadcast) broadcast(q)
       else q.hint("shuffle_hash")
     c.join(joinedQ, Seq("bucket"))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
@@ -174,8 +178,8 @@ object Similarity {
       .select(col("q_id"), col("qe"), col("na"), col("cid").as("cluster"))
 
     // probes = queries × nProbe rows — bounded by guarding the query set.
-    assigned.join(guardedBroadcast(probes, "cosineTopKIvf probes",
-        maxQueries * nProbe), Seq("cluster"))
+    guardQueryCount(queries, "cosineTopKIvf", maxQueries)
+    assigned.join(broadcast(probes), Seq("cluster"))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rn", row_number().over(
