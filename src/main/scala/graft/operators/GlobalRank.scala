@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   *     broadcast them back: `global_rn = offset(pid) + local_seq + 1`.
   *
   * The only single-partition window runs over the per-partition COUNTS
-  * (≤ numPartitions rows), not the data. Total cost: one range shuffle of
-  * the data (reused by both passes via exchange reuse) plus a
-  * numPartitions-row aggregate — the same shape `RDD.zipWithIndex` uses,
-  * kept in DataFrame land so the surrounding plan stays whole-stage
-  * codegen'd.
+  * (≤ numPartitions rows), not the data. Cost model: the offsets branch
+  * re-derives the range shuffle (Catalyst prunes it to the key column,
+  * so the two exchanges are not identical and ReuseExchange cannot dedup
+  * them) — i.e. two column-pruned passes over the input, the same cost
+  * shape as `RDD.zipWithIndex`'s count-job + map-job, kept in DataFrame
+  * land so the surrounding plan stays whole-stage codegen'd and the
+  * offsets pass reads only the key column.
   *
   * Determinism: ties across partition boundaries follow the range
   * partitioner, so ranks are reproducible when `key` is a total order
