@@ -158,6 +158,50 @@ object HashSig {
     bucket
   }
 
+  /** Min lexical md5 hex over all k-char windows of `text` — the
+    * content-defined fingerprint (TextAnalysis.fingerprint) as ONE
+    * per-row loop. The explode formulation fans a doc out to
+    * (len-k+1) rows and shuffles them into a min() aggregate; this
+    * computes the same min in place: no explode, no shuffle, same
+    * md5-of-substring semantics (bytewise-lexical hex compare ==
+    * unsigned byte compare on the digest). Matches
+    * `min(md5(substr(text,i,k)))` exactly, including the whole-short-doc
+    * window when len < k. */
+  def minMd5Window(text: UTF8String, k: Int): UTF8String = {
+    val s = text.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = math.max(s.length - (k - 1), 1)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val end = math.min(i + k, s.length)
+      md.update(s.substring(i, end).getBytes("UTF-8"))
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new java.lang.StringBuilder(32)
+    var j = 0
+    while (j < best.length) {
+      hex.append(Character.forDigit((best(j) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(best(j) & 0xf, 16))
+      j += 1
+    }
+    UTF8String.fromString(hex.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Exact int64 dot product of two equal-length long arrays. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -222,6 +266,23 @@ object functions {
   /** Random-hyperplane LSH bucket id of a float array. */
   def lsh_bucket(arr: Column, nBits: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(arr), nBits))
+
+  /** Min lexical md5 hex over all k-char windows of a string. */
+  def min_md5_window(text: Column, k: Int): Column =
+    Bridge.column(MinMd5Window(Bridge.expression(text), k))
+}
+
+/** `min_md5_window(text, k)`: string → min md5 hex over k-char windows
+  * (fused fingerprint; see HashSig.minMd5Window). */
+case class MinMd5Window(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.minMd5Window(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.minMd5Window($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinMd5Window =
+    copy(child = newChild)
 }
 
 /** `lsh_bucket(arr, nBits)`: array<float/double> → int bucket id (fused

@@ -65,11 +65,21 @@ object TextAnalysis {
 
   /** Content-defined fingerprint: min over all 8-char shingles of the
     * md5 hex digest (winnowing-style rolling fingerprint with window =
-    * whole doc). Engine-exact (md5 + lexical min). One explode + one
-    * group-by; at 100 TB this is the standard shingle fan-out, bounded by
-    * doc length. */
+    * whole doc). Engine-exact (md5 + lexical min). One fused expression
+    * per row (graft.expressions.MinMd5Window) — zero explode, zero
+    * shuffle; the explode + group-by formulation below is kept as the
+    * spec-pinned reference. */
   def fingerprint(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int = 8): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int = 8): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.expressions.functions.min_md5_window(col(textCol), k).as("fingerprint"))
+
+  /** Reference formulation of [[fingerprint]]: explode each k-char
+    * window position, md5 per window, min() aggregate — the standard
+    * shingle fan-out (len×32-byte shuffle per doc). Differential-tested
+    * against the fused expression; not the production path. */
+  private[pipeline] def fingerprintExplode(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 8): org.apache.spark.sql.DataFrame = {
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)))).as("i"),

@@ -170,6 +170,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("fused fingerprint agrees with the explode+min reference on real docs") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val fused = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ref = TextAnalysis.fingerprintExplode(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused == ref,
+      s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
