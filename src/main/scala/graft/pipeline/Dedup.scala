@@ -110,6 +110,49 @@ object Dedup {
       graft.expressions.functions.simhash64(
         split(lower(col(textCol)), "\\s+")).as("simhash"))
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup GROUPS (pick one doc per
+    * component, drop the rest). Min-label propagation:
+    * every node starts labeled with its own id; each round, labels flow
+    * across edges and every node keeps the minimum seen; stable labels =
+    * component ids (the minimum doc_id reachable).
+    *
+    * Scale shape: per round, one shuffle join of labels×edges (O(E)) and
+    * one min-aggregate (O(V+E)); rounds = component diameter, which for
+    * near-dup clusters is small. `localCheckpoint` after each round cuts
+    * the exponentially-growing iterative lineage (on a real cluster use
+    * reliable `checkpoint` to survive executor loss). Convergence test:
+    * labels only ever decrease, so an unchanged label-sum means a fixed
+    * point (one scalar action per round on the checkpointed frame).
+    *
+    * @param pairs (a_id, b_id) undirected near-dup edges
+    * @param nodes (id) every doc, including isolated ones
+    * @return (id, component) — component = min reachable id
+    */
+  def components(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("lbl"))).head.getLong(0)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   /** SimHash near-dup pairs via banded hamming LSH — the step that turns
     * the q38 signatures into an actual dedup operator.
     *

@@ -181,6 +181,46 @@ object Pipeline {
         .orderBy(col("doc_id")),
       None),
 
+    // Near-dup pairs → dedup GROUPS: connected components by min-label
+    // propagation over the jaccard-adjacent edge graph (threshold 0.8 as
+    // exact integer math, inter*5 >= uni*4). Full DuckDB oracle via a
+    // recursive CTE computing min-reachable-id per node.
+    QEntry("q55_dedup_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val adj = docs.select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+        val edges = Dedup.verifyJaccard(adj, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+          .select(col("a_id"), col("b_id"))
+        Dedup.components(edges, docs.select(col("doc_id").as("id")))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+                GROUP BY a.doc_id, b.doc_id),
+              e AS (
+                SELECT i.a_id, i.b_id
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a_id
+                JOIN sizes sb ON sb.doc_id = i.b_id
+                WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM e
+                        UNION ALL SELECT b_id, a_id FROM e),
+              comp(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT edges.dst, comp.lbl
+                FROM comp JOIN edges ON edges.src = comp.id)
+              SELECT id, min(lbl) AS component
+              FROM comp GROUP BY id ORDER BY id""")),
+
     // SimHash banded hamming pair join — signatures (q38) turned into a
     // dedup operator: band-bucket candidates, exact bit_count verify.
     // xxhash64-based like q37/q38 → rows-only; recall is spec-pinned

@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("connected components: chains merge to min id, isolates stay solo") {
+    // graph: 1-2-3 chain, 5-6 pair, 4 isolated (label must hop the chain,
+    // proving >1 propagation round converges)
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val comp = Dedup.components(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L),
+      s"got $comp")
+  }
+
   test("jaccard verification is exact") {
     val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
     val got = Dedup.verifyJaccard(pairs, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
