@@ -133,7 +133,13 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // Only edge-touched nodes can ever change label — iterate over that
+    // subgraph (O(E) per round) and re-attach the isolated majority at
+    // the end. For dedup graphs V >> E, so this is the difference
+    // between per-round work scaling with the corpus and with the
+    // (much smaller) near-dup population.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
     var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
     var it = 0
     var done = false
@@ -150,7 +156,9 @@ object Dedup {
       labels = next
       it += 1
     }
-    labels.select(col("id"), col("lbl").as("component"))
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
   }
 
   /** SimHash near-dup pairs via banded hamming LSH — the step that turns
