@@ -155,6 +155,33 @@ object Profiling {
               FROM read_csv('/root/repo/data/csv_311.csv')
               ORDER BY id""")),
 
+    // O15 under the gate: the reference-format text sink
+    // (`(col,(row,code,norm))` lines, CsvSource.writeVerdictText),
+    // round-tripped — write the verdicts, read the text back, parse the
+    // lines; the oracle recomputes the expected tuples from the synth
+    // source directly, so a sink that writes wrong content diverges.
+    QEntry("q56_text_sink_roundtrip",
+      (s, d) => {
+        val v = Validators.phoneVerdict(col("raw"))
+        val verdicts = Tables.customer(s, d)
+          .select(col("c_custkey").as("rowId"), Synth.phone.as("raw"))
+          .select(lit("phone_col").as("column"), col("rowId"),
+            v.getField("code").as("code"), v.getField("norm").as("norm"))
+        val path = "/tmp/graft_text_sink_q56"
+        graft.sources.CsvSource.writeVerdictText(verdicts, path)
+        val re = "^\\((.*?),\\((\\d+),(\\d+),(.*)\\)\\)$"
+        s.read.text(path)
+          .select(
+            regexp_extract(col("value"), re, 1).as("column"),
+            regexp_extract(col("value"), re, 2).cast("long").as("rowId"),
+            regexp_extract(col("value"), re, 3).cast("int").as("code"),
+            regexp_extract(col("value"), re, 4).as("norm"))
+          .orderBy(col("rowId"))
+      },
+      Some(s"""SELECT 'phone_col' AS "column", c_custkey AS "rowId",
+                ${Synth.phoneCodeSql} AS code, ${Synth.phoneNormSql} AS norm
+               FROM customer ORDER BY "rowId"""")),
+
     // D1/D2/D3: one-job detection over all columns × all types.
     QEntry("q27_detect_columns",
       (s, d) => {
