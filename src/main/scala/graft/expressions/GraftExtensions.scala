@@ -63,6 +63,31 @@ object GraftExtensions {
     "dot_long" -> { args =>
       require(args.length == 2, "dot_long(a, b)")
       DotLong(args.head, args(1))
+    },
+    "lsh_bucket" -> { args =>
+      require(args.length == 2, "lsh_bucket(arr, nBits)")
+      LshBucket(args.head, intArg(args(1), "nBits"))
+    },
+    "min_md5_window" -> { args =>
+      require(args.length == 2, "min_md5_window(text, k)")
+      MinMd5Window(args.head, intArg(args(1), "k"))
+    },
+    "sem_verdict" -> { args =>
+      require(args.length == 2, "sem_verdict(raw, semType)")
+      val semType = args(1) match {
+        case e if e.foldable => e.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => throw new IllegalArgumentException(s"semType must be a string, got $other")
+        }
+        case other => throw new IllegalArgumentException(s"semType must be a literal, got $other")
+      }
+      SemVerdict(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.StringType),
+        SemVerdict.kernels.getOrElse(semType,
+          throw new IllegalArgumentException(
+            s"unknown semType '$semType' (one of ${SemVerdict.kernels.keys.mkString(", ")})")))
     })
 
   /** Runtime registration on an existing session. */

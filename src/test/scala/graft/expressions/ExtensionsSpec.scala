@@ -21,4 +21,24 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(r.getLong(0) == viaColumn)
   }
+
+  test("round-3 expressions callable from SQL: lsh_bucket, min_md5_window, sem_verdict") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT lsh_bucket(array(0.5f, -0.25f, 1.0f), 4) AS bk,
+                min_md5_window('abcdefghijklmno', 8) AS fp,
+                sem_verdict('(201) 334-7135', 'phone').code AS code,
+                sem_verdict('(201) 334-7135', 'phone').norm AS norm""")
+      .collect().head
+    val bkCol = spark.range(1)
+      .select(functions.lsh_bucket(array(lit(0.5f), lit(-0.25f), lit(1.0f)), 4))
+      .collect().head.getInt(0)
+    assert(r.getInt(0) == bkCol)
+    val fpCol = spark.range(1)
+      .select(functions.min_md5_window(lit("abcdefghijklmno"), 8))
+      .collect().head.getString(0)
+    assert(r.getString(1) == fpCol)
+    assert(r.getInt(2) == 2) // valid-but-formatted
+    assert(r.getString(3) == "+12013347135")
+  }
 }
