@@ -17,6 +17,45 @@ object Pipeline {
 
   val entries: Seq[QEntry] = Seq(
 
+    // Deterministic train/val/test assignment by md5 bucket of the key —
+    // the sharding/sampling primitive every training pipeline needs
+    // (seeded-RNG sampling isn't cross-engine reproducible; a hash of
+    // the key is, and rebalances identically on any cluster size).
+    QEntry("q57_hash_split",
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // Per-domain document cap (dedup-adjacent data curation: at most k
+    // docs per (lang, source), deterministic keep order) — a partitioned
+    // window, no global sort.
+    QEntry("q58_per_group_cap",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("source"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("source"), col("doc_id")),
+      Some("""SELECT lang, source, doc_id, rn FROM (
+                SELECT lang, source, doc_id,
+                  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn <= 5
+              ORDER BY lang, source, doc_id""")),
+
     QEntry("q30_dedup_exact",
       (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("text_md5")),
