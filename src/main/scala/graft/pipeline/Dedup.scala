@@ -206,7 +206,10 @@ object Dedup {
     grouped.select(explode(combos).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
         expr("bit_count(p.ha ^ p.hb)").cast("int").as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: band-collision false positives
+      // (the bulk, on skewed corpora) die in the map stage and never
+      // reach the distinct's exchange.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
