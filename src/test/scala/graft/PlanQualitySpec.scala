@@ -80,6 +80,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
   }
 
+  test("q36/q39 ANN: query side broadcast, corpus never sort-merged") {
+    for (q <- Seq("q36_embed_cosine_topk", "q39_ann_bucketed")) {
+      val plan = finalPlan(query(q))
+      assert(plan.contains("Broadcast"), s"$q: query side not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: corpus-side SMJ:\n$plan")
+    }
+  }
+
   test("q05 global row-number never single-partitions the data") {
     val plan = finalPlan(query("q05_row_number"))
     // The data-bearing window (rn_user) must be key-partitioned, and any
