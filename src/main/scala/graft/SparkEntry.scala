@@ -16,7 +16,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[QEntry] =
-    Relational.entries ++ Relational2.entries ++ Profiling.entries ++ Pipeline.entries
+    Relational.entries ++ Relational2.entries ++ Profiling.entries ++
+      Pipeline.entries ++ Pipeline2.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

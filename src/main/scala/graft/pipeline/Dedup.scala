@@ -161,6 +161,76 @@ object Dedup {
       .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin candidate scheme) — the lossless counterpart to the
+    * probabilistic MinHash ([[minhashNearDupPairs]]) and SimHash
+    * ([[simhashPairs]]) joins: returns EVERY pair of docs whose distinct
+    * word-n-gram sets have Jaccard >= tNum/tDen, no recall loss.
+    *
+    * Prefix filter: sort each doc's n-grams by global frequency (rarest
+    * first, ties by value — one total order everywhere); a pair with
+    * J >= t must share overlap >= ceil(t*|x|) n-grams, so it must share
+    * at least one n-gram inside each side's first
+    * |x| - ceil(t*|x|) + 1 ("prefix") — docs only meet through their
+    * RAREST n-grams, which is what keeps candidate groups small.
+    *
+    * Scale shape: one aggregation for the n-gram frequency dim, one
+    * shuffle grouping prefix postings, in-group combinations (not a
+    * self-join), distinct on the (few) candidate pairs, exact
+    * `array_intersect` verify. Everything is integer math — the operator
+    * is cross-engine reproducible and its oracle can be the BRUTE-FORCE
+    * formulation (prefix filtering is lossless, so the driver gate
+    * itself proves the filter drops nothing).
+    *
+    * Threshold is a rational tNum/tDen so the verify comparison stays in
+    * int64 (inter*tDen >= uni*tNum) — no float boundary drift. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      tNum: Int = 4,
+      tDen: Int = 5): DataFrame = {
+    require(n >= 1 && tNum > 0 && tNum <= tDen, s"bad n-gram join params: n=$n, t=$tNum/$tDen")
+    // Staged projections (memory: q50/q51) — each HOF lambda reads a
+    // materialized attribute, never an inline subtree.
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n, array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*))))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val freq = grams.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("freq"))
+    // prefix length p = |gs| - ceil(t*|gs|) + 1, integer ceil
+    val p = col("sz") - floor((col("sz") * tNum + tDen - 1) / tDen) + 1
+    val prefixes = grams
+      .select(col("doc_id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+      .join(freq, "g")
+      .groupBy(col("doc_id"))
+      .agg(first(col("sz")).as("sz"),
+        sort_array(collect_list(struct(col("freq"), col("g")))).as("ranked"))
+      .select(col("doc_id"),
+        explode(transform(slice(col("ranked"), lit(1), p.cast("int")),
+          s => s.getField("g"))).as("g"))
+    // candidate pairs: in-group combinations per prefix posting (one
+    // grouping shuffle; a self-join would recompute the ranked lineage
+    // twice). No bucket cap: this operator is exact by contract.
+    val grouped = prefixes.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val combos = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a_id"), b.as("b_id")))))
+    val cand = grouped.select(explode(combos).as("pr"))
+      .select(col("pr.a_id").as("a_id"), col("pr.b_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, grams.select(col("doc_id"), col("gs").as("toks")), 0.0)
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+  }
+
   /** SimHash near-dup pairs via banded hamming LSH — the step that turns
     * the q38 signatures into an actual dedup operator.
     *

@@ -133,6 +133,66 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
   }
 
+  /** ALL-PAIRS embedding near-dup: every corpus pair in the same
+    * random-hyperplane bucket with quantized cosine >= threshold — the
+    * embedding-space twin of [[Dedup.minhashNearDupPairs]] (q37): LSH
+    * candidate generation, exact verification, never a cross join.
+    *
+    * Scale shape (same as the MinHash/SimHash pair operators): one
+    * shuffle groups the corpus by bucket, in-group combinations emit
+    * candidates (a self-join would recompute the quantize+bucket lineage
+    * twice), the exact cosine filter runs map-side on the exploded pairs,
+    * and degenerate buckets are capped (mass exact-dups belong to
+    * [[Dedup.exactGroups]]). A vector lives in exactly one bucket, so no
+    * dedup pass is needed. Recall < 1 across bucket borders by
+    * construction (spec-pinned with planted near-dups); precision is 1
+    * (candidates are verified exactly).
+    *
+    * The bucket here is computed over the QUANTIZED int64 components
+    * (sign of sum of +-qe[i], deterministic parity mix — same weights as
+    * [[lshBucketHof]]), so the whole operator is integer-exact and
+    * cross-engine reproducible end to end: a SQL oracle can rebuild
+    * buckets, candidates and scores bit-for-bit. The float-input fused
+    * expression ([[lshBucket]]) stays the production bucket for the ANN
+    * path, where candidates are approximate anyway. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, // (vec_id, embedding)
+      dim: Int,
+      nBits: Int = 4,
+      threshold: Double = 0.35,
+      maxBucket: Int = 10000): DataFrame = {
+    // Staged projections: each HOF lambda must reference a materialized
+    // attribute, or it re-derives the whole argument subtree per element
+    // (memory: q50/q51, 40x slower).
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("na", dotQ(col("qe"), col("qe")))
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(col("qe"), sequence(lit(0), lit(dim - 1)), (v, i) => {
+          val mixed = pmod(i * lit(2654435761L) + lit(b.toLong * 40503L), lit(97L))
+          when(mixed < 48, v).otherwise(-v)
+        }),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }
+    val bucketed = q.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+    val grouped = bucketed.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("qe"), col("na")))).as("vs"))
+      .filter(size(col("vs")).between(2, maxBucket))
+    val combos = flatten(transform(col("vs"), (a, i) =>
+      transform(slice(col("vs"), i + 2, size(col("vs"))),
+        b => struct(a.getField("vec_id").as("a_id"), b.getField("vec_id").as("b_id"),
+          a.getField("qe").as("qa"), b.getField("qe").as("qb"),
+          a.getField("na").as("na"), b.getField("na").as("nb")))))
+    grouped.select(explode(combos).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        dotQ(col("p.qa"), col("p.qb")).as("dot"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("dot"), round(col("cos"), 4).as("cos4"))
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path besides LSH:
     * a coarse quantizer of `nList` centroids partitions the corpus into
     * cluster lists; each query probes only its `nProbe` nearest lists,

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HeavyHitters, MultiDistinct, RangeJoin}
+import graft.pipeline.{Dedup, Similarity}
+
+/** Round-4 scale-operator pack: interval join, all-pairs embedding
+  * near-dup, exact n-gram Jaccard join, multi-distinct without Expand,
+  * and exact heavy hitters — each the scale-safe formulation of an
+  * operation Spark either lacks or plans with a 100TB-hostile shape
+  * (cartesian range joins, Expand-multiplied distincts, full-key-set
+  * shuffles for top-frequency queries).
+  */
+object Pipeline2 {
+
+  /** DuckDB twin of the q60 bucket: sign bits of the +-qe parity-mix
+    * projection, integer-exact (same weights as
+    * Similarity.cosineNearDupPairs). */
+  private def duckBucketBits(nBits: Int): String =
+    (0 until nBits).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(range(64),
+         |  i -> CASE WHEN (i*2654435761 + $b*40503)%97 < 48
+         |       THEN qe[i+1] ELSE -qe[i+1] END)) >= 0
+         |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Interval containment join (events x per-user audit windows) via
+    // the binned equality-join rewrite — a bare BETWEEN join plans as
+    // BroadcastNestedLoopJoin (O(points x intervals) compares); binning
+    // makes it a hash join (operators/RangeJoin.scala).
+    QEntry("q59_interval_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), expr("ts div 1000").as("us"), col("value"))
+        val w = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(expr("ts div 1000")).as("lo"))
+          .select(col("user_id").as("win_id"), col("lo"),
+            (col("lo") + (col("user_id") % 7 + 1) * 60000000L).as("hi"))
+        RangeJoin.binned(e, "us", w, "lo", "hi", binWidth = 7L * 60000000L)
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100, 0).cast("long")).cast("long").as("value_cents"))
+          .orderBy(col("win_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
+              w AS (SELECT user_id AS win_id, min(epoch_us(ts)) AS lo,
+                      min(epoch_us(ts)) + (user_id % 7 + 1) * 60000000 AS hi
+                    FROM events GROUP BY user_id)
+              SELECT win_id, count(*) AS n_events,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+              FROM w JOIN e ON e.us BETWEEN w.lo AND w.hi
+              GROUP BY win_id ORDER BY win_id""")),
+
+    // All-pairs embedding near-dup: hyperplane-LSH candidates + exact
+    // quantized cosine — integer-exact end to end, so the ORACLE rebuilds
+    // buckets, candidates and scores bit-for-bit (unlike the xxhash64
+    // operators q37/q53, which are rows-only by construction).
+    QEntry("q60_cosine_pairs_lsh",
+      (s, d) => Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        dim = 64, nBits = 4, threshold = 0.35)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              bk AS (SELECT vec_id, qe, ${duckBucketBits(4)} AS bucket FROM q),
+              pairs AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  CAST(list_sum(list_transform(range(len(a.qe)),
+                    i -> a.qe[i+1] * b.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              SELECT a_id, b_id, dot,
+                round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos4
+              FROM pairs
+              WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35
+              ORDER BY a_id, b_id""")),
+
+    // Exact n-gram Jaccard similarity JOIN (prefix-filtered AllPairs).
+    // The oracle is deliberately the BRUTE-FORCE all-pairs formulation:
+    // prefix filtering is lossless, so the driver gate itself proves the
+    // candidate pruning drops no pair.
+    QEntry("q61_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 2, tNum = 4, tDen = 5)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS gs
+                FROM t WHERE len(toks) >= 2),
+              e AS (SELECT doc_id, unnest(gs) AS tok FROM g),
+              sz AS (SELECT doc_id, len(gs) AS ntok FROM g),
+              inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              SELECT i.a_id, i.b_id, i.inter,
+                     sa.ntok + sb.ntok - i.inter AS uni
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.a_id
+              JOIN sz sb ON sb.doc_id = i.b_id
+              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4
+              ORDER BY i.a_id, i.b_id""")),
+
+    // Multi-column exact COUNT(DISTINCT) without Expand
+    // (operators/MultiDistinct.scala): per-column two-phase dedup joined
+    // on the keys, vs Spark's (k+1)x input-row Expand plan.
+    QEntry("q62_multi_distinct",
+      (s, d) => MultiDistinct.exact(Tables.lineitem(s, d),
+        keys = Seq("l_returnflag"),
+        distincts = Seq("nd_part" -> "l_partkey", "nd_supp" -> "l_suppkey"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+               count(DISTINCT l_partkey) AS nd_part,
+               count(DISTINCT l_suppkey) AS nd_supp
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Exact heavy hitters (> n/20 of rows) over a deterministic
+    // hot/long-tail key mix: Misra-Gries candidates per partition, exact
+    // recount — output is exact, so the plain GROUP BY/HAVING oracle
+    // pins it (operators/HeavyHitters.scala). Key derivation is md5-based
+    // like q57 so both engines build the identical skew.
+    QEntry("q63_heavy_hitters",
+      (s, d) => {
+        val res = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        val key = when(res % 100 < 40, concat(lit("hot_"), (res % 4).cast("string")))
+          .otherwise(concat(lit("tail_"), (res % 50000).cast("string")))
+        HeavyHitters.exact(Tables.lineitem(s, d).select(key.as("key")),
+          col("key"), k = 20)
+          .orderBy(col("key"))
+      },
+      Some("""WITH k AS (
+                SELECT CASE WHEN r % 100 < 40
+                         THEN 'hot_' || CAST(r % 4 AS VARCHAR)
+                         ELSE 'tail_' || CAST(r % 50000 AS VARCHAR) END AS key
+                FROM (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS r
+                      FROM lineitem))
+              SELECT key, count(*) AS cnt FROM k GROUP BY key
+              HAVING count(*) * 20 > (SELECT count(*) FROM lineitem)
+              ORDER BY key"""))
+  )
+}
