@@ -104,6 +104,28 @@ class PlanQualitySpec extends SparkSpec {
       s"no range partitioning for the two-pass rank:\n$plan")
   }
 
+  test("q59 interval join: binned equality join, never nested-loop/cartesian") {
+    val plan = finalPlan(query("q59_interval_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"range join degraded to O(n*m) compares:\n$plan")
+    assert(plan.contains("Join"), s"no join in interval-join plan:\n$plan")
+  }
+
+  test("q62 multi-distinct: no Expand, aggregations partial+final") {
+    val plan = finalPlan(query("q62_multi_distinct"))
+    assert(!plan.contains("Expand"),
+      s"Expand multiplies every input row per distinct column:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected per-column two-phase aggs:\n$plan")
+  }
+
+  test("q63 heavy hitters: candidate set broadcast, recount never sort-merged") {
+    val plan = finalPlan(query("q63_heavy_hitters"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate recount not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"recount SMJ:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two round-4 exact similarity joins: prefix-filtered n-gram
+  * Jaccard (lossless by theorem — also gate-proven against a brute-force
+  * oracle in q61) and LSH-bucketed cosine pairs (recall spec-pinned here
+  * with planted near-dups; precision exact by construction). */
+class ExactJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ngram jaccard join: planted near-dups found, J below threshold excluded") {
+    val base = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),                 // 9 bigrams
+      (1L, base + " t11"),        // 10 bigrams, inter 9, uni 10 → J = 0.9
+      (2L, "completely different words here entirely"),
+      (3L, base),                 // exact dup of 0 → J = 1
+      (4L, (1 to 10).map(i => s"t$i").reverse.mkString(" ")) // same tokens, reversed → disjoint bigrams
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tNum = 4, tDen = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 3L), (1L, 3L)), s"wrong pairs: $got")
+  }
+
+  test("ngram jaccard join equals the brute-force all-pairs result") {
+    // Lossless-ness on real data: the prefix-filtered candidates verify to
+    // exactly the same pair set as verifying EVERY pair.
+    val docs = graft.queries.Tables.documents(spark, sf).limit(120)
+    val grams = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 2, array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1)))))
+          .otherwise(array().cast("array<string>")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val ids = grams.select(col("doc_id").as("a_id"))
+    val allPairs = ids.crossJoin(grams.select(col("doc_id").as("b_id")))
+      .filter(col("a_id") < col("b_id"))
+    val brute = Dedup.verifyJaccard(allPairs, grams, 0.0)
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tNum = 4, tDen = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pruned == brute, s"prefix filter lost/added pairs: " +
+      s"missing=${brute -- pruned} extra=${pruned -- brute}")
+  }
+
+  test("cosine pairs: near-identical vectors pair, orthogonal/opposite don't") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f)), // cos ~ 0.99995 vs v0
+      (2L, Array(0f, 1f, 0f, 0f)),       // orthogonal
+      (3L, Array(-1f, 0f, 0f, 0f))       // opposite
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(emb, dim = 4, nBits = 2, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)), s"wrong pairs: $got")
+  }
+
+  test("cosine pairs agree with brute-force verification on real embeddings") {
+    // Precision check on the corpus: every emitted pair really has
+    // cos >= threshold (recomputed directly), and pair keys are a<b.
+    val emb = graft.queries.Tables.embeddings(spark, sf).limit(300)
+      .select(col("vec_id"), col("embedding"))
+    val rows = Similarity.cosineNearDupPairs(emb, dim = 64, nBits = 4, threshold = 0.2)
+      .collect()
+    assert(rows.nonEmpty, "expected some pairs at threshold 0.2")
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(a < b)
+      val qa = vecs(a).map(v => math.round(v.toDouble * 10000))
+      val qb = vecs(b).map(v => math.round(v.toDouble * 10000))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+      assert(r.getAs[Long]("dot") == dot, s"dot mismatch for ($a,$b)")
+      assert(cos >= 0.2, s"below-threshold pair emitted: ($a,$b) cos=$cos")
+    }
+  }
+}
