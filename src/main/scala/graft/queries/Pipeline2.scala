@@ -86,17 +86,23 @@ object Pipeline2 {
     // The oracle is deliberately the BRUTE-FORCE all-pairs formulation:
     // prefix filtering is lossless, so the driver gate itself proves the
     // candidate pruning drops no pair.
+    // n = 3 (word trigrams): on this corpus's 31-word vocabulary,
+    // bigrams are so common that NO exact algorithm has selective
+    // prefixes (measured: 6M candidates, ~half of brute force) — the
+    // n-gram order must outgrow the vocabulary for rarity to exist
+    // (trigrams: 122k candidates at sf0.1, 50x less). Tuning note in
+    // Dedup.ngramJaccardPairs scaladoc.
     QEntry("q61_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 2, tNum = 4, tDen = 5)
+        n = 3, tNum = 4, tDen = 5)
         .orderBy(col("a_id"), col("b_id")),
       Some("""WITH t AS (
                 SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                 FROM documents),
               g AS (
-                SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
-                  i -> toks[i] || ' ' || toks[i+1])) AS gs
-                FROM t WHERE len(toks) >= 2),
+                SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+                FROM t WHERE len(toks) >= 3),
               e AS (SELECT doc_id, unnest(gs) AS tok FROM g),
               sz AS (SELECT doc_id, len(gs) AS ntok FROM g),
               inter AS (
