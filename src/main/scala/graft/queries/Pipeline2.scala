@@ -130,6 +130,29 @@ object Pipeline2 {
                count(DISTINCT l_suppkey) AS nd_supp
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // BPE-ish subword token estimate (TextAnalysis.subwordCountApprox)
+    // under the gate. The Spark side splits with a lookbehind regex
+    // (pieces end after any 4-letter run or at non-alnum); DuckDB's RE2
+    // has no lookbehind, so the oracle computes the equivalent closed
+    // form: per maximal alnum run, 1 piece + one boundary per position
+    // with 4 preceding letters (parity prototyped over edge cases:
+    // digits break letter runs, boundary at run end adds nothing).
+    QEntry("q64_subword_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.subwordCountApprox(col("text"))
+            .cast("long").as("n_subword"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             r -> length(r) > 0),
+                 r -> 1 + len(list_filter(range(4, length(r)),
+                   i -> regexp_matches(substr(r, CAST(i-3 AS INTEGER), 4),
+                                       '^[a-z]{4}$'))))), 0) AS BIGINT)
+                 AS n_subword
+              FROM documents ORDER BY doc_id""")),
+
     // Exact heavy hitters (> n/20 of rows) over a deterministic
     // hot/long-tail key mix: Misra-Gries candidates per partition, exact
     // recount — output is exact, so the plain GROUP BY/HAVING oracle
