@@ -15,6 +15,15 @@ object Bench {
     // (map iteration order shifts when the query set grows).
     try { spark.range(1000000).selectExpr("sum(id)").count() }
     catch { case _: Throwable => () }
+    // Also warm the parquet reader paths (footer decode, column readers,
+    // scan codegen) so the alphabetically-first query doesn't absorb the
+    // session's first-scan costs — at scale these amortize to zero, in a
+    // 60 s bench they skewed q01 by ~1 s. Untimed; noted in BASELINE.md.
+    for (t <- graft.queries.Tables.names)
+      try {
+        graft.queries.Tables.load(spark, sfDir, t)
+          .write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
     // noop-format write: materializes every output row end-to-end.
     // `.count()` let Catalyst prune the very projections being measured
     // (a projection-only query degenerates to a scan count) — numbers

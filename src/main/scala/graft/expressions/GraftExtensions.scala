@@ -68,6 +68,10 @@ object GraftExtensions {
       require(args.length == 2, "lsh_bucket(arr, nBits)")
       LshBucket(args.head, intArg(args(1), "nBits"))
     },
+    "lsh_bucket_long" -> { args =>
+      require(args.length == 2, "lsh_bucket_long(arr, nBits)")
+      LshBucketLong(args.head, intArg(args(1), "nBits"))
+    },
     "min_md5_window" -> { args =>
       require(args.length == 2, "min_md5_window(text, k)")
       MinMd5Window(args.head, intArg(args(1), "k"))

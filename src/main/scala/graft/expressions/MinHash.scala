@@ -158,6 +158,28 @@ object HashSig {
     bucket
   }
 
+  /** [[lshBucket]] over QUANTIZED int64 components — exact integer
+    * sums, so the bucket is cross-engine reproducible (the all-pairs
+    * near-dup operator's oracle rebuilds it in SQL; Similarity
+    * .cosineNearDupPairs). Same weights/mix as the float kernel. */
+  def lshBucketLong(arr: ArrayData, nBits: Int): Int = {
+    val n = arr.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val mixed = (i * 2654435761L + b.toLong * 40503L) % 97L
+        acc += (if (mixed < 48) arr.getLong(i) else -arr.getLong(i))
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Min lexical md5 hex over all k-char windows of `text` — the
     * content-defined fingerprint (TextAnalysis.fingerprint) as ONE
     * per-row loop. The explode formulation fans a doc out to
@@ -267,6 +289,11 @@ object functions {
   def lsh_bucket(arr: Column, nBits: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(arr), nBits))
 
+  /** Random-hyperplane LSH bucket id of a quantized int64 array
+    * (integer-exact — SQL-oracle-reproducible). */
+  def lsh_bucket_long(arr: Column, nBits: Int): Column =
+    Bridge.column(LshBucketLong(Bridge.expression(arr), nBits))
+
   /** Min lexical md5 hex over all k-char windows of a string. */
   def min_md5_window(text: Column, k: Int): Column =
     Bridge.column(MinMd5Window(Bridge.expression(text), k))
@@ -295,6 +322,19 @@ case class LshBucket(child: Expression, nBits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.lshBucket($c, $nBits)")
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** `lsh_bucket_long(arr, nBits)`: array<long> → int bucket id — the
+  * integer-exact twin of [[LshBucket]] (see HashSig.lshBucketLong). */
+case class LshBucketLong(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.lshBucketLong(input.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.lshBucketLong($c, $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketLong =
     copy(child = newChild)
 }
 

@@ -161,21 +161,13 @@ object Similarity {
       nBits: Int = 4,
       threshold: Double = 0.35,
       maxBucket: Int = 10000): DataFrame = {
-    // Staged projections: each HOF lambda must reference a materialized
-    // attribute, or it re-derives the whole argument subtree per element
-    // (memory: q50/q51, 40x slower).
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("na", dotQ(col("qe"), col("qe")))
-    val bits = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(col("qe"), sequence(lit(0), lit(dim - 1)), (v, i) => {
-          val mixed = pmod(i * lit(2654435761L) + lit(b.toLong * 40503L), lit(97L))
-          when(mixed < 48, v).otherwise(-v)
-        }),
-        lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
-    }
-    val bucketed = q.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+    // fused codegen'd loop (LshBucketLong); the HOF formulation below is
+    // the spec-pinned reference (ExactJoinSpec differential), same
+    // pattern as lshBucket/lshBucketHof.
+    val bucketed = q.withColumn("bucket",
+      graft.expressions.functions.lsh_bucket_long(col("qe"), nBits))
     val grouped = bucketed.groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("qe"), col("na")))).as("vs"))
       .filter(size(col("vs")).between(2, maxBucket))
@@ -191,6 +183,22 @@ object Similarity {
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("dot"), round(col("cos"), 4).as("cos4"))
+  }
+
+  /** Reference HOF formulation of the integer bucket (differential-
+    * spec'd against [[graft.expressions.LshBucketLong]]): exact long
+    * sums, so equality is bit-for-bit, not float-lucky. */
+  private[pipeline] def cosineBucketHof(qe: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(qe, sequence(lit(0), lit(dim - 1)), (v, i) => {
+          val mixed = pmod(i * lit(2654435761L) + lit(b.toLong * 40503L), lit(97L))
+          when(mixed < 48, v).otherwise(-v)
+        }),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), b)).otherwise(0)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path besides LSH:

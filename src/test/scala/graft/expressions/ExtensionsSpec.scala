@@ -41,4 +41,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) == 2) // valid-but-formatted
     assert(r.getString(3) == "+12013347135")
   }
+
+  test("lsh_bucket_long callable from SQL, matches the Column builder") {
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT lsh_bucket_long(array(5000L, -2500L, 10000L), 4) AS bk")
+      .collect().head.getInt(0)
+    val viaColumn = spark.range(1)
+      .select(functions.lsh_bucket_long(
+        array(lit(5000L), lit(-2500L), lit(10000L)), 4))
+      .collect().head.getInt(0)
+    assert(viaSql == viaColumn)
+  }
 }

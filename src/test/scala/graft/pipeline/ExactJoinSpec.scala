@@ -62,6 +62,16 @@ class ExactJoinSpec extends SparkSpec {
     assert(got == Set((0L, 1L)), s"wrong pairs: $got")
   }
 
+  test("fused lsh_bucket_long agrees with the HOF reference on every corpus vector") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+    val diff = emb.select(
+      graft.expressions.functions.lsh_bucket_long(col("qe"), 4).as("fused"),
+      Similarity.cosineBucketHof(col("qe"), 64, 4).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0, s"$diff vectors bucket differently fused vs HOF")
+  }
+
   test("cosine pairs agree with brute-force verification on real embeddings") {
     // Precision check on the corpus: every emitted pair really has
     // cos >= threshold (recomputed directly), and pair keys are a<b.
