@@ -130,6 +130,43 @@ object Pipeline2 {
                count(DISTINCT l_suppkey) AS nd_supp
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Sketch-family aggregation under an ACCURACY-CONTRACT oracle: the
+    // query outputs the exact value plus a boolean tolerance claim about
+    // the approximate twin; the oracle selects the exact value and
+    // literal TRUE — so the driver's hash-compare FAILS if the sketch
+    // estimate ever drifts outside the contract. (The estimate itself is
+    // deterministic but engine-specific, so it can't be hash-compared
+    // directly.) At 100 TB the sketch is the production path: HLL++
+    // merges in fixed memory per group vs the exact rewrite's
+    // per-column dedup shuffle (q62).
+    QEntry("q65_approx_distinct",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("nd_exact"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("nd_approx"))
+        .select(col("l_returnflag"), col("nd_exact"),
+          (abs(col("nd_approx") - col("nd_exact")) <= col("nd_exact") * 0.10)
+            .as("within_10pct"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+               TRUE AS within_10pct
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Same contract for quantile sketches: GK-style percentile_approx
+    // (rank error <= n/accuracy) against the exact interpolated
+    // percentile (which DuckDB's quantile_cont reproduces exactly for
+    // integer inputs at p=0.5 — memory: dyadic fractions).
+    QEntry("q66_approx_percentile",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <= lit(1.0)).as("within_1"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50_exact,
+               TRUE AS within_1
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // BPE-ish subword token estimate (TextAnalysis.subwordCountApprox)
     // under the gate. The Spark side splits with a lookbehind regex
     // (pieces end after any 4-letter run or at non-alnum); DuckDB's RE2
