@@ -111,6 +111,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Join"), s"no join in interval-join plan:\n$plan")
   }
 
+  test("q60 cosine pairs: fused bucket expression, one grouping (no self-join)") {
+    val plan = finalPlan(query("q60_cosine_pairs_lsh"))
+    assert(plan.toLowerCase.contains("lshbucketlong"),
+      s"bucket not the fused expression:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"candidate generation degraded to a join:\n$plan")
+  }
+
   test("q62 multi-distinct: no Expand, aggregations partial+final") {
     val plan = finalPlan(query("q62_multi_distinct"))
     assert(!plan.contains("Expand"),
