@@ -60,4 +60,41 @@ object Multimodal {
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"))
+
+  case class FrameSample(
+      media_id: Long,
+      frame_idx: Long,       // index in the FULL frame sequence
+      n_bytes: Long,         // last frame may be partial
+      sha256_hex: String)
+
+  /** Frame sampling: every k-th fixed-size frame of each media payload —
+    * the video-pipeline primitive (sample frames, not all of them,
+    * before feature extraction). The STUB "frame" is a byte-range chunk
+    * (a real demuxer plugs into the same loop); the fan-out is an
+    * ITERATOR inside `mapPartitions` — one payload never materializes
+    * all its frames at once, so a 4 GB video costs one frame of memory,
+    * and the digest/codec initializes once per partition. Deterministic
+    * end-to-end, so the driver gate oracle-checks it (q67). */
+  def sampleFrames(
+      cells: Dataset[MediaCell],
+      frameBytes: Int,
+      everyK: Int): Dataset[FrameSample] = {
+    require(frameBytes > 0 && everyK > 0, s"bad sampling: $frameBytes/$everyK")
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { c =>
+        val n = c.payload.length
+        val nFrames = (n.toLong + frameBytes - 1) / frameBytes
+        (0L until nFrames by everyK.toLong).iterator.map { i =>
+          val from = (i * frameBytes).toInt
+          val until = math.min(from + frameBytes, n)
+          val chunk = java.util.Arrays.copyOfRange(c.payload, from, until)
+          val sha = digest.digest(chunk).map("%02x".format(_)).mkString
+          digest.reset()
+          FrameSample(c.media_id, i, until - from, sha)
+        }
+      }
+    }
+  }
 }

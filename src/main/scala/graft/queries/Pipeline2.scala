@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{HeavyHitters, MultiDistinct, RangeJoin}
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Similarity, Skew}
 
 /** Round-4 scale-operator pack: interval join, all-pairs embedding
   * near-dup, exact n-gram Jaccard join, multi-distinct without Expand,
@@ -129,6 +129,45 @@ object Pipeline2 {
                count(DISTINCT l_partkey) AS nd_part,
                count(DISTINCT l_suppkey) AS nd_supp
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Frame sampling (Multimodal.sampleFrames): every 4th 64-byte
+    // "frame" of each payload, iterator fan-out inside mapPartitions.
+    // The stub chunking is deterministic, so unlike the metadata-only
+    // q35 this gate covers the typed FAN-OUT path. Oracle chunks the
+    // VARCHAR (fixture text is pure ASCII → same bytes; DuckDB 1.0 has
+    // no BLOB substring).
+    QEntry("q67_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.sampleFrames(
+          Multimodal.asMediaTable(Tables.documents(s, d)).as[Multimodal.MediaCell],
+          frameBytes = 64, everyK = 4)
+          .toDF()
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id AS media_id, i AS frame_idx,
+               CAST(length(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS BIGINT) AS n_bytes,
+               sha256(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS sha256_hex
+              FROM documents,
+                unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 4)) AS t(i)
+              ORDER BY media_id, frame_idx""")),
+
+    // The salted fact-dim join under the gate (SkewSpec pins plan shape;
+    // this pins RESULTS == the plain join, via the unsalted oracle).
+    QEntry("q68_skew_salted_join",
+      (s, d) => Skew.saltedJoin(
+        fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        dim = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        factKey = "l_suppkey", dimKey = "s_suppkey",
+        uniq = col("l_orderkey"), buckets = 16)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).cast("long").as("cents"))
+        .orderBy(col("s_nationkey")),
+      Some("""SELECT s_nationkey, count(*) AS cnt,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
     // Sketch-family aggregation under an ACCURACY-CONTRACT oracle: the
     // query outputs the exact value plus a boolean tolerance claim about

@@ -209,4 +209,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).feature.length == 8)
     assert(out(2L).n_bytes == 0)
   }
+
+  test("frame sampling: every k-th frame, partial tail, empty payload") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](25)(_.toByte) // frames of 10: 3 (last=5 bytes)
+    val cells = Seq(
+      Multimodal.MediaCell(1L, payload),
+      Multimodal.MediaCell(2L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.sampleFrames(cells, frameBytes = 10, everyK = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    // media 1: frames 0,1,2 exist; sampled 0 and 2; media 2: none.
+    assert(out.map(f => (f.media_id, f.frame_idx, f.n_bytes)).toSeq ==
+      Seq((1L, 0L, 10L), (1L, 2L, 5L)))
+    val sha0 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.slice(0, 10)).map("%02x".format(_)).mkString
+    assert(out.head.sha256_hex == sha0)
+  }
 }
