@@ -78,6 +78,34 @@ object EventsProfile {
       .start()
   }
 
+  /** Stream-stream interval join (attribution): each purchase joined to
+    * the same user's clicks within the `boundUs` microseconds before it.
+    *
+    * The canonical streaming-join discipline: BOTH streams carry
+    * watermarks and the join condition bounds event time on both sides,
+    * so the state store evicts a click once the purchase-side watermark
+    * passes `click_time + bound` — state is O(traffic inside the bound),
+    * never unbounded history. Inner-join matches emit as soon as both
+    * rows arrive (the watermark only gates eviction), so the result
+    * equals the batch join row-for-row (spec-pinned). */
+  def attributionJoin(
+      clicks: DataFrame,    // (event_id, user_id, event_time)
+      purchases: DataFrame, // same shape
+      boundUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("event_time").as("click_time"))
+      .withWatermark("click_time", "10 minutes")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "10 minutes")
+    p.join(c,
+        col("c_user") === col("p_user") &&
+          col("click_time") <= col("purchase_time") &&
+          col("click_time") >= col("purchase_time") - expr(s"INTERVAL '$boundUs' MICROSECOND"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_time"), col("click_time"))
+  }
+
   // ---------------------------------------------------------------------
   // Stateful per-user sessionization (flatMapGroupsWithState) — the
   // custom-state primitive the reference lacks entirely.

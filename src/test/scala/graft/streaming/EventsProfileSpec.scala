@@ -56,6 +56,41 @@ class EventsProfileSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 500)
   }
 
+  test("stream-stream attribution join equals the batch join") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = EventsProfile.withEventTime(graft.queries.Tables.events(spark, sf))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("event_time"))
+    def writeType(t: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ev_$t")
+      ev.filter(col("event_type") === t).write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    }
+    val (clickDir, purchDir) = (writeType("click"), writeType("purchase"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_time", org.apache.spark.sql.types.TimestampType)))
+    def readStream(dir: String) = spark.readStream.schema(schema).parquet(dir)
+    val q = EventsProfile.attributionJoin(readStream(clickDir), readStream(purchDir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ep_attr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ep_attr")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventsProfile.attributionJoin(
+      spark.read.schema(schema).parquet(clickDir),
+      spark.read.schema(schema).parquet(purchDir))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "no attribution pairs in fixture")
+    assert(streamed == batch,
+      s"stream vs batch: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("stateful sessionization counts all events exactly once") {
     val ev = graft.queries.Tables.events(spark, sf)
     val sessions = EventsProfile.sessionize(spark, ev, gapUs = 60L * 1000 * 1000)
