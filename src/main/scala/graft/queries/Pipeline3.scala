@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Corpus-curation pack: JSONL ingest (the LLM corpus interchange
+  * format), Gopher-style repetition quality signal, PII redaction, and
+  * canonical-document selection per near-dup component — the steps
+  * between "raw crawl" and "training set" that the earlier packs'
+  * operators feed into.
+  */
+object Pipeline3 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // JSON-Lines corpus ingest with nested metadata: spark.read.json
+    // (schema inference over structs) — checked-in fixture derived
+    // deterministically from the sf0.001 documents table, both engines
+    // read the same file (the q54 CSV pattern).
+    QEntry("q69_jsonl_ingest",
+      (s, _) => {
+        val df = s.read.json("/root/repo/data/docs.jsonl")
+        df.select(col("doc_id"),
+            col("meta.lang").as("lang"), col("meta.source").as("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, meta.lang AS lang, meta.source AS source,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM read_json_auto('/root/repo/data/docs.jsonl')
+              ORDER BY doc_id""")),
+
+    // Repetition signal (Gopher-style quality filter): the fraction of a
+    // doc's word trigrams taken by its single most repeated trigram —
+    // high = boilerplate/spam. NON-distinct trigrams (repetition is the
+    // point), integer basis points so the oracle hash-matches.
+    QEntry("q70_repetition",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
+                get(col("toks"), i + 2))).as("gs"))
+          // explode over the inline lambda lineage re-evaluates it per
+          // element (memory; q61) — checkpoint the tiny gram table first
+          .localCheckpoint()
+        grams.select(col("doc_id"), explode(col("gs")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).cast("long").as("n_grams"),
+            max(col("cnt")).cast("long").as("top_cnt"))
+          .select(col("doc_id"), col("n_grams"), col("top_cnt"),
+            expr("top_cnt * 10000 div n_grams").as("rep_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t WHERE len(toks) >= 3),
+              c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                     CAST(max(cnt) AS BIGINT) AS top_cnt,
+                     CAST(max(cnt) AS BIGINT) * 10000 // CAST(sum(cnt) AS BIGINT) AS rep_bp
+              FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII redaction: email + phone patterns replaced with typed tokens,
+    // redaction counts kept for audit. Pure regexp projections (RE2-safe
+    // patterns — no lookarounds — so both engines run the SAME regexes).
+    QEntry("q71_redact",
+      (s, d) => {
+        val email = concat(lit("user"), col("c_custkey"), lit("@example.com"))
+        val phone = concat(lit("212-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+        val raw = concat(lit("contact: "), email, lit(" or call "), phone)
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        Tables.customer(s, d)
+          .select(col("c_custkey"), raw.as("raw"))
+          .select(col("c_custkey"),
+            regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"),
+            (size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))) +
+              size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))))
+              .cast("long").as("n_redactions"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH r AS (
+                SELECT c_custkey,
+                  concat('contact: user', c_custkey, '@example.com or call 212-555-',
+                         lpad(cast(c_custkey % 10000 AS VARCHAR), 4, '0')) AS raw
+                FROM customer)
+              SELECT c_custkey,
+                regexp_replace(
+                  regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+                CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+                     len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                  AS n_redactions
+              FROM r ORDER BY c_custkey""")),
+
+    // Canonical-doc selection: near-dup components (q55's edge graph) →
+    // per component keep the doc with max (n_chars, doc_id) — the final
+    // step of a dedup pipeline (one survivor per group, deterministic
+    // tie-break), as a partial-aggregating max_by, no window over the
+    // corpus.
+    QEntry("q72_dedup_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val adj = docs.select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+        val edges = Dedup.verifyJaccard(adj, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+          .select(col("a_id"), col("b_id"))
+        Dedup.components(edges, docs.select(col("doc_id").as("id")))
+          .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(col("id"), struct(col("n_chars"), col("id"))).as("keep_id"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+                GROUP BY a.doc_id, b.doc_id),
+              e AS (
+                SELECT i.a_id, i.b_id
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a_id
+                JOIN sizes sb ON sb.doc_id = i.b_id
+                WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM e
+                        UNION ALL SELECT b_id, a_id FROM e),
+              comp(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT edges.dst, comp.lbl
+                FROM comp JOIN edges ON edges.src = comp.id),
+              labeled AS (
+                SELECT c.id, min(c.lbl) AS component
+                FROM comp c GROUP BY c.id),
+              ranked AS (
+                SELECT l.component, l.id, d.n_chars,
+                  row_number() OVER (PARTITION BY l.component
+                    ORDER BY d.n_chars DESC, l.id DESC) AS rn
+                FROM labeled l JOIN documents d ON d.doc_id = l.id)
+              SELECT component,
+                CAST(count(*) AS BIGINT) AS n_members,
+                CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keep_id
+              FROM ranked GROUP BY component ORDER BY component"""))
+  )
+}
