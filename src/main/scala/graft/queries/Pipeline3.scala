@@ -104,6 +104,45 @@ object Pipeline3 {
                   AS n_redactions
               FROM r ORDER BY c_custkey""")),
 
+    // Benchmark-contamination check: corpus docs sharing any word
+    // 5-gram with a held-out "benchmark" slice (doc_id % 10 == 0) — the
+    // train/test-overlap audit every training pipeline runs. The
+    // benchmark side is SMALL BY NATURE, so its shingle set broadcasts
+    // and the corpus streams past it: one scan, no corpus shuffle
+    // before the per-doc aggregate.
+    QEntry("q73_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def shingles(df: org.apache.spark.sql.DataFrame, idAs: String) = df
+          .select(col("doc_id").as(idAs), split(lower(col("text")), "\\s+").as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col(idAs), explode(array_distinct(
+            transform(sequence(lit(0), size(col("toks")) - 5),
+              i => concat_ws(" ", (0 until 5).map(j => get(col("toks"), i + j)): _*))))
+            .as("g"))
+        val bench = shingles(docs.filter(col("doc_id") % 10 === 0), "bench_id")
+        val corpus = shingles(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+        corpus.join(broadcast(bench), "g")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("bench_id")).as("n_bench_docs"),
+            count(lit(1)).as("n_shared_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 3),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4]))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 5)
+              SELECT c.doc_id,
+                count(DISTINCT b.doc_id) AS n_bench_docs,
+                count(*) AS n_shared_shingles
+              FROM sh c JOIN sh b ON c.g = b.g
+              WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+              GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
     // Canonical-doc selection: near-dup components (q55's edge graph) →
     // per component keep the doc with max (n_chars, doc_id) — the final
     // step of a dedup pipeline (one survivor per group, deterministic

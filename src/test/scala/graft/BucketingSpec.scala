@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
   * for repeated fact⋈fact joins (SURVEY.md "partitioning & shuffle"). */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned layout: read is partition-pruned, untouched partitions unread") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("part_docs").toString
+    graft.queries.Tables.documents(spark, sf)
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    val n = df.count()
+    assert(n > 0, "fixture has no en docs")
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang filter must be a PARTITION filter (directory pruning —
+    // at 100 TB this is the difference between reading one partition and
+    // the whole corpus), not a post-scan row filter.
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang not pruned at partition level:\n$plan")
+    val scanned = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(!scanned.contains("PushedFilters: [IsNotNull(lang"),
+      s"lang degraded to a data filter:\n$scanned")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // at fixture scale Spark prefers broadcast; disable it so the join
     // actually exercises the bucket layout (sort-merge, no exchange)
