@@ -120,9 +120,16 @@ object Pipeline3 {
             transform(sequence(lit(0), size(col("toks")) - 5),
               i => concat_ws(" ", (0 until 5).map(j => get(col("toks"), i + j)): _*))))
             .as("g"))
-        val bench = shingles(docs.filter(col("doc_id") % 10 === 0), "bench_id")
+        val benchDocs = docs.filter(col("doc_id") % 10 === 0)
+        val bench = shingles(benchDocs, "bench_id")
         val corpus = shingles(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
-        corpus.join(broadcast(bench), "g")
+        // broadcast only while the benchmark is actually small (count the
+        // raw pruned scan, not the shingle lineage — the ANN-guard
+        // convention); past the cap the join degrades to a shuffle hash
+        // join instead of OOMing the driver.
+        val benchSide =
+          if (benchDocs.count() <= 100000L) broadcast(bench) else bench.hint("shuffle_hash")
+        corpus.join(benchSide, "g")
           .groupBy(col("doc_id"))
           .agg(count_distinct(col("bench_id")).as("n_bench_docs"),
             count(lit(1)).as("n_shared_shingles"))
