@@ -29,6 +29,9 @@ object MultiDistinct {
       keys: Seq[String],
       distincts: Seq[(String, String)]): DataFrame = {
     require(distincts.nonEmpty, "need at least one distinct column")
+    require(keys.nonEmpty,
+      "global (keyless) multi-distinct isn't supported: the per-column " +
+        "results would have no join key — aggregate each column separately")
     val keyCols = keys.map(col)
     val base = df.groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
     distincts.foldLeft(base) { case (acc, (outName, c)) =>

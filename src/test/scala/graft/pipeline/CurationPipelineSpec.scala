@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end curation narrative: the operators COMPOSE into the
+  * pipeline a training-data team would actually run — ingest → quality
+  * gate → exact dedup → near-dup grouping → canonical selection →
+  * deterministic split — with the invariants a real pipeline needs
+  * (no doc in two splits, one survivor per group, monotone filters).
+  */
+class CurationPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ingest -> quality -> dedup -> split composes with its invariants") {
+    // 1. ingest (JSONL fixture, nested metadata)
+    val raw = spark.read.json("/root/repo/data/docs.jsonl")
+      .select(col("doc_id"), col("text"), col("meta.lang").as("lang"))
+    val n0 = raw.count()
+    assert(n0 == 500)
+
+    // 2. quality gate: token-count band (projection-only, no shuffle)
+    val f = TextAnalysis.qualityFacets(col("text"))
+    val kept = raw
+      .withColumn("n_tokens", f.getField("n_tokens"))
+      .filter(col("n_tokens").between(10, 200))
+    val n1 = kept.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    // 3. exact dedup: one keeper per content digest
+    val keepers = Dedup.exactGroups(kept, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keepers, "doc_id")
+    val n2 = deduped.count()
+    assert(n2 <= n1)
+    assert(deduped.select(md5(col("text"))).distinct().count() == n2,
+      "exact dedup left identical texts behind")
+
+    // 4. near-dup grouping + canonical selection (adjacent candidates)
+    val adj = deduped.select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+    val edges = Dedup.verifyJaccard(adj,
+        Dedup.tokenArrays(deduped, "doc_id", "text"), 0.0)
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("a_id"), col("b_id"))
+    val comps = Dedup.components(edges, deduped.select(col("doc_id").as("id")))
+    assert(comps.count() == n2, "components must cover every surviving doc")
+    val canonical = comps.groupBy(col("component"))
+      .agg(min(col("id")).as("doc_id"))
+    val n3 = canonical.count()
+    assert(n3 <= n2)
+
+    // 5. deterministic hash split (the q57 primitive): partitions the
+    // survivors completely and disjointly
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val split = canonical.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+    val bySplit = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == n3, s"split lost/duplicated docs: $bySplit")
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L),
+      s"expected train to dominate: $bySplit")
+    // re-running the split yields the identical assignment (determinism)
+    val again = canonical.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+    assert(split.exceptAll(again).count() == 0)
+  }
+}
