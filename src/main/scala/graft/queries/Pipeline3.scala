@@ -150,6 +150,33 @@ object Pipeline3 {
               WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
               GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // RANGE-frame window (value-based frame, not row-count): per user,
+    // the count and cents-sum of their events in the PRECEDING 10
+    // MINUTES of event time — the moving-aggregate analytic. Frame
+    // bounds are event-time offsets so ties and gaps behave correctly
+    // where a ROWS frame would not; partitioned by user, so no global
+    // sort.
+    QEntry("q74_range_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-600000000L, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_10m"),
+            sum(col("cents")).over(w).cast("long").as("cents_10m"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+               count(*) OVER w AS n_10m,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_10m
+              FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
     // Canonical-doc selection: near-dup components (q55's edge graph) →
     // per component keep the doc with max (n_chars, doc_id) — the final
     // step of a dedup pipeline (one survivor per group, deterministic
