@@ -68,6 +68,18 @@ object GraftExtensions {
       require(args.length == 2, "lsh_bucket(arr, nBits)")
       LshBucket(args.head, intArg(args(1), "nBits"))
     },
+    "ngram_shingles" -> { args =>
+      require(args.length == 3, "ngram_shingles(toks, n, distinct)")
+      val distinct = args(2) match {
+        case x if x.foldable => x.eval() match {
+          case b: java.lang.Boolean => b.booleanValue
+          case other => throw new IllegalArgumentException(s"distinct must be a boolean, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"distinct must be a boolean literal, got $other")
+      }
+      NgramShingles(args.head, intArg(args(1), "n"), distinct)
+    },
     "lsh_bucket_long" -> { args =>
       require(args.length == 2, "lsh_bucket_long(arr, nBits)")
       LshBucketLong(args.head, intArg(args(1), "nBits"))

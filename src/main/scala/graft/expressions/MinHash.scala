@@ -158,6 +158,32 @@ object HashSig {
     bucket
   }
 
+  /** Word n-gram shingles in one codegen'd loop — the fused twin of
+    * `array_distinct(transform(sequence(0, len-n), i -> concat_ws(" ",
+    * toks[i..i+n-1])))` that q50/q61/q70/q73 built as interpreted HOF
+    * lambdas (differential-spec'd; same SQL concat_ws null-skipping via
+    * UTF8String.concatWs, same first-occurrence order for distinct). */
+  def ngramShingles(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.ArrayList[UTF8String](len - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    i = 0
+    while (i <= len - n) {
+      val piece = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      if (seen == null || seen.add(piece)) out.add(piece)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** [[lshBucket]] over QUANTIZED int64 components — exact integer
     * sums, so the bucket is cross-engine reproducible (the all-pairs
     * near-dup operator's oracle rebuilds it in SQL; Similarity
@@ -297,6 +323,11 @@ object functions {
   /** Min lexical md5 hex over all k-char windows of a string. */
   def min_md5_window(text: Column, k: Int): Column =
     Bridge.column(MinMd5Window(Bridge.expression(text), k))
+
+  /** Word n-gram shingles of a token array (optionally distinct,
+    * first-occurrence order) — fused loop, no HOF lambdas. */
+  def ngram_shingles(toks: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(NgramShingles(Bridge.expression(toks), n, distinct))
 }
 
 /** `min_md5_window(text, k)`: string → min md5 hex over k-char windows
@@ -322,6 +353,19 @@ case class LshBucket(child: Expression, nBits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.lshBucket($c, $nBits)")
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** `ngram_shingles(toks, n, distinct)`: array<string> → array<string>
+  * word n-grams (see HashSig.ngramShingles). */
+case class NgramShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.ngramShingles(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.ngramShingles($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): NgramShingles =
     copy(child = newChild)
 }
 

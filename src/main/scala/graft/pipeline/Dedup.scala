@@ -215,21 +215,19 @@ object Dedup {
     require(n >= 1 && tNum > 0 && tNum <= tDen, s"bad n-gram join params: n=$n, t=$tNum/$tDen")
     // Staged projections (memory: q50/q51) — each HOF lambda reads a
     // materialized attribute, never an inline subtree.
-    // Short docs are dropped BEFORE the n-gram lambda exists: a filter on
-    // size(gs) would be pushed below the Project and re-inline the whole
-    // HOF into the predicate (memory: expensive-predicate pushdown trap).
+    // Short docs are dropped BEFORE the n-gram expression exists (the
+    // expensive-predicate pushdown trap); shingles are the fused
+    // codegen'd NgramShingles expression (HOF-twin differential-spec'd).
     // The result is localCheckpoint'd because THREE stages consume it
-    // (frequency dim, prefix ranking, verify x2) and a Generate over the
-    // inline lambda lineage re-evaluates it per exploded element
-    // (measured 8.2s -> 0.2s at sf0.1); on a real cluster this is
-    // persist()/checkpoint() of the shingle table.
+    // (frequency dim, prefix ranking, verify x2) and a Generate over an
+    // inline expensive lineage re-evaluates it per exploded element
+    // (measured 8.2s -> 0.2s at sf0.1 on the HOF form); on a real
+    // cluster this is persist()/checkpoint() of the shingle table.
     val grams = docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))
-        .as("gs"))
+      .select(col("doc_id"),
+        graft.expressions.functions.ngram_shingles(col("toks"), n, distinct = true).as("gs"))
       .localCheckpoint()
     val freq = grams.select(explode(col("gs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("freq"))

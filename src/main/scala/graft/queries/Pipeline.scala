@@ -350,22 +350,17 @@ object Pipeline {
     // agree cross-engine or every downstream hash diverges).
     QEntry("q50_shingles",
       (s, d) => {
-        // Each stage is its own projection: a lambda body like
-        // `get(toks, i)` re-evaluates its whole argument subtree PER
-        // ELEMENT, so tokenization must be a materialized column (an
-        // attribute read) before any transform references it.
-        val toksCol = split(lower(col("text")), "\\s+")
-        val n = size(col("toks"))
-        // sequence(0, n-3) DESCENDS when n < 3 — guard short docs
-        val shingles = when(n >= 3, transform(sequence(lit(0), n - 3),
-            i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
-              get(col("toks"), i + 2))))
-          .otherwise(array().cast("array<string>"))
+        // Production path: the fused NgramShingles expression (one
+        // codegen'd loop; empty array for short docs). The staged-HOF
+        // formulation it replaced — materialize toks, then
+        // transform(sequence, get/get/get), then array_distinct, each
+        // in its own projection — survives as the differential-spec
+        // reference (ExactJoinSpec), same pattern as lshBucket.
         Tables.documents(s, d)
-          .select(col("doc_id"), toksCol.as("toks"))
-          .select(col("doc_id"), n.as("n_tokens"), shingles.as("shingles"))
-          .select(col("doc_id"), col("n_tokens"),
-            size(array_distinct(col("shingles"))).as("n_shingles"))
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            size(graft.expressions.functions.ngram_shingles(
+              col("toks"), 3, distinct = true)).as("n_shingles"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,

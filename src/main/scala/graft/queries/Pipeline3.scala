@@ -41,10 +41,9 @@ object Pipeline3 {
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
-            transform(sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
-                get(col("toks"), i + 2))).as("gs"))
-          // explode over the inline lambda lineage re-evaluates it per
+            graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = false)
+              .as("gs"))
+          // explode over an inline expensive lineage re-evaluates it per
           // element (memory; q61) — checkpoint the tiny gram table first
           .localCheckpoint()
         grams.select(col("doc_id"), explode(col("gs")).as("g"))
@@ -116,9 +115,8 @@ object Pipeline3 {
         def shingles(df: org.apache.spark.sql.DataFrame, idAs: String) = df
           .select(col("doc_id").as(idAs), split(lower(col("text")), "\\s+").as("toks"))
           .filter(size(col("toks")) >= 5)
-          .select(col(idAs), explode(array_distinct(
-            transform(sequence(lit(0), size(col("toks")) - 5),
-              i => concat_ws(" ", (0 until 5).map(j => get(col("toks"), i + j)): _*))))
+          .select(col(idAs), explode(
+            graft.expressions.functions.ngram_shingles(col("toks"), 5, distinct = true))
             .as("g"))
         val benchDocs = docs.filter(col("doc_id") % 10 === 0)
         val bench = shingles(benchDocs, "bench_id")

@@ -62,6 +62,25 @@ class ExactJoinSpec extends SparkSpec {
     assert(got == Set((0L, 1L)), s"wrong pairs: $got")
   }
 
+  test("fused ngram_shingles agrees with the HOF reference on real docs") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    for ((n, distinct) <- Seq((2, true), (3, true), (3, false), (5, true))) {
+      // reference: staged HOF formulation (guarded sequence, concat_ws,
+      // optional array_distinct) — the pre-fusion q50/q61 shape
+      val hofRaw = when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(col("toks"), i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val hof = if (distinct) array_distinct(hofRaw) else hofRaw
+      val diff = docs.select(
+        graft.expressions.functions.ngram_shingles(col("toks"), n, distinct).as("fused"),
+        hof.as("hof"))
+        .filter(col("fused") =!= col("hof")).count()
+      assert(diff == 0, s"n=$n distinct=$distinct: $diff docs differ fused vs HOF")
+    }
+  }
+
   test("fused lsh_bucket_long agrees with the HOF reference on every corpus vector") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
