@@ -55,4 +55,44 @@ object RangeJoin {
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__rj_bin")
   }
+
+  /** Band (self-)join: all pairs of rows whose numeric `valCol` differ
+    * by at most `eps` — scalar similarity blocking (numeric near-dup,
+    * co-occurrence-in-time), without the O(n²) theta join.
+    *
+    * Same bin rewrite as [[binned]]: with bins of width `eps`, a
+    * qualifying pair is always in the same or adjacent bins, so the
+    * LEFT side probes {bin, bin+1} (explode, 2 rows/point) and an
+    * equality join + residual |a-b| <= eps filter finds every pair
+    * exactly. Same-bin pairs arrive twice (each side probes its own
+    * bin) — the `a < b` ordering plus distinct dedups. Shuffle is
+    * O(2n) rows keyed by bin; bin cardinality grows with the value
+    * domain, skew only if the VALUES pile up (then shrink eps or salt).
+    *
+    * @param df     (idCol, valCol) — idCol must be unique
+    * @return (a_id, b_id, a_val, b_val) with a_id < b_id
+    */
+  def bandJoin(df: DataFrame, idCol: String, valCol: String, eps: Long): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val bin = floor(col(valCol) / eps).cast("long")
+    val probes = df.select(col(idCol).as("a_id"), col(valCol).as("a_val"),
+      explode(array(bin, bin + 1)).as("__bj_bin"))
+    val owners = df.select(col(idCol).as("b_id"), col(valCol).as("b_val"),
+      bin.as("__bj_bin"))
+    // A cross-bin pair is found only via the LOWER-bin point's upward
+    // probe, whichever id that is — so normalize (least, greatest)
+    // AFTER the match rather than filtering a_id < b_id during it
+    // (that would lose pairs where the higher id sits in the lower
+    // bin). Same-bin pairs match twice and collapse in the distinct.
+    probes.join(owners, "__bj_bin")
+      .filter(col("a_id") =!= col("b_id") &&
+        abs(col("a_val") - col("b_val")) <= eps)
+      .select(least(col("a_id"), col("b_id")).as("p_a"),
+        greatest(col("a_id"), col("b_id")).as("p_b"),
+        when(col("a_id") < col("b_id"), col("a_val")).otherwise(col("b_val")).as("p_av"),
+        when(col("a_id") < col("b_id"), col("b_val")).otherwise(col("a_val")).as("p_bv"))
+      .select(col("p_a").as("a_id"), col("p_b").as("b_id"),
+        col("p_av").as("a_val"), col("p_bv").as("b_val"))
+      .distinct()
+  }
 }

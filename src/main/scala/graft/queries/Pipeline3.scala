@@ -148,6 +148,24 @@ object Pipeline3 {
               WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
               GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // Scalar band self-join (RangeJoin.bandJoin): all event pairs
+    // within one second of each other — temporal co-occurrence blocking
+    // without the O(n²) theta join (the same bin rewrite as q59, both
+    // sides the corpus). Oracle is the brute-force BETWEEN self-join
+    // (DuckDB IEJoin handles it at fixture scale), so the gate proves
+    // the bin rewrite loses no pair.
+    QEntry("q75_band_join",
+      (s, d) => graft.operators.RangeJoin.bandJoin(
+        Tables.events(s, d).select(col("event_id"), expr("ts div 1000").as("us")),
+        idCol = "event_id", valCol = "us", eps = 1000000L)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id,
+               epoch_us(a.ts) AS a_val, epoch_us(b.ts) AS b_val
+              FROM events a JOIN events b
+                ON a.event_id < b.event_id
+               AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+              ORDER BY a_id, b_id""")),
+
     // RANGE-frame window (value-based frame, not row-count): per user,
     // the count and cents-sum of their events in the PRECEDING 10
     // MINUTES of event time — the moving-aggregate analytic. Frame

@@ -30,6 +30,20 @@ class OperatorsFuzzSpec extends SparkSpec {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("band join == brute-force |a-b| <= eps self-join on random data") {
+    val rnd = new Random(99)
+    val pts = (1 to 400).map(i => (i.toLong, rnd.between(-1000L, 1000L))).toDF("id", "v")
+    val got = RangeJoin.bandJoin(pts, "id", "v", eps = 7L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("a_id"), col("v").as("av"))
+    val brute = a.crossJoin(pts.select(col("id").as("b_id"), col("v").as("bv")))
+      .filter(col("a_id") < col("b_id") && abs(col("av") - col("bv")) <= 7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("heavy hitters == GROUP BY HAVING on random zipf-ish data") {
     val rnd = new Random(7)
     // skewed: ~half the mass on 6 hot keys, rest over ~400 tail keys
