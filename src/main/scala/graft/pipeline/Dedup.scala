@@ -41,18 +41,21 @@ object Dedup {
     * 1-(1-J^(numHashes/bands))^bands — pick bands so that candidates
     * below the verify threshold are rare (default 32 hashes / 4 bands of
     * 8 targets J >= ~0.8). */
-  def minhashNearDupPairs(
+  /** (doc_id, band, sig) LSH band buckets per doc — the shared
+    * candidate-generation core of [[minhashNearDupPairs]] (batch
+    * all-pairs) and [[streamingNearDupCandidates]] (incremental). The
+    * signature is one fused codegen'd expression
+    * (graft.expressions.MinHashSignature) — ~1000x less per-row
+    * overhead than the equivalent 32 x array_min(transform(...)) lambda
+    * tree — and works unchanged in a streaming projection. */
+  def minhashBuckets(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 32,
       bands: Int = 4,
-      shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      shingleK: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // fused custom expression: whole signature in one codegen'd loop
-    // (graft.expressions.MinHashSignature) — ~1000x less per-row overhead
-    // than the equivalent 32 x array_min(transform(...)) lambda tree.
     val sig = docs
       .select(col(idCol).as("doc_id"),
         graft.expressions.functions.minhash_signature(
@@ -62,8 +65,42 @@ object Dedup {
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Incremental near-dup candidacy: band buckets of an ARRIVING doc
+    * stream joined against a precomputed static corpus bucket table
+    * (stream-static inner joins need no watermark state — the static
+    * side is a lookup). Emits (new_id, corpus_id, band) collisions;
+    * exact verification and cross-batch dedup belong to the sink's
+    * foreachBatch (they need per-batch scope), which is how a corpus
+    * absorbs new documents without re-minhashing itself. Works
+    * identically on batch inputs (differential-spec'd). */
+  def streamingNearDupCandidates(
+      stream: DataFrame,
+      corpusBuckets: DataFrame, // from [[minhashBuckets]]
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 4,
+      shingleK: Int = 3): DataFrame =
+    minhashBuckets(stream, idCol, textCol, numHashes, bands, shingleK)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(corpusBuckets.withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band", "sig"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), col("band"))
+
+  def minhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val buckets = minhashBuckets(docs, idCol, textCol, numHashes, bands, shingleK)
     // candidate pairs in ONE pass: group per bucket, emit in-group
     // combinations (a < b). A self-join here would recompute the whole
     // signature lineage twice — the group-by scans it once. Degenerate

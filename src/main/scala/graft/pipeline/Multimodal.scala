@@ -61,6 +61,33 @@ object Multimodal {
     docs.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  case class Thumb(media_id: Long, w: Int, h: Int, pixels: Array[Byte])
+
+  /** Resize/thumbnail stage: every payload down to a fixed w x h byte
+    * grid by strided sampling — the STUB stand-in for a real scaler
+    * (swap the inner loop for an image library and the stage stands).
+    * Output size is constant per row regardless of input size, which is
+    * the property the downstream feature-extract batch shape relies on.
+    */
+  def resizeStub(cells: Dataset[MediaCell], w: Int, h: Int): Dataset[Thumb] = {
+    require(w > 0 && h > 0, s"bad thumb size: ${w}x$h")
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.map { c =>
+        val n = c.payload.length
+        val out = new Array[Byte](w * h)
+        if (n > 0) {
+          var i = 0
+          while (i < out.length) {
+            out(i) = c.payload((i.toLong * n / out.length).toInt)
+            i += 1
+          }
+        }
+        Thumb(c.media_id, w, h, out)
+      }
+    }
+  }
+
   case class FrameSample(
       media_id: Long,
       frame_idx: Long,       // index in the FULL frame sequence

@@ -210,6 +210,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).n_bytes == 0)
   }
 
+  test("resize stub: constant output size, deterministic, empty-safe") {
+    import spark.implicits._
+    val cells = Seq(
+      Multimodal.MediaCell(1L, (0 until 100).map(_.toByte).toArray),
+      Multimodal.MediaCell(2L, Array[Byte](7)),
+      Multimodal.MediaCell(3L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.resizeStub(cells, 4, 4).collect()
+      .map(t => t.media_id -> t).toMap
+    assert(out.values.forall(t => t.pixels.length == 16))
+    assert(out(1L).pixels(0) == 0 && out(1L).pixels(15) == ((15 * 100 / 16)).toByte)
+    assert(out(2L).pixels.forall(_ == 7))
+    assert(out(3L).pixels.forall(_ == 0))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeStub(cells, 4, 4).collect()
+      .map(t => t.media_id -> t.pixels.toSeq).toMap
+    assert(out.map { case (k, v) => k -> v.pixels.toSeq } == again)
+  }
+
   test("frame sampling: every k-th frame, partial tail, empty payload") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](25)(_.toByte) // frames of 10: 3 (last=5 bytes)

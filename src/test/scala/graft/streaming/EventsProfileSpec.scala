@@ -91,6 +91,49 @@ class EventsProfileSpec extends SparkSpec {
       s"stream vs batch: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("streaming LSH: arriving docs find their corpus near-dup candidates") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.pipeline.Dedup
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val arriving = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"))
+    // static corpus bucket table (precomputed once, the incremental
+    // pattern's whole point)
+    val corpusBuckets = Dedup.minhashBuckets(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    arriving.write.mode("overwrite").parquet(dir.toString)
+    val schema = arriving.schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = Dedup.streamingNearDupCandidates(stream, corpusBuckets, "doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lsh_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lsh_stream")
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.streamingNearDupCandidates(
+      arriving, corpusBuckets, "doc_id", "text")
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    // and the candidates agree with the all-pairs batch operator where
+    // scopes overlap: every verified cross-boundary near-dup pair must
+    // have been a streaming candidate (candidates are a superset).
+    val allPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val crossBoundary = allPairs.collect {
+      case (a, b) if a < 400 && b >= 400 => (b, a)
+      case (a, b) if b < 400 && a >= 400 => (a, b)
+    }.toSet
+    assert(crossBoundary.subsetOf(streamed),
+      s"verified cross pairs missed by the stream: ${(crossBoundary -- streamed).take(5)}")
+  }
+
   test("stateful sessionization counts all events exactly once") {
     val ev = graft.queries.Tables.events(spark, sf)
     val sessions = EventsProfile.sessionize(spark, ev, gapUs = 60L * 1000 * 1000)
