@@ -213,12 +213,57 @@ object Similarity {
     * window over the ×nList-amplified rows, so the shuffle stays
     * O(corpus)). Probes broadcast to the corpus side; only candidate
     * rows reach the final top-k shuffle. */
+  /** Lloyd-trained IVF centroids (spherical k-means over the quantized
+    * vectors): assignment by the SAME cosine score the probe phase uses,
+    * update = element-wise mean (posexplode → per-(cluster, dim) avg —
+    * a partial+final aggregate, never a per-cluster collect), empty
+    * clusters keep their previous centroid. The training corpus can be
+    * a hash-sample (`sampleMod`) — centroid quality needs a sample, not
+    * the corpus. Deterministic end to end (no RNG: seeds are the first
+    * `nList` sample vectors, ties break on cid). Feed the result to
+    * [[cosineTopKIvf]]'s `centroids` parameter; the probe dataflow is
+    * unchanged. */
+  def trainCentroids(
+      corpus: DataFrame, nList: Int, iters: Int = 2,
+      sampleMod: Long = 1L): DataFrame = {
+    require(iters >= 1 && nList >= 1 && sampleMod >= 1)
+    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .localCheckpoint()
+    var cent = sample.orderBy(col("vec_id")).limit(nList)
+      .select(col("vec_id").as("cid"), col("qe").as("cente"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withNc = cent.withColumn("nc", dotQ(col("cente"), col("cente")))
+      val assigned = sample.join(broadcast(withNc), lit(true))
+        .withColumn("cscore",
+          dotQ(col("qe"), col("cente")).cast("double") / sqrt(col("nc")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qe")).as("qe"),
+          max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("qe")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), s => round(s.getField("m")).cast("long")).as("mean"))
+      cent = cent
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mean"), col("cente")).as("cente"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   def cosineTopKIvf(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nList: Int = 16, nProbe: Int = 4,
-      maxQueries: Long = MaxBroadcastQueries): DataFrame = {
-    val cent = corpus.orderBy(col("vec_id")).limit(nList)
-      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cente"))
+      maxQueries: Long = MaxBroadcastQueries,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      corpus.orderBy(col("vec_id")).limit(nList)
+        .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cente")))
       .withColumn("nc", dotQ(col("cente"), col("cente")))
 
     // nearest centroid per corpus vector: |ce| is constant within the

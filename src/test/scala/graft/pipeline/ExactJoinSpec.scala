@@ -91,6 +91,29 @@ class ExactJoinSpec extends SparkSpec {
     assert(diff == 0, s"$diff vectors bucket differently fused vs HOF")
   }
 
+  test("trained IVF centroids: same dataflow, recall not worse than untrained") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def topIds(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topIds(Similarity.cosineTopK(queries, emb, 5))
+    val untrained = topIds(Similarity.cosineTopKIvf(queries, emb, k = 5,
+      nList = 16, nProbe = 4))
+    val cents = Similarity.trainCentroids(emb, nList = 16, iters = 2)
+    val trained = topIds(Similarity.cosineTopKIvf(queries, emb, k = 5,
+      nList = 16, nProbe = 4, centroids = Some(cents)))
+    def recall(got: Set[(Long, Long)]) =
+      got.intersect(brute).size.toDouble / brute.size
+    assert(cents.count() == 16)
+    assert(trained.nonEmpty && trained.forall { case (q, _) => brute.exists(_._1 == q) })
+    assert(recall(trained) >= recall(untrained) - 1e-9,
+      s"training hurt recall: trained=${recall(trained)} untrained=${recall(untrained)}")
+    assert(recall(trained) > 0.2, s"implausibly low trained recall: ${recall(trained)}")
+  }
+
   test("cosine pairs agree with brute-force verification on real embeddings") {
     // Precision check on the corpus: every emitted pair really has
     // cos >= threshold (recomputed directly), and pair keys are a<b.
