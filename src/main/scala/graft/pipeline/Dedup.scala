@@ -92,6 +92,63 @@ object Dedup {
       .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"), col("band"))
 
+  /** The incremental-corpus near-dup loop, end to end: a foreachBatch
+    * sink that, per micro-batch of arriving docs,
+    *
+    *  1. absorbs the batch into the running bucket/token state FIRST
+    *     (so same-batch near-dups are found too),
+    *  2. generates candidates = batch buckets x all buckets so far,
+    *  3. verifies them exactly (token Jaccard >= tNum/tDen, normalized
+    *     (least, greatest) pairs, deduped within the batch), and
+    *  4. hands the verified pairs to `onPairs`.
+    *
+    * State lives as localCheckpoint'd frames swapped per batch — on a
+    * real cluster these become reliable-checkpointed / Delta tables,
+    * but the DATAFLOW (never re-minhash the corpus; each batch costs
+    * O(batch x collisions)) is the point. Verified-pair emission is
+    * per-batch exactly-once under AvailableNow; across restarts the
+    * sink inherits foreachBatch's at-least-once contract. */
+  final class IncrementalNearDup(
+      corpusDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      tNum: Int = 4,
+      tDen: Int = 5,
+      onPairs: DataFrame => Unit) {
+
+    @volatile private var buckets =
+      minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
+        .localCheckpoint()
+    @volatile private var toks =
+      tokenArrays(corpusDocs, idCol, textCol).localCheckpoint()
+
+    /** foreachBatch body — also callable directly on batch frames. */
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      val newBuckets =
+        minhashBuckets(batch, idCol, textCol, numHashes, bands, shingleK)
+          .localCheckpoint()
+      buckets = buckets.union(newBuckets).localCheckpoint()
+      toks = toks.union(tokenArrays(batch, idCol, textCol)).localCheckpoint()
+      val cand = newBuckets.withColumnRenamed("doc_id", "new_id")
+        .join(buckets.withColumnRenamed("doc_id", "other_id"), Seq("band", "sig"))
+        .filter(col("new_id") =!= col("other_id"))
+        .select(least(col("new_id"), col("other_id")).as("a_id"),
+          greatest(col("new_id"), col("other_id")).as("b_id"))
+        .distinct()
+      onPairs(verifyJaccard(cand, toks, 0.0)
+        .filter(col("inter") * tDen >= col("uni") * tNum))
+    }
+
+    def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+  }
+
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,

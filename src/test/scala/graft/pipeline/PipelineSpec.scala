@@ -34,6 +34,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false pair: $pairs")
   }
 
+  test("incremental near-dup loop equals the batch operator across micro-batches") {
+    val all = graft.queries.Tables.documents(spark, sf)
+    val corpus = all.filter(col("doc_id") < 300)
+    val arriving = all.filter(col("doc_id") >= 300).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("docs_inc")
+    arriving.repartition(2).write.mode("overwrite").parquet(dir.toString)
+
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val inc = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
+      onPairs = df => got.synchronized {
+        got ++= df.select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      })
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(dir.toString)
+    val q = inc.start(stream)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch ground truth: every verified near-dup pair involving at
+    // least one arriving doc (pairs fully inside the corpus are the
+    // corpus's own dedup, not this operator's job)
+    val expected = Dedup.minhashNearDupPairs(all, "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 300 || b >= 300 }.toSet
+    assert(expected.nonEmpty, "fixture has no cross/new near-dup pairs")
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got.toSet -- expected).take(5)}")
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated far") {
     val sigs = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
