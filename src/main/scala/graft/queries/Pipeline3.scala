@@ -148,6 +148,39 @@ object Pipeline3 {
               WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
               GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // Fuzzy string join (operators/FuzzyJoin): typo'd customer names
+    // matched back to the clean dimension at edit distance <= 1 via
+    // symmetric-deletion blocking — candidates from an equi-join on
+    // deletion signatures, exact levenshtein on candidates only. The
+    // oracle is the brute-force theta join, so the gate proves the
+    // blocking lossless (typos synthesized identically in both engines:
+    // delete the (custkey/10 mod len)-th char).
+    QEntry("q76_fuzzy_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val p = (expr("c_custkey div 10") % length(col("c_name"))).cast("int")
+        val typo = concat(col("c_name").substr(lit(1), p),
+          col("c_name").substr(p + 2, length(col("c_name"))))
+        val typos = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("t_key"), typo.as("t_name"))
+        graft.operators.FuzzyJoin.editDistance1(
+          typos, "t_key", "t_name",
+          cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name")
+          .select(col("left_id").as("t_key"), col("right_id").as("c_custkey"),
+            col("dist"))
+          .orderBy(col("t_key"), col("c_custkey"))
+      },
+      Some("""WITH t AS (
+                SELECT c_custkey AS t_key,
+                  substr(c_name, 1, CAST((c_custkey // 10) % length(c_name) AS BIGINT)) ||
+                  substr(c_name, CAST((c_custkey // 10) % length(c_name) AS BIGINT) + 2)
+                    AS t_name
+                FROM customer WHERE c_custkey % 10 = 0)
+              SELECT t.t_key, c.c_custkey,
+                     levenshtein(t.t_name, c.c_name) AS dist
+              FROM t JOIN customer c ON levenshtein(t.t_name, c.c_name) <= 1
+              ORDER BY t_key, c_custkey""")),
+
     // Scalar band self-join (RangeJoin.bandJoin): all event pairs
     // within one second of each other — temporal co-occurrence blocking
     // without the O(n²) theta join (the same bin rewrite as q59, both

@@ -61,6 +61,22 @@ class OperatorsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join == brute-force levenshtein<=1 join on random strings") {
+    val rnd = new Random(21)
+    def word() = (1 to rnd.between(3, 9)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val lefts = (1 to 150).map(i => (i.toLong, word())).toDF("id", "s")
+    val rights = (1 to 150).map(i => (i.toLong, word())).toDF("id", "s")
+    val got = FuzzyJoin.editDistance1(lefts, "id", "s", rights, "id", "s")
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val brute = lefts.select(col("id").as("l"), col("s").as("a"))
+      .crossJoin(rights.select(col("id").as("r"), col("s").as("b")))
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+      .select("l", "r").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "degenerate fixture: no close pairs")
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("multi-distinct == count_distinct on random data with null stripes") {
     val rnd = new Random(13)
     val df = (1 to 2000).map { _ =>
