@@ -148,6 +148,48 @@ object Pipeline3 {
               WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
               GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // Time-series resample + gap-fill + forward-fill: per user, a dense
+    // hourly grid over their active span (sequence + explode — the
+    // gap-filling idiom), hourly cents left-joined on, missing hours
+    // forward-filled with `last(_, ignoreNulls)` over a per-user window.
+    // Partitioned window, grid bounded by span/granularity — no global
+    // sort, no driver loop.
+    QEntry("q77_resample_ffill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hr"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+        val hourly = e.groupBy(col("user_id"), col("hr"))
+          .agg(sum(col("c")).cast("long").as("cents"))
+        val grid = e.groupBy(col("user_id"))
+          .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            col("cents").isNotNull.as("observed"),
+            last(col("cents"), ignoreNulls = true).over(w).as("cents_ffill"))
+          .orderBy(col("user_id"), col("hr"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                       CAST(round(value*100) AS BIGINT) AS c
+                FROM events),
+              hourly AS (
+                SELECT user_id, hr, CAST(sum(c) AS BIGINT) AS cents
+                FROM e GROUP BY user_id, hr),
+              span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM e GROUP BY user_id),
+              grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hr FROM span)
+              SELECT g.user_id, g.hr,
+                h.cents IS NOT NULL AS observed,
+                last_value(h.cents IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.hr) AS cents_ffill
+              FROM grid g LEFT JOIN hourly h
+                ON h.user_id = g.user_id AND h.hr = g.hr
+              ORDER BY g.user_id, g.hr""")),
+
     // Fuzzy string join (operators/FuzzyJoin): typo'd customer names
     // matched back to the clean dimension at edit distance <= 1 via
     // symmetric-deletion blocking — candidates from an equi-join on

@@ -59,8 +59,14 @@ class BucketingSpec extends SparkSpec {
     assert(!joinPart.contains("Exchange"),
       s"bucketed join should not shuffle:\n${plan.take(1200)}")
 
-    val n = joined.agg(sum(col("n"))).collect().head.getLong(0)
-    assert(n == graft.queries.Tables.lineitem(spark, sf).count())
+    // results equal the plain (unbucketed) join, group by group
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = graft.queries.Tables.lineitem(spark, sf)
+      .join(graft.queries.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"bucketed join results differ: $got vs $exp")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
