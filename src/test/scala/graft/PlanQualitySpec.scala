@@ -134,6 +134,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"recount SMJ:\n$plan")
   }
 
+  test("q75/q76 blocking joins: equality joins only, never nested-loop/cartesian") {
+    for (q <- Seq("q75_band_join", "q76_fuzzy_join")) {
+      val plan = finalPlan(query(q))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+        s"$q: blocking degraded to O(n*m) compares:\n$plan")
+    }
+  }
+
+  test("q77 resample: every window partitioned by user, no global sort of the grid") {
+    val plan = finalPlan(query("q77_resample_ffill"))
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in q77 plan:\n$plan")
+    assert(windowSpecs.forall(_.contains("user_id")),
+      s"unpartitioned window over the dense grid:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length
