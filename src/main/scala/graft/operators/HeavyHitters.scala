@@ -70,7 +70,12 @@ object HeavyHitters {
       .mapPartitions(misraGries(cap))
       .toDF("key").distinct()
     val n = keyed.count() // cheap: counts the checkpointed blocks
-    keyed.join(broadcast(candidates), "key")
+    // Null-safe (<=>) recount: GROUP BY treats NULL as a real group, and
+    // the MG sweep can legitimately keep a null key as a candidate — a
+    // plain equi-join would silently drop it even above the threshold.
+    keyed.join(
+        broadcast(candidates.withColumnRenamed("key", "__cand_key")),
+        col("key") <=> col("__cand_key"))
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > n)
   }

@@ -43,7 +43,11 @@ object MultiDistinct {
         .filter(col(c).isNotNull)
         .distinct()
         .groupBy(keyCols: _*).agg(count(lit(1)).as(outName))
-      acc.join(nd, keys, "left")
+      // Null-safe (<=>) join: groupBy treats NULL as a real group, and a
+      // name-based equi-join would never match it, zeroing its counts.
+      val ndR = keys.foldLeft(nd)((d, k) => d.withColumnRenamed(k, s"__nd_$k"))
+      val cond = keys.map(k => col(k) <=> col(s"__nd_$k")).reduce(_ && _)
+      keys.foldLeft(acc.join(ndR, cond, "left"))((d, k) => d.drop(s"__nd_$k"))
         .withColumn(outName, coalesce(col(outName), lit(0L)))
     }
   }

@@ -117,6 +117,7 @@ object Dedup {
       shingleK: Int = 3,
       tNum: Int = 4,
       tDen: Int = 5,
+      maxBucket: Int = 1000,
       onPairs: DataFrame => Unit) {
 
     @volatile private var buckets =
@@ -132,7 +133,17 @@ object Dedup {
           .localCheckpoint()
       buckets = buckets.union(newBuckets).localCheckpoint()
       toks = toks.union(tokenArrays(batch, idCol, textCol)).localCheckpoint()
+      // Same degenerate-bucket cap as the batch twin minhashNearDupPairs:
+      // a mass-exact-dup bucket would make this join m² per batch. The
+      // cap is measured over the RUNNING corpus state (batch included),
+      // so a bucket that crosses maxBucket stops emitting pairs from
+      // that point on — exact dups are [[exactGroups]]' job anyway.
+      val oversized = buckets.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket)
+        .select(col("band"), col("sig"))
       val cand = newBuckets.withColumnRenamed("doc_id", "new_id")
+        .join(oversized, Seq("band", "sig"), "left_anti")
         .join(buckets.withColumnRenamed("doc_id", "other_id"), Seq("band", "sig"))
         .filter(col("new_id") =!= col("other_id"))
         .select(least(col("new_id"), col("other_id")).as("a_id"),

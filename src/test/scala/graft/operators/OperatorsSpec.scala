@@ -87,6 +87,18 @@ class HeavyHittersSpec extends SparkSpec {
       HeavyHitters.exact(df, col("k"), k = 10, capacity = 5)
     }
   }
+
+  test("a NULL key above threshold is reported (GROUP BY semantics)") {
+    // n = 100, k = 3 → threshold 33.3: null (40) qualifies, "b" (25)
+    // doesn't. A null-unsafe recount join would silently drop the null
+    // group even though GROUP BY (and the q63 oracle shape) reports it.
+    val rows: Seq[String] = Seq.fill(40)(null: String) ++
+      Seq.fill(25)("b") ++ (1 to 35).map(i => s"t$i")
+    val df = rows.toDF("k").repartition(4)
+    val got = HeavyHitters.exact(df, col("k"), k = 3).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got == Map(Option.empty[String] -> 40L), s"wrong hitters: $got")
+  }
 }
 
 class MultiDistinctSpec extends SparkSpec {
@@ -117,5 +129,21 @@ class MultiDistinctSpec extends SparkSpec {
     val plan = MultiDistinct.exact(df, Seq("g"), Seq("nd_a" -> "a", "nd_b" -> "b"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"Expand in plan:\n$plan")
+  }
+
+  test("a NULL grouping key keeps its distinct counts (null-safe join)") {
+    // groupBy treats NULL as a real group; a name-based equi-join would
+    // never match it and coalesce its counts to 0.
+    val ndf = Seq((Some("g1"), Some(1)), (None, Some(2)), (None, Some(3)),
+      (None, Option.empty[Int])).toDF("g", "a")
+    val got = MultiDistinct.exact(ndf, Seq("g"), Seq("nd_a" -> "a"))
+      .select("g", "cnt", "nd_a").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    val exp = ndf.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("a")).as("nd_a"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, s"got $got vs expand-based $exp")
+    assert(got.contains((None, 3L, 2L)), s"null group wrong: $got")
   }
 }

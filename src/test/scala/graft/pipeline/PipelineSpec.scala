@@ -66,6 +66,26 @@ class DedupSpec extends SparkSpec {
       s"missing=${(expected -- got).take(5)} extra=${(got.toSet -- expected).take(5)}")
   }
 
+  test("incremental near-dup caps degenerate buckets like the batch twin") {
+    import spark.implicits._
+    // 5 copies of dupText across corpus+batch blow past maxBucket=2 →
+    // that bucket stops emitting pairs (exact dups are exactGroups' job);
+    // the well-behaved 2-member bucket (10,11) still emits.
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val pairText = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, dupText), (2L, dupText), (3L, dupText),
+      (10L, pairText)).toDF("doc_id", "text")
+    val batch = Seq((4L, dupText), (5L, dupText), (11L, pairText))
+      .toDF("doc_id", "text")
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val inc = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
+      maxBucket = 2,
+      onPairs = df => got ++= df.select("a_id", "b_id")
+        .as[(Long, Long)].collect())
+    inc.processBatch(batch, 0L)
+    assert(got.toSet == Set((10L, 11L)), s"got $got")
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated far") {
     val sigs = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
