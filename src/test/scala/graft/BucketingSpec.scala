@@ -71,4 +71,30 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("q78 gate query: join keys never exchange (bucket layout honored)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Relational3.entries
+        .find(_.name == "q78_bucketed_fact_join").get.fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join key exchanged despite buckets:\n${plan.take(1500)}")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q79 gate query: the per-user window runs without an exchange") {
+    val df = graft.queries.Relational3.entries
+      .find(_.name == "q79_bucketed_asof").get.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning(user_id"),
+      s"user_id exchanged despite buckets:\n${plan.take(1500)}")
+    assert(df.count() > 0)
+  }
 }
