@@ -225,13 +225,16 @@ object Similarity {
     * unchanged. */
   def trainCentroids(
       corpus: DataFrame, nList: Int, iters: Int = 2,
-      sampleMod: Long = 1L): DataFrame = {
+      sampleMod: Long = 1L,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && nList >= 1 && sampleMod >= 1)
     val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .localCheckpoint()
-    var cent = sample.orderBy(col("vec_id")).limit(nList)
-      .select(col("vec_id").as("cid"), col("qe").as("cente"))
+    var cent = seeds.getOrElse(
+        sample.orderBy(col("vec_id")).limit(nList)
+          .select(col("vec_id").as("cid"), col("qe").as("cente")))
+      .select(col("cid"), col("cente"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val withNc = cent.withColumn("nc", dotQ(col("cente"), col("cente")))
@@ -254,6 +257,106 @@ object Similarity {
         .localCheckpoint()
     }
     cent
+  }
+
+  /** k-means|| seeding (Bahmani et al., VLDB 2012) for [[trainCentroids]]
+    * — the quality upgrade over the deterministic first-`nList` seeds,
+    * kept deterministic: every "random" draw is a hash of (vec_id,
+    * round), so the same corpus always yields the same seeds on any
+    * cluster.
+    *
+    * Dataflow (all distributed except the final reduction):
+    *  1. start from the min-vec_id sample vector;
+    *  2. `rounds` times, score every sample point's cost
+    *     (1 - cosine to nearest current candidate; one broadcast pass +
+    *     hash agg, no window) and admit points with
+    *     hash-uniform u < l*cost/totalCost — an expected `l` oversample
+    *     per round, cost-proportional exactly as the paper prescribes;
+    *  3. weight each candidate by the number of sample points nearest to
+    *     it (one more broadcast pass + count agg);
+    *  4. reduce the O(l*rounds) weighted candidates to `nList` seeds with
+    *     a deterministic greedy weighted farthest-first sweep ON THE
+    *     DRIVER — the candidate set is bounded by construction (that
+    *     driver-side local clustering is the standard k-means|| shape;
+    *     Spark MLlib's KMeans does the same with local k-means++).
+    *
+    * Feed the result to [[trainCentroids]]' `seeds` — Lloyd then starts
+    * from spread-out, mass-weighted seeds instead of whatever the first
+    * `nList` vec_ids happen to be. */
+  def kmeansParallelSeeds(
+      corpus: DataFrame, nList: Int,
+      l: Int = 0, rounds: Int = 3,
+      sampleMod: Long = 1L): DataFrame = {
+    require(nList >= 1 && rounds >= 1 && sampleMod >= 1)
+    val over = if (l > 0) l else 2 * nList
+    val spark = corpus.sparkSession
+    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nq", dotQ(col("qe"), col("qe")))
+      .filter(col("nq") > 0) // zero vectors have no cosine direction
+      .localCheckpoint()
+    var cands = sample.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("qe").as("cente"))
+      .localCheckpoint()
+
+    def costPerPoint(c: DataFrame): DataFrame = {
+      val wc = c.withColumn("nc", dotQ(col("cente"), col("cente")))
+      sample.join(broadcast(wc), lit(true))
+        .withColumn("cscore", dotQ(col("qe"), col("cente")).cast("double") /
+          (sqrt(col("nc")) * sqrt(col("nq"))))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qe")).as("qe"),
+          (lit(1.0) - max(col("cscore"))).as("cost"),
+          max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("near"))
+    }
+
+    for (r <- 1 to rounds) {
+      val cost = costPerPoint(cands)
+      val total = cost.agg(sum(col("cost"))).head.getDouble(0)
+      if (total > 0) {
+        val picked = cost
+          .withColumn("u",
+            pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000L)).cast("double") / 1e6)
+          .filter(col("u") * total < col("cost") * over)
+          .select(col("vec_id").as("cid"), col("qe").as("cente"))
+        cands = cands.union(picked).distinct().localCheckpoint()
+      }
+    }
+
+    // candidate weights = size of each candidate's nearest-neighbor cell
+    val weights = costPerPoint(cands)
+      .groupBy(col("near").as("cid")).agg(count(lit(1)).as("w"))
+    val weighted = cands.join(weights, Seq("cid"), "left")
+      .select(col("cid"), col("cente"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect() // bounded: O(l * rounds) candidates by construction
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+
+    // deterministic greedy weighted farthest-first: heaviest candidate
+    // first, then repeatedly the candidate maximizing w * (1 - cos to
+    // the chosen set); ties break on min cid.
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    val remaining = scala.collection.mutable.ArrayBuffer(weighted: _*)
+    while (chosen.size < nList && remaining.nonEmpty) {
+      val best = remaining.minBy { case (cid, v, w) =>
+        val gain =
+          if (chosen.isEmpty) w.toDouble
+          else w.toDouble * (1.0 - chosen.iterator.map(c => cos(v, c._2)).max)
+        (-gain, cid)
+      }
+      chosen += ((best._1, best._2))
+      remaining -= best
+    }
+    import spark.implicits._
+    chosen.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cente")
   }
 
   def cosineTopKIvf(

@@ -114,6 +114,37 @@ class ExactJoinSpec extends SparkSpec {
     assert(recall(trained) > 0.2, s"implausibly low trained recall: ${recall(trained)}")
   }
 
+  test("k-means|| seeds: deterministic, spread out, and not worse than first-N") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val seeds = Similarity.kmeansParallelSeeds(emb, nList = 16)
+    val seeds2 = Similarity.kmeansParallelSeeds(emb, nList = 16)
+    // deterministic end to end (hash draws, greedy reduction)
+    val s1 = seeds.orderBy("cid").collect().map(_.getLong(0)).toSeq
+    assert(s1 == seeds2.orderBy("cid").collect().map(_.getLong(0)).toSeq)
+    assert(s1.size == 16 && s1.distinct.size == 16, s"bad seed set: $s1")
+
+    // quantization cost (avg 1 - cos to nearest centroid) after Lloyd:
+    // seeded training must not be worse than first-N-seeded training.
+    def cost(cents: org.apache.spark.sql.DataFrame): Double = {
+      val wc = cents.withColumn("nc",
+        graft.expressions.functions.dot_long(col("cente"), col("cente")))
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+        .withColumn("nq", graft.expressions.functions.dot_long(col("qe"), col("qe")))
+        .join(broadcast(wc), lit(true))
+        .withColumn("cscore",
+          graft.expressions.functions.dot_long(col("qe"), col("cente")).cast("double") /
+            (sqrt(col("nc")) * sqrt(col("nq"))))
+        .groupBy(col("vec_id")).agg((lit(1.0) - max(col("cscore"))).as("c"))
+        .agg(avg(col("c"))).head.getDouble(0)
+    }
+    val firstN = Similarity.trainCentroids(emb, nList = 16, iters = 2)
+    val seeded = Similarity.trainCentroids(emb, nList = 16, iters = 2,
+      seeds = Some(seeds))
+    val (cf, cs) = (cost(firstN), cost(seeded))
+    assert(cs <= cf + 1e-6, s"k-means|| seeding hurt: seeded=$cs firstN=$cf")
+  }
+
   test("cosine pairs agree with brute-force verification on real embeddings") {
     // Precision check on the corpus: every emitted pair really has
     // cos >= threshold (recomputed directly), and pair keys are a<b.
