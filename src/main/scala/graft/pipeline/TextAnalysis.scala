@@ -74,6 +74,50 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       graft.expressions.functions.min_md5_window(col(textCol), k).as("fingerprint"))
 
+  /** Benchmark-contamination audit over HASH-COMPRESSED word n-gram
+    * shingles: corpus docs sharing any n-gram with the benchmark slice,
+    * with per-doc shared-shingle and benchmark-doc counts.
+    *
+    * The wide-window upgrade of the q73 string-shingle audit (SURVEY.md
+    * §8.2): at n = 8 or 13 a raw shingle string is ~50–90 bytes, so the
+    * broadcast benchmark shingle table (and the join keys streaming
+    * through the probe side) grow ~10× over the 8-byte `xxhash64`
+    * compression. Hashing is SEMANTICALLY INVISIBLE modulo 64-bit
+    * collisions (~n²/2⁶⁵ — the q80 oracle joins on the raw strings,
+    * so the driver gate itself verifies no collision fired); memory per
+    * benchmark shingle is what bounds the audit at large n, which is the
+    * whole point of widening the window.
+    *
+    * Same scale shape as q73: the benchmark side is small by nature →
+    * broadcast while under `benchCap` (counted on the raw pruned scan,
+    * not the shingle lineage), shuffle-hash past it; the corpus streams
+    * by in one scan, no corpus shuffle before the per-doc aggregate. */
+  def contaminationHashed(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      isBench: Column,
+      n: Int,
+      benchCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    def shingleHashes(df: org.apache.spark.sql.DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), toks(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idAs), explode(
+        graft.expressions.functions.ngram_shingles(col("toks"), n, distinct = true))
+        .as("g"))
+      .select(col(idAs), xxhash64(col("g")).as("h"))
+    val benchDocs = docs.filter(isBench)
+    val bench = shingleHashes(benchDocs, "bench_id")
+    val corpus = shingleHashes(docs.filter(!isBench), "doc_id")
+    val benchSide =
+      if (benchDocs.count() <= benchCap) broadcast(bench)
+      else bench.hint("shuffle_hash")
+    corpus.join(benchSide, "h")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("n_bench_docs"),
+        count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Reference formulation of [[fingerprint]]: explode each k-char
     * window position, md5 per window, min() aggregate — the standard
     * shingle fan-out (len×32-byte shuffle per doc). Differential-tested

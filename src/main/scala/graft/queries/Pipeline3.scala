@@ -148,6 +148,32 @@ object Pipeline3 {
               WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
               GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // Wide-window (8-gram) contamination audit over HASH-COMPRESSED
+    // shingles (TextAnalysis.contaminationHashed scaladoc): the join
+    // runs on 8-byte xxhash64 keys while the oracle joins the raw
+    // shingle STRINGS — the gate itself proves hash compression is
+    // semantically invisible at this scale.
+    QEntry("q80_contamination_wide",
+      (s, d) => TextAnalysis.contaminationHashed(
+          Tables.documents(s, d), "doc_id", "text",
+          col("doc_id") % 10 === 0, n = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                       toks[i+6] || ' ' || toks[i+7]))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 8)
+              SELECT c.doc_id,
+                count(DISTINCT b.doc_id) AS n_bench_docs,
+                count(*) AS n_shared_shingles
+              FROM sh c JOIN sh b ON c.g = b.g
+              WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+              GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
     // Time-series resample + gap-fill + forward-fill: per user, a dense
     // hourly grid over their active span (sequence + explode — the
     // gap-filling idiom), hourly cents left-joined on, missing hours

@@ -33,6 +33,15 @@ object Relational3 {
       table: String,
       key: String,
       sortKeys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // The in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — saveAsTable(overwrite) then fails with
+    // LOCATION_ALREADY_EXISTS. Drop both the entry and any stale dir.
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.bucketBy(16, key)
     (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
       .mode("overwrite").format("parquet").saveAsTable(table)
