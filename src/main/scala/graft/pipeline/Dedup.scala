@@ -102,12 +102,17 @@ object Dedup {
     *     (least, greatest) pairs, deduped within the batch), and
     *  4. hands the verified pairs to `onPairs`.
     *
-    * State lives as localCheckpoint'd frames swapped per batch — on a
-    * real cluster these become reliable-checkpointed / Delta tables,
-    * but the DATAFLOW (never re-minhash the corpus; each batch costs
-    * O(batch x collisions)) is the point. Verified-pair emission is
-    * per-batch exactly-once under AvailableNow; across restarts the
-    * sink inherits foreachBatch's at-least-once contract. */
+    * State lives as localCheckpoint'd frames swapped per batch, or —
+    * with `stateDir` set — as parquet tables partitioned by batch_id:
+    * each batch overwrite-writes ITS OWN partition (idempotent under
+    * foreachBatch's at-least-once replay), the corpus seed lives at
+    * batch_id=-1, and a fresh instance pointed at the same dir
+    * rehydrates instead of re-seeding — restart-safe across JVMs,
+    * executor-loss-safe on a cluster (parquet, not driver blocks). The
+    * DATAFLOW (never re-minhash the corpus; each batch costs
+    * O(batch x collisions)) is identical either way. Verified-pair
+    * emission is per-batch exactly-once under AvailableNow; across
+    * restarts the sink inherits foreachBatch's at-least-once contract. */
   final class IncrementalNearDup(
       corpusDocs: DataFrame,
       idCol: String,
@@ -118,21 +123,56 @@ object Dedup {
       tNum: Int = 4,
       tDen: Int = 5,
       maxBucket: Int = 1000,
+      stateDir: Option[String] = None,
       onPairs: DataFrame => Unit) {
 
-    @volatile private var buckets =
-      minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
-        .localCheckpoint()
-    @volatile private var toks =
-      tokenArrays(corpusDocs, idCol, textCol).localCheckpoint()
+    private val sp = corpusDocs.sparkSession
+
+    private def stateTable(sub: String): DataFrame =
+      sp.read.parquet(s"${stateDir.get}/$sub").drop("batch_id")
+
+    @volatile private var buckets: DataFrame = _
+    @volatile private var toks: DataFrame = _
+
+    stateDir match {
+      case Some(dir) =>
+        val root = new org.apache.hadoop.fs.Path(s"$dir/buckets")
+        val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) { // first start: seed from the corpus
+          minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
+            .write.mode("overwrite").parquet(s"$dir/buckets/batch_id=-1")
+          tokenArrays(corpusDocs, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$dir/toks/batch_id=-1")
+        }
+        buckets = stateTable("buckets")
+        toks = stateTable("toks")
+      case None =>
+        buckets = minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
+          .localCheckpoint()
+        toks = tokenArrays(corpusDocs, idCol, textCol).localCheckpoint()
+    }
 
     /** foreachBatch body — also callable directly on batch frames. */
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
-      val newBuckets =
+      val newBuckets0 =
         minhashBuckets(batch, idCol, textCol, numHashes, bands, shingleK)
-          .localCheckpoint()
-      buckets = buckets.union(newBuckets).localCheckpoint()
-      toks = toks.union(tokenArrays(batch, idCol, textCol)).localCheckpoint()
+      val newBuckets = stateDir match {
+        case Some(dir) =>
+          // overwrite THIS batch's partitions only — replaying a batch
+          // after a restart rewrites the same files, never duplicates
+          newBuckets0.write.mode("overwrite")
+            .parquet(s"$dir/buckets/batch_id=$batchId")
+          tokenArrays(batch, idCol, textCol).write.mode("overwrite")
+            .parquet(s"$dir/toks/batch_id=$batchId")
+          buckets = stateTable("buckets")
+          toks = stateTable("toks")
+          sp.read.parquet(s"$dir/buckets/batch_id=$batchId")
+        case None =>
+          val nb = newBuckets0.localCheckpoint()
+          buckets = buckets.union(nb).localCheckpoint()
+          toks = toks.union(tokenArrays(batch, idCol, textCol)).localCheckpoint()
+          nb
+      }
       // Same degenerate-bucket cap as the batch twin minhashNearDupPairs:
       // a mass-exact-dup bucket would make this join m² per batch. The
       // cap is measured over the RUNNING corpus state (batch included),

@@ -86,6 +86,42 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == Set((10L, 11L)), s"got $got")
   }
 
+  test("incremental near-dup with table-backed state survives a restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_state").toString
+    val textA = "zero one two three four five six seven eight nine"
+    val corpus = Seq((1L, "completely different words here entirely"),
+      (2L, "another unrelated document body text")).toDF("doc_id", "text")
+    val batch1 = Seq((20L, textA)).toDF("doc_id", "text")
+    val batch2 = Seq((30L, textA)).toDF("doc_id", "text")
+
+    val got1 = scala.collection.mutable.Set[(Long, Long)]()
+    val a = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
+      stateDir = Some(dir),
+      onPairs = df => got1 ++= df.select("a_id", "b_id").as[(Long, Long)].collect())
+    a.processBatch(batch1, 0L)
+    assert(got1.isEmpty, s"batch1 matches nothing yet: $got1")
+
+    // "restart": a fresh instance on the same dir must rehydrate batch-1
+    // state (NOT re-seed from the corpus alone) — the (20,30) pair is
+    // only findable through the persisted batch-1 buckets.
+    val got2 = scala.collection.mutable.Set[(Long, Long)]()
+    val b = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
+      stateDir = Some(dir),
+      onPairs = df => got2 ++= df.select("a_id", "b_id").as[(Long, Long)].collect())
+    b.processBatch(batch2, 1L)
+    assert(got2.toSet == Set((20L, 30L)), s"lost batch-1 state: $got2")
+
+    // at-least-once replay of the same batch is idempotent: partition
+    // overwritten, state row count unchanged, same pairs re-emitted.
+    val before = spark.read.parquet(s"$dir/buckets").count()
+    got2.clear()
+    b.processBatch(batch2, 1L)
+    assert(spark.read.parquet(s"$dir/buckets").count() == before,
+      "replaying a batch duplicated state")
+    assert(got2.toSet == Set((20L, 30L)), s"replay emitted different pairs: $got2")
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated far") {
     val sigs = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
