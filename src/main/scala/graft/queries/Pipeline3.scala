@@ -186,17 +186,23 @@ object Pipeline3 {
         val e = Tables.events(s, d)
           .select(col("user_id"), expr("(ts div 1000) div 3600000000").as("hr"),
             round(col("value") * 100, 0).cast("long").as("c"))
+        // lead+explode gap-fill: each OBSERVED hour emits itself plus
+        // the gap rows until the next observation, carrying its cents —
+        // forward-fill falls out of the generator, so the grid
+        // aggregation, the grid⋈hourly join (two shuffles) and the
+        // second window pass of the textbook formulation all disappear.
+        // One agg shuffle + one window shuffle + the final sort.
         val hourly = e.groupBy(col("user_id"), col("hr"))
           .agg(sum(col("c")).cast("long").as("cents"))
-        val grid = e.groupBy(col("user_id"))
-          .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
-          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hourly, Seq("user_id", "hr"), "left")
+        hourly
+          .withColumn("next_hr", lead(col("hr"), 1).over(w))
+          .select(col("user_id"), col("cents"), col("hr").as("obs_hr"),
+            explode(sequence(col("hr"),
+              coalesce(col("next_hr") - 1, col("hr")))).as("hr"))
           .select(col("user_id"), col("hr"),
-            col("cents").isNotNull.as("observed"),
-            last(col("cents"), ignoreNulls = true).over(w).as("cents_ffill"))
+            (col("hr") === col("obs_hr")).as("observed"),
+            col("cents").as("cents_ffill"))
           .orderBy(col("user_id"), col("hr"))
       },
       Some("""WITH e AS (
