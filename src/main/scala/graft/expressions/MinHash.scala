@@ -184,6 +184,36 @@ object HashSig {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** [[ngramShingles]] fused with xxhash64 (seed 42, byte-identical to
+    * Spark's `xxhash64(string)` builtin): shingle strings are hashed as
+    * formed, only the longs escape. Distinct dedups on the HASH —
+    * identical to string dedup modulo 64-bit collisions. */
+  def ngramShingleHashes(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.ArrayList[java.lang.Long](len - n + 1)
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+    i = 0
+    while (i <= len - n) {
+      val piece = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(piece, StringType, 42L)
+      if (seen == null || seen.add(h)) out.add(h)
+      i += 1
+    }
+    val res = new Array[Long](out.size())
+    i = 0
+    while (i < res.length) { res(i) = out.get(i); i += 1 }
+    new GenericArrayData(res)
+  }
+
   /** [[lshBucket]] over QUANTIZED int64 components — exact integer
     * sums, so the bucket is cross-engine reproducible (the all-pairs
     * near-dup operator's oracle rebuilds it in SQL; Similarity
@@ -328,6 +358,14 @@ object functions {
     * first-occurrence order) — fused loop, no HOF lambdas. */
   def ngram_shingles(toks: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(NgramShingles(Bridge.expression(toks), n, distinct))
+
+  /** xxhash64 (seed 42 — identical to Spark's `xxhash64` builtin) of
+    * each word n-gram shingle, in one fused loop: shingle strings are
+    * hashed as they are formed and never leave the expression, so
+    * downstream joins/aggregations carry 8-byte longs instead of
+    * n×word-length strings. */
+  def ngram_shingle_hashes(toks: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(NgramShingleHashes(Bridge.expression(toks), n, distinct))
 }
 
 /** `min_md5_window(text, k)`: string → min md5 hex over k-char windows
@@ -366,6 +404,21 @@ case class NgramShingles(child: Expression, n: Int, distinct: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.ngramShingles($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): NgramShingles =
+    copy(child = newChild)
+}
+
+/** `ngram_shingle_hashes(toks, n, distinct)`: array<string> →
+  * array<long> — [[NgramShingles]] fused with per-shingle xxhash64
+  * (see HashSig.ngramShingleHashes; differential-spec'd against
+  * xxhash64-of-ngram_shingles). */
+case class NgramShingleHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.ngramShingleHashes(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.ngramShingleHashes($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): NgramShingleHashes =
     copy(child = newChild)
 }
 

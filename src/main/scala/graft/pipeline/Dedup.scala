@@ -368,11 +368,18 @@ object Dedup {
     // inline expensive lineage re-evaluates it per exploded element
     // (measured 8.2s -> 0.2s at sf0.1 on the HOF form); on a real
     // cluster this is persist()/checkpoint() of the shingle table.
+    // Hash-compress each n-gram to int64 right after shingling: every
+    // downstream stage (frequency dim, prefix postings, bucket keys,
+    // verify intersections) then shuffles and compares 8-byte longs
+    // instead of ~n×word-length strings. Collisions (~m²/2⁶⁵) are the
+    // only semantic delta — the q61 oracle is the brute-force STRING
+    // join, so the driver gate proves none fired.
     val grams = docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        graft.expressions.functions.ngram_shingles(col("toks"), n, distinct = true).as("gs"))
+        graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true)
+          .as("gs"))
       .localCheckpoint()
     val freq = grams.select(explode(col("gs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("freq"))

@@ -103,9 +103,8 @@ object TextAnalysis {
       .select(col(idCol).as(idAs), toks(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idAs), explode(
-        graft.expressions.functions.ngram_shingles(col("toks"), n, distinct = true))
-        .as("g"))
-      .select(col(idAs), xxhash64(col("g")).as("h"))
+        graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true))
+        .as("h"))
     val benchDocs = docs.filter(isBench)
     val bench = shingleHashes(benchDocs, "bench_id")
     val corpus = shingleHashes(docs.filter(!isBench), "doc_id")

@@ -81,6 +81,19 @@ class ExactJoinSpec extends SparkSpec {
     }
   }
 
+  test("fused ngram_shingle_hashes == xxhash64 over ngram_shingles on real docs") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val diff = docs.select(
+      graft.expressions.functions.ngram_shingle_hashes(col("toks"), 3, distinct = true).as("fused"),
+      transform(
+        graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true),
+        g => xxhash64(g)).as("hof"))
+      .filter(col("fused") =!= col("hof")).count()
+    assert(diff == 0, s"$diff docs hash differently fused vs xxhash64-of-shingles")
+  }
+
   test("fused lsh_bucket_long agrees with the HOF reference on every corpus vector") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
