@@ -275,9 +275,24 @@ object Dedup {
     * @return (id, component) — component = min reachable id
     */
   def components(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // Two regimes, same fixpoint (the cosineTopKBucketed convention):
+    //  - small graph: labels broadcast into every round's join — no
+    //    edge exchange happens anyway, so the checkpointed frame is all
+    //    we need (cache constants would only slow the fixture down);
+    //  - big graph (labels can't broadcast): pre-partition edges ON src
+    //    ONCE and persist — InMemoryRelation KEEPS its hashpartitioning
+    //    (localCheckpoint under AQE does not: AdaptiveSparkPlanExec
+    //    reports Unknown before execution), so each round's sort-merge
+    //    join reuses the edge layout and only the propagated label
+    //    frame exchanges. O(E) shuffle × rounds saved; plan-gated by
+    //    the prop-join spec. Checkpoint FIRST so the regime probe and
+    //    the repartition never re-run the (possibly LSH-shaped) pair
+    //    lineage.
+    val e0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
+    val bigGraph = e0.count() > 1000000L // past any broadcastable label frame
+    val edges = if (bigGraph) e0.repartition(col("src")).persist() else e0
     // Only edge-touched nodes can ever change label — iterate over that
     // subgraph (O(E) per round) and re-attach the isolated majority at
     // the end. For dedup graphs V >> E, so this is the difference
@@ -314,6 +329,9 @@ object Dedup {
       labels = next
       it += 1
     }
+    // labels are checkpointed (materialized) — the result no longer
+    // reads edges, so the cached blocks can go now.
+    if (bigGraph) edges.unpersist(blocking = false)
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))

@@ -146,6 +146,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("components: the per-round prop join re-exchanges neither side") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // replicate one round's join shape: edges pre-partitioned on src
+      // and PERSISTED (InMemoryRelation keeps hashpartitioning;
+      // localCheckpoint under AQE loses it) — the per-round join never
+      // re-exchanges the edge side, only the small label frame moves.
+      // This is what makes the iteration O(labels moved), not
+      // O(E × rounds), at scale.
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .repartition(col("src"))
+        .persist()
+      try {
+        edges.count()
+        val labels = edges.select(col("src").as("id"))
+          .groupBy(col("id")).agg(min(col("id")).as("lbl"))
+          .localCheckpoint()
+        val prop = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("lbl"))
+        val plan = prop.queryExecution.executedPlan.toString
+        // ENSURE_REQUIREMENTS exchanges are the per-round re-shuffles
+        // (the REPARTITION_BY_COL inside the cached relation is the
+        // pay-once layout build); at most the label side may move —
+        // two would mean the persisted edge layout was thrown away too
+        val nEx = plan.linesIterator
+          .count(l => l.contains("Exchange") && l.contains("ENSURE_REQUIREMENTS"))
+        assert(nEx <= 1,
+          s"prop join re-exchanged the pre-partitioned edge side:\n${plan.take(1500)}")
+        assert(plan.contains("InMemoryTableScan"), plan.take(600))
+      } finally edges.unpersist(blocking = false)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("connected components: chains merge to min id, isolates stay solo") {
     // graph: 1-2-3 chain, 5-6 pair, 4 isolated (label must hop the chain,
     // proving >1 propagation round converges)
