@@ -214,6 +214,19 @@ object HashSig {
     new GenericArrayData(res)
   }
 
+  /** ADC lookup: sum over subspaces of the query's precomputed
+    * per-centroid dot product for this vector's code. Integer-exact. */
+  def pqAdcScore(codes: ArrayData, dtable: ArrayData, ksub: Int): Long = {
+    val m = codes.numElements()
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      acc += dtable.getLong(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** [[lshBucket]] over QUANTIZED int64 components — exact integer
     * sums, so the bucket is cross-engine reproducible (the all-pairs
     * near-dup operator's oracle rebuilds it in SQL; Similarity
@@ -366,6 +379,13 @@ object functions {
     * n×word-length strings. */
   def ngram_shingle_hashes(toks: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(NgramShingleHashes(Bridge.expression(toks), n, distinct))
+
+  /** `pq_adc_score(codes, dtable, ksub)`: asymmetric-distance lookup —
+    * sum over subspaces s of dtable[s*ksub + codes[s]] (the query's
+    * precomputed per-centroid dot products). m lookups per corpus row
+    * instead of a dim-length dot product. */
+  def pq_adc_score(codes: Column, dtable: Column, ksub: Int): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(dtable), ksub))
 }
 
 /** `min_md5_window(text, k)`: string → min md5 hex over k-char windows
@@ -420,6 +440,19 @@ case class NgramShingleHashes(child: Expression, n: Int, distinct: Boolean)
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.ngramShingleHashes($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): NgramShingleHashes =
     copy(child = newChild)
+}
+
+/** `pq_adc_score(codes, dtable, ksub)`: array<int> × array<long> → long
+  * (see HashSig.pqAdcScore; functions.pq_adc_score scaladoc). */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashSig.pqAdcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashSig.pqAdcScore($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
 }
 
 /** `lsh_bucket_long(arr, nBits)`: array<long> → int bucket id — the

@@ -359,6 +359,131 @@ object Similarity {
       .toDF("cid", "cente")
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Quantized subvectors: (vec_id, s, sv) — vector split into `m`
+    * contiguous slices of dim/m. The shared first stage of PQ train /
+    * encode / query-side distance tables. */
+  private def pqSubvectors(dfQ: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = (0 until m).map { s =>
+      struct(lit(s).as("s"), slice(col("qe"), s * subDim + 1, subDim).as("sv"))
+    }
+    dfQ.select(col("vec_id"), explode(array(subs: _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+  }
+
+  /** Deterministic seed codebook: per subspace, the subvectors of the
+    * `ksub` lowest-vec_id corpus vectors, cid = rank 0..ksub-1. Both
+    * engines can rebuild this — the q83 oracle does. */
+  def pqCodebookSeed(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val seeds = corpus.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("cid",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("int"))
+    pqSubvectors(seeds, m, subDim)
+      .join(seeds.select(col("vec_id"), col("cid")), "vec_id")
+      .select(col("s"), col("cid"), col("sv").as("cv"))
+  }
+
+  /** Product-quantization codebooks via per-subspace spherical Lloyd —
+    * all `m` subspaces trained in ONE dataflow (sub_id is just another
+    * grouping key): assignment by max integer dot against the broadcast
+    * codebook, update by element-wise mean, empty clusters keep their
+    * centroid. Deterministic (seeds = [[pqCodebookSeed]], ties on cid).
+    * Output: (s, cid, cv array<long>). */
+  def pqTrain(
+      corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val sample = pqSubvectors(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("qe")), m, subDim)
+      .localCheckpoint()
+    var cb = pqCodebookSeed(corpus, m, ksub, dim).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = sample.join(broadcast(cb), "s")
+        .withColumn("fit",
+          lit(2) * dotQ(col("sv"), col("cv")) - dotQ(col("cv"), col("cv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(first(col("sv")).as("sv"),
+          max_by(col("cid"), struct(col("fit"), -col("cid"))).as("cid"))
+      val means = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("col")).as("mv"))
+        .groupBy(col("s"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("s"), col("cid"),
+          transform(col("pm"), x => round(x.getField("mv")).cast("long")).as("mean"))
+      cb = cb.join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("mean"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** PQ encode: each vector → `m` centroid ids (nearest by integer dot
+    * per subspace, ties to the lowest cid). One broadcast join + one
+    * partial-agg'd argmax + one collect into the code array — the
+    * corpus never shuffles more than its own m× exploded rows.
+    * Output: (vec_id, codes array<int>), codes[s] = chosen cid. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    pqSubvectors(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("qe")), m, subDim)
+      .join(broadcast(codebook), "s")
+      // textbook L2 assignment, integer-exact: argmin |sv-cv|^2 =
+      // argmax 2*dot - |cv|^2 (raw-dot argmax would bias toward long
+      // centroids). Ties to the lowest cid.
+      .withColumn("fit",
+        lit(2) * dotQ(col("sv"), col("cv")) - dotQ(col("cv"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max_by(col("cid"), struct(col("fit"), -col("cid"))).as("cid"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance (dot-product ADC): each query
+    * precomputes its m×ksub table of subvector⋅centroid integer dots;
+    * scoring a corpus vector is then `m` table lookups (the fused
+    * [[graft.expressions.functions.pq_adc_score]]) instead of a
+    * dim-length dot. Score(q, x) = EXACTLY dot(q, reconstruct(codes(x)))
+    * — integer, cross-engine reproducible (the q83 oracle recomputes it
+    * as a join-sum). Same broadcast shape as [[cosineTopK]]: the corpus
+    * is scanned once, never shuffled before the per-query top-k. */
+  def pqTopKDot(
+      queries: DataFrame, // (q_id, embedding)
+      encoded: DataFrame, // (vec_id, codes) from [[pqEncode]]
+      codebook: DataFrame,
+      m: Int, ksub: Int, dim: Int, k: Int,
+      maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+    val subDim = dim / m
+    guardQueryCount(queries, "pqTopKDot", maxQueries)
+    // dtable per query, flattened to m*ksub longs indexed s*ksub+cid
+    val dt = pqSubvectors(
+      queries.select(col("q_id").as("vec_id"), quantize(col("embedding")).as("qe")),
+      m, subDim)
+      .join(broadcast(codebook), "s")
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"),
+        dotQ(col("sv"), col("cv")).as("qdot"))
+      .groupBy(col("q_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("cid"), col("qdot")))),
+        x => x.getField("qdot")).as("dt"))
+    encoded.join(broadcast(dt), lit(true))
+      .withColumn("score",
+        graft.expressions.functions.pq_adc_score(col("codes"), col("dt"), ksub))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+  }
+
   def cosineTopKIvf(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nList: Int = 16, nProbe: Int = 4,

@@ -46,6 +46,65 @@ object Pipeline4 {
               FROM tf JOIN df USING (term) CROSS JOIN n
               ORDER BY tf.doc_id, tf.term""")),
 
+    // Product-quantization ADC search under the full oracle: seed
+    // codebooks (subvectors of the 4 lowest vec_ids — deterministic,
+    // rebuildable in SQL), integer-dot encode, and ADC top-5 where
+    // score(q, x) = dot(q, reconstruct(codes(x))) exactly. The oracle
+    // recomputes encode+score as a join-sum — every stage of the PQ
+    // dataflow is integer-pinned (Lloyd-TRAINED codebooks are the
+    // spec-gated upgrade: same dataflow, PqSpec).
+    QEntry("q83_pq_adc",
+      (s, d) => {
+        val (m, ksub, dim, k) = (4, 4, 64, 5)
+        val emb = Tables.embeddings(s, d)
+        val cb = graft.pipeline.Similarity.pqCodebookSeed(emb, m, ksub, dim)
+        val enc = graft.pipeline.Similarity.pqEncode(emb, cb, m, dim)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        graft.pipeline.Similarity.pqTopKDot(queries, enc, cb, m, ksub, dim, k)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              sub AS (
+                SELECT vec_id, sg.s, qe[sg.s*16+1 : sg.s*16+16] AS sv
+                FROM qz CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg),
+              seeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+              cb AS (
+                SELECT sub.s, seeds.cid, sub.sv AS cv
+                FROM sub JOIN seeds USING (vec_id)),
+              dots AS (
+                SELECT sub.vec_id, sub.s, cb.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       i -> sub.sv[i+1] * cb.cv[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb ON sub.s = cb.s),
+              codes AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM dots) WHERE arn = 1),
+              scores AS (
+                SELECT qd.vec_id AS q_id, c.vec_id,
+                  CAST(sum(qd.dot) AS BIGINT) AS score
+                FROM codes c
+                JOIN dots qd ON c.s = qd.s AND c.cid = qd.cid
+                WHERE qd.vec_id % 100 = 0
+                GROUP BY qd.vec_id, c.vec_id),
+              ranked AS (
+                SELECT q_id, vec_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, vec_id) AS rn
+                FROM scores)
+              SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+              ORDER BY q_id, rn""")),
+
     // Bounded inverted index: per term, document frequency + the first
     // maxPostings doc ids. The cap runs BEFORE the collect (row_number
     // per term, filter, then collect_list) so no executor ever holds a

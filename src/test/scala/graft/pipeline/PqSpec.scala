@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product quantization: the q83 oracle pins the seed-codebook dataflow
+  * bit-for-bit; these specs cover what the oracle can't — the
+  * Lloyd-trained codebooks and the fused ADC expression on them.
+  */
+class PqSpec extends SparkSpec {
+
+  private val (m, ksub, dim, k) = (4, 8, 64, 5)
+
+  private def emb = graft.queries.Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"))
+
+  /** Total squared reconstruction error sum(|x - x̂|²) for a codebook —
+    * integer-exact: |x|² - 2·dot(x, x̂) + |x̂|², summed per subspace
+    * (subvectors partition the vector, so per-subspace terms add up). */
+  private def reconstructionError(cb: DataFrame): Long = {
+    val codes = Similarity.pqEncode(emb, cb, m, dim)
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("cid"))
+    val subs = emb
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), slice(col("qe"), s * (dim / m) + 1, dim / m).as("sv"))
+      }: _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+    subs.join(codes, Seq("vec_id", "s")).join(broadcast(cb), Seq("s", "cid"))
+      .select((graft.expressions.functions.dot_long(col("sv"), col("sv"))
+        - lit(2) * graft.expressions.functions.dot_long(col("sv"), col("cv"))
+        + graft.expressions.functions.dot_long(col("cv"), col("cv"))).as("e"))
+      .agg(sum(col("e"))).head.getLong(0)
+  }
+
+  test("trained codebooks reconstruct no worse than the seeds, deterministically") {
+    val seedCb = Similarity.pqCodebookSeed(emb, m, ksub, dim)
+    val trained = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
+    val trained2 = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
+    val t1 = trained.orderBy("s", "cid").collect().map(_.toString).toSeq
+    assert(t1 == trained2.orderBy("s", "cid").collect().map(_.toString).toSeq,
+      "pqTrain is not deterministic")
+    val (es, et) = (reconstructionError(seedCb), reconstructionError(trained))
+    assert(et <= es, s"Lloyd training raised reconstruction error: $et > $es")
+    assert(et < es, s"training changed nothing (suspicious on real data): $et == $es")
+  }
+
+  test("fused ADC score == dot(q, reconstruction), trained codebooks") {
+    val cb = Similarity.pqTrain(emb, m, ksub, dim, iters = 1)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val enc = Similarity.pqEncode(emb, cb, m, dim)
+    val got = Similarity.pqTopKDot(queries, enc, cb, m, ksub, dim, k)
+      .select("q_id", "vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // recompute each returned score as an explicit join-sum over the
+    // chosen centroids (the q83 oracle shape, but in Spark on the
+    // TRAINED codebook)
+    val codes = enc.select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("cid"))
+    val qsubs = queries
+      .select(col("q_id"), Similarity.quantize(col("embedding")).as("qe"))
+      .select(col("q_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), slice(col("qe"), s * (dim / m) + 1, dim / m).as("sv"))
+      }: _*)).as("p"))
+      .select(col("q_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+    val expected = codes.join(broadcast(cb), Seq("s", "cid"))
+      .join(broadcast(qsubs), "s")
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(graft.expressions.functions.dot_long(col("sv"), col("cv"))).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (key, s) =>
+      assert(expected(key) == s, s"ADC score mismatch for $key: $s vs ${expected(key)}")
+    }
+  }
+
+  test("PQ top-k recall against brute-force cosine is non-trivial") {
+    val cb = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val enc = Similarity.pqEncode(emb, cb, m, dim)
+    val pq = Similarity.pqTopKDot(queries, enc, cb, m, ksub, dim, k)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineTopK(queries, emb, k)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"implausibly low PQ recall: $recall")
+  }
+}
