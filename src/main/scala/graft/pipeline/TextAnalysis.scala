@@ -117,6 +117,41 @@ object TextAnalysis {
         count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** The benchmark's distinct shingle-hash SET as a single-row frame
+    * (`bh` array<long>) — the static side of [[contaminationFlags]].
+    * Bounded by construction: benchmarks are small by nature (the q73
+    * guard counts the raw scan before anything broadcasts). */
+  def benchShingleHashSet(
+      benchDocs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    benchDocs
+      .select(toks(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(
+        graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true))
+        .as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("bh"))
+
+  /** Per-doc contamination flag: how many of the doc's distinct n-gram
+    * shingles appear anywhere in the benchmark. STATE-FREE — one
+    * projection after a 1-row stream-static join — so the same operator
+    * runs in a batch job (q84, oracle-pinned) or a streaming query in
+    * APPEND mode with no watermark, no aggregation state: each arriving
+    * doc is flagged immediately. Docs shorter than n get 0 (empty
+    * shingle set), every input doc is kept. */
+  def contaminationFlags(
+      docs: org.apache.spark.sql.DataFrame,
+      benchSet: org.apache.spark.sql.DataFrame, // from [[benchShingleHashSet]]
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.expressions.functions.ngram_shingle_hashes(
+          toks(col(textCol)), n, distinct = true).as("hs"))
+      .withColumn("j", lit(1))
+      .join(broadcast(benchSet.withColumn("j", lit(1))), "j")
+      .select(col("doc_id"),
+        size(array_intersect(col("hs"), col("bh"))).cast("long").as("n_contaminated"))
+
   /** Reference formulation of [[fingerprint]]: explode each k-char
     * window position, md5 per window, min() aggregate — the standard
     * shingle fan-out (len×32-byte shuffle per doc). Differential-tested

@@ -105,6 +105,40 @@ object Pipeline4 {
               SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= 5
               ORDER BY q_id, rn""")),
 
+    // Per-doc contamination FLAGS (every non-bench doc kept, zero
+    // included) — the state-free projection twin of q80, identical in
+    // batch and append-mode streaming (TextAnalysis.contaminationFlags
+    // scaladoc; streaming equivalence spec-pinned).
+    QEntry("q84_contamination_flags",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+        graft.pipeline.TextAnalysis.contaminationFlags(
+          docs.filter(col("doc_id") % 10 =!= 0), bench, "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                       toks[i+6] || ' ' || toks[i+7]))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 8),
+              bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+              hits AS (
+                SELECT s.doc_id, count(*) AS n_contaminated
+                FROM sh s JOIN bench b USING (g)
+                WHERE s.doc_id % 10 <> 0
+                GROUP BY s.doc_id)
+              SELECT d.doc_id, CAST(coalesce(h.n_contaminated, 0) AS BIGINT)
+                       AS n_contaminated
+              FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+              WHERE d.doc_id % 10 <> 0
+              ORDER BY d.doc_id""")),
+
     // Bounded inverted index: per term, document frequency + the first
     // maxPostings doc ids. The cap runs BEFORE the collect (row_number
     // per term, filter, then collect_list) so no executor ever holds a

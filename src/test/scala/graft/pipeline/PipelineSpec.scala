@@ -279,6 +279,38 @@ class SimilaritySpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("contamination flags stream in append mode == the batch operator") {
+    import spark.implicits._
+    val all = graft.queries.Tables.documents(spark, sf)
+    val bench = TextAnalysis.benchShingleHashSet(
+      all.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+      .localCheckpoint() // static side: materialize once, stream reuses it
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val expected = TextAnalysis.contaminationFlags(
+      corpus, bench, "doc_id", "text", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(expected.values.exists(_ > 0), "fixture has no contaminated docs")
+
+    val dir = java.nio.file.Files.createTempDirectory("flags_stream").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // APPEND mode with no watermark — the operator is a pure projection
+    // over a 1-row stream-static join, so it needs no state at all
+    val q = TextAnalysis.contaminationFlags(stream, bench, "doc_id", "text", 8)
+      .writeStream.format("memory").queryName("flags_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("flags_mem").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"stream != batch: missing=${(expected.toSet -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("token/quality facets on a literal") {
     val f = TextAnalysis.qualityFacets(lit("The quick fox! 42 times."))
     val r = spark.range(1).select(f.as("f")).select(
