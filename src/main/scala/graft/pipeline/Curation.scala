@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for a training-data pipeline: deterministic
+  * stratified sampling, training-sequence packing, and rule-based quality
+  * filtering (Gopher-style heuristics).
+  *
+  * Scale notes (100 TB):
+  *   - `stratifiedSample` is a pure projection + filter — zero shuffle,
+  *     fully codegen'd, and reproducible across runs/engines because the
+  *     keep decision hashes the row KEY (md5), never `rand()`.
+  *   - `packSequences` is one window per stratum (`partitionBy(strata)`),
+  *     so parallelism = number of strata; packing giant single strata
+  *     should pre-split by a hash salt first (same trick as Skew).
+  *   - `qualityFlags` is a projection; all thresholds compare integers
+  *     (`n_stop * 100 >= n_tok`) so no float drift across engines.
+  */
+object Curation {
+
+  /** Uniform [0,100) bucket from the md5 of `key` + `salt` — the same
+    * portable construction as q57's split assignment; the salt decouples
+    * independent sampling decisions made from the same key. */
+  def md5Bucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Deterministic stratified sampling: keep a row iff its md5 bucket is
+    * below the stratum's configured percentage. Unknown strata fall back
+    * to `defaultRate`. Keeps are stable under re-runs, retries, and
+    * engine changes — a requirement for reproducible training mixes. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultRate: Int,
+      salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", md5Bucket(col(keyCol), salt))
+      .withColumn("rate", rate)
+      .filter(col("bucket") < col("rate"))
+  }
+
+  /** Training-sequence packing: concatenate documents per stratum in key
+    * order and cut the stream into `budget`-token bins; each doc is
+    * assigned the bin its START offset falls in. One cumulative-sum
+    * window per stratum; no data movement beyond the per-stratum shuffle. */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      nTokCol: String,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tok", sum(col(nTokCol)).over(w))
+      .withColumn("bin_id",
+        floor((col("cum_tok") - col(nTokCol)) / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Gopher-style quality gates over whitespace tokens, all-integer
+    * comparisons (threshold * denominator vs numerator * scale):
+    *   - ok_len:  10 <= n_tok <= 90
+    *   - ok_wl:   3 <= mean word length <= 10  (sum_len vs 3/10 * n_tok)
+    *   - ok_stop: stopword ratio >= 1%         (n_stop * 100 >= n_tok)
+    *   - ok_rep:  distinct ratio >= 40%        (n_distinct * 10 >= n_tok * 4)
+    * Returns struct(n_tok, sum_tok_len, n_stop, n_distinct, ok_len, ok_wl,
+    * ok_stop, ok_rep, keep, reason) where reason is the FIRST failing rule. */
+  def qualityFlags(text: Column): Column = {
+    val toks = TextAnalysis.toks(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = TextAnalysis.stopwordCount(text).cast("long")
+    val nDistinct = TextAnalysis.distinctTokenCount(text).cast("long")
+    val okLen = nTok >= 10 && nTok <= 90
+    val okWl = sumLen >= nTok * 3 && sumLen <= nTok * 10
+    val okStop = nStop * 100 >= nTok
+    val okRep = nDistinct * 10 >= nTok * 4
+    struct(
+      nTok.as("n_tok"), sumLen.as("sum_tok_len"),
+      nStop.as("n_stop"), nDistinct.as("n_distinct"),
+      okLen.as("ok_len"), okWl.as("ok_wl"),
+      okStop.as("ok_stop"), okRep.as("ok_rep"),
+      (okLen && okWl && okStop && okRep).as("keep"),
+      when(!okLen, "len").when(!okWl, "word_len")
+        .when(!okStop, "stopword").when(!okRep, "repetition")
+        .otherwise("").as("reason"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side scoring over a document corpus: BM25 term weights and
+  * PMI bigram collocations. Complements Pipeline4's TF-IDF (q81) and
+  * bounded inverted index (q82).
+  *
+  * Scale notes (100 TB):
+  *   - Everything is hash aggregation on (doc, term) / term keys — Spark
+  *     map-side-combines both, so the shuffle carries distinct keys, not
+  *     token instances.
+  *   - Corpus-level constants (N, total token count, total doc length)
+  *     ride along as a broadcast 1-row frame; no driver collect, no
+  *     recompute per partition.
+  *   - Doubles appear ONLY in the final ln()/division; every aggregate is
+  *     an exact integer, so the result is reproducible to the rounding
+  *     edge in any engine.
+  */
+object Retrieval {
+
+  /** Per-(doc, term) BM25 with the standard k1/b parametrisation and the
+    * Robertson-Sparck-Jones idf `ln((N - df + 0.5)/(df + 0.5) + 1)`. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), "\\s+").as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))
+    tf.join(dl, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        round(idf * (col("tf") * lit(k1 + 1.0)) / norm, 6).as("bm25"))
+  }
+
+  /** Bigram collocations by pointwise mutual information:
+    * pmi = ln(c_xy * N_uni^2 / (N_bi * c_x * c_y)), adjacent whitespace
+    * tokens only, thresholded on the raw pair count to keep the result
+    * set to the statistically meaningful tail. */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = docs.select(split(lower(col(textCol)), "\\s+").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val nBi = pairs.agg(count(lit(1)).as("n_bi"))
+    bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+          ((col("n_bi").cast("double") * col("c_x")) * col("c_y"))), 6).as("pmi"))
+  }
+}

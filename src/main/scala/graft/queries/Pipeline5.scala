@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Retrieval, TextAnalysis}
+
+/** Round-5 curation/retrieval pack: BM25, token chunking, deterministic
+  * stratified sampling, training-sequence packing, Gopher-style quality
+  * gates, an ORC sink/scan roundtrip, and PMI collocations. Every query
+  * keeps doubles out of aggregation (integer counts all the way; ln/÷
+  * only at the rounded query edge) per the oracle-parity convention.
+  */
+object Pipeline5 {
+
+  private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  val entries: Seq[QEntry] = Seq(
+
+    // BM25 (k1=1.2, b=0.75): two map-side-combined hash aggs (tf, df) +
+    // a broadcast 1-row corpus-stats frame. See Retrieval.bm25.
+    QEntry("q85_bm25",
+      (s, d) => Retrieval.bm25(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                         FROM documents),
+                   dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+                   tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM tm
+                          GROUP BY doc_id, term),
+                   df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                   st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                          FROM dlen)
+              SELECT tf.doc_id, tf.term, tf.tf, df.df, dlen.dl,
+                round(ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 *
+                      (dlen.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))), 6) AS bm25
+              FROM tf JOIN dlen USING (doc_id) JOIN df USING (term) CROSS JOIN st
+              ORDER BY tf.doc_id, tf.term""")),
+
+    // Sliding-window token chunking (chunk 16, stride 8) — the standard
+    // context-window prep step. Pure explode of a per-row sequence; fan-out
+    // is bounded by doc length / stride, no shuffle at all.
+    QEntry("q86_chunk_windows",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(8))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("col") + 1, lit(16))).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("col") + 1, lit(16)), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                         FROM documents),
+                   c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS s FROM t)
+              SELECT doc_id, s // 8 AS chunk_id,
+                     CAST(len(toks[s+1 : s+16]) AS BIGINT) AS n_tokens,
+                     array_to_string(toks[s+1 : s+16], ' ') AS chunk_text
+              FROM c ORDER BY doc_id, chunk_id""")),
+
+    // Deterministic stratified sampling: per-language keep rates decided
+    // by an md5 bucket of the KEY (never rand()) — reproducible across
+    // runs, retries, and engines. Zero-shuffle projection + filter.
+    QEntry("q87_stratified_sample",
+      (s, d) => Curation.stratifiedSample(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 60, "es" -> 45, "de" -> 40, "fr" -> 35), 25, "strat")
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, bucket FROM (
+                SELECT doc_id, lang,
+                  ('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':strat'), 1, 8))::BIGINT
+                    % 100 AS bucket,
+                  CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 45 WHEN 'de' THEN 40
+                            WHEN 'fr' THEN 35 ELSE 25 END AS rate
+                FROM documents)
+              WHERE bucket < rate ORDER BY doc_id""")),
+
+    // Training-sequence packing: concatenate docs per source in key order,
+    // cut at 256-token boundaries, assign each doc the bin its start
+    // offset falls in. One cumulative-sum window per stratum.
+    QEntry("q88_pack_sequences",
+      (s, d) => Curation.packSequences(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok")),
+          "doc_id", "source", "n_tok", 256)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"), col("bin_id"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH t AS (SELECT source, doc_id,
+                     CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+                   FROM documents),
+                   c AS (SELECT source, doc_id, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+                   FROM t)
+              SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+                     CAST(floor((cum_tok - n_tok) / 256.0) AS BIGINT) AS bin_id
+              FROM c ORDER BY source, doc_id""")),
+
+    // Gopher-style quality gates — all thresholds compared in integers
+    // (n_stop*100 >= n_tok), so keep/reject is engine-exact. reason is the
+    // FIRST failing rule, '' when kept.
+    QEntry("q89_quality_filter",
+      (s, d) => {
+        val f = Curation.qualityFlags(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            f.getField("n_tok").as("n_tok"),
+            f.getField("sum_tok_len").as("sum_tok_len"),
+            f.getField("n_stop").as("n_stop"),
+            f.getField("n_distinct").as("n_distinct"),
+            f.getField("ok_len").as("ok_len"),
+            f.getField("ok_wl").as("ok_wl"),
+            f.getField("ok_stop").as("ok_stop"),
+            f.getField("ok_rep").as("ok_rep"),
+            f.getField("keep").as("keep"),
+            f.getField("reason").as("reason"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                          FROM documents),
+                    f AS (SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_tok,
+                      CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                        AS sum_tok_len,
+                      CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT)
+                        AS n_stop,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                    FROM t),
+                    g AS (SELECT *,
+                      (n_tok >= 10 AND n_tok <= 90) AS ok_len,
+                      (sum_tok_len >= n_tok * 3 AND sum_tok_len <= n_tok * 10) AS ok_wl,
+                      (n_stop * 100 >= n_tok) AS ok_stop,
+                      (n_distinct * 10 >= n_tok * 4) AS ok_rep
+                    FROM f)
+               SELECT doc_id, n_tok, sum_tok_len, n_stop, n_distinct,
+                 ok_len, ok_wl, ok_stop, ok_rep,
+                 (ok_len AND ok_wl AND ok_stop AND ok_rep) AS keep,
+                 CASE WHEN NOT ok_len THEN 'len' WHEN NOT ok_wl THEN 'word_len'
+                      WHEN NOT ok_stop THEN 'stopword' WHEN NOT ok_rep THEN 'repetition'
+                      ELSE '' END AS reason
+               FROM g ORDER BY doc_id""")),
+
+    // ORC sink + scan under the gate (second columnar format beside
+    // parquet): write a pruned projection, read it back, aggregate. The
+    // oracle computes the same aggregate from the parquet original, so a
+    // roundtrip corruption anywhere (schema, nulls, values) hash-fails.
+    QEntry("q90_orc_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_orc_q90"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // PMI bigram collocations (count >= 3): adjacent-token pairs via
+    // zip_with (no explode of position indices), integer counts, one ln()
+    // at the rounded edge. See Retrieval.pmiBigrams.
+    QEntry("q91_pmi_bigrams",
+      (s, d) => Retrieval.pmiBigrams(Tables.documents(s, d), "text", 3L)
+        .orderBy(col("w1"), col("w2")),
+      Some("""WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks
+                         FROM documents),
+                   uni AS (SELECT unnest(toks) AS w FROM t),
+                   uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+                   pr AS (SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+                          FROM t WHERE len(toks) >= 2),
+                   ps AS (SELECT split_part(g, ' ', 1) AS w1,
+                                 split_part(g, ' ', 2) AS w2 FROM pr),
+                   bi AS (SELECT w1, w2, count(*) AS c_xy FROM ps GROUP BY w1, w2
+                          HAVING count(*) >= 3),
+                   nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+                   nb AS (SELECT count(*) AS n_bi FROM ps)
+              SELECT bi.w1, bi.w2, bi.c_xy,
+                round(ln((CAST(bi.c_xy AS DOUBLE) * nu.n_uni * nu.n_uni) /
+                         ((CAST(nb.n_bi AS DOUBLE) * x.c) * y.c)), 6) AS pmi
+              FROM bi JOIN uc x ON bi.w1 = x.w JOIN uc y ON bi.w2 = y.w
+              CROSS JOIN nu CROSS JOIN nb
+              ORDER BY bi.w1, bi.w2"""))
+  )
+}

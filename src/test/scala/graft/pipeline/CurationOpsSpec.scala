@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit pins for the round-5 curation/retrieval operators (q85–q91).
+  * The DuckDB oracle gate re-checks these end-to-end at sf0.01; here we
+  * pin hand-computed values on tiny inputs so a regression localises.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val s1 = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 60), 25, "strat")
+    val s2 = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 60), 25, "strat")
+    assert(s1.collect().toSet == s2.collect().toSet, "must be deterministic")
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 500 docs per stratum; md5 buckets are near-uniform, so the keep
+    // counts sit near 60% / 25% (generous band, zero flake).
+    assert(byLang("en") > 240 && byLang("en") < 360, s"en=${byLang("en")}")
+    assert(byLang("xx") > 75 && byLang("xx") < 175, s"xx=${byLang("xx")}")
+    // different salt => different sample (decoupled decisions)
+    val s3 = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 60), 25, "other")
+    assert(s1.select("doc_id").collect().toSet
+      != s3.select("doc_id").collect().toSet)
+  }
+
+  test("packSequences assigns each doc the bin of its start offset") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 10L),
+      ("b", 1L, 300L)
+    ).toDF("src", "id", "n_tok")
+    val out = Curation.packSequences(df, "id", "src", "n_tok", 256)
+      .select("src", "id", "cum_tok", "bin_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // starts: a1@0->bin0, a2@100->bin0, a3@200->bin0, a4@300->bin1, b1@0->bin0
+    assert(out == Set(
+      ("a", 1L, 100L, 0L), ("a", 2L, 200L, 0L), ("a", 3L, 300L, 0L),
+      ("a", 4L, 310L, 1L), ("b", 1L, 300L, 0L)))
+  }
+
+  test("qualityFlags: integer-threshold rules and first-reason semantics") {
+    val df = Seq(
+      (1L, "quick brown foxes jumped over those lazy sleeping dogs" +
+        " with great enthusiasm today"),                           // 13 toks, keeps
+      (2L, "short doc"),                                           // too few tokens
+      (3L, ("unique" + ("x" * 20) + " ") * 12)                     // words too long
+    ).toDF("doc_id", "text")
+    val f = Curation.qualityFlags(col("text"))
+    val rows = df.select(col("doc_id"), f.getField("keep").as("keep"),
+        f.getField("reason").as("reason"))
+      .as[(Long, Boolean, String)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(rows(1L) == (true, ""))
+    assert(rows(2L) == (false, "len"))
+    assert(rows(3L) == (false, "word_len"))
+  }
+
+  test("bm25 matches the hand formula on a two-doc corpus") {
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(df, "doc_id", "text")
+      .select("doc_id", "term", "bm25").as[(Long, String, Double)]
+      .collect().map { case (i, t, s) => (i, t) -> s }.toMap
+    // N=2, sum_dl=5, avgdl=2.5; apple: df=1, doc1 tf=2 dl=3
+    val idfApple = math.log((2.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val expApple = idfApple * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (3 / 2.5)))
+    assert(math.abs(out((1L, "apple")) - math.rint(expApple * 1e6) / 1e6) < 1e-9)
+    // banana: df=2 -> idf = ln(1/2.5*... ) via formula
+    val idfBanana = math.log((2.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val expBanana = idfBanana * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (2 / 2.5)))
+    assert(math.abs(out((2L, "banana")) - math.rint(expBanana * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("pmiBigrams counts adjacent pairs and scores with ln") {
+    val df = Seq.fill(3)("big data big data").toDF("text")
+    // per doc toks = [big, data, big, data]; bigrams: (big,data)x2, (data,big)x1
+    val out = Retrieval.pmiBigrams(df, "text", 3L)
+      .select("w1", "w2", "c_xy", "pmi").as[(String, String, Long, Double)]
+      .collect().map { case (a, b, c, p) => (a, b) -> (c, p) }.toMap
+    // n_uni=12, n_bi=9; (big,data): c_xy=6, c_big=6, c_data=6
+    assert(out(("big", "data"))._1 == 6L)
+    val exp = math.log((6.0 * 12 * 12) / ((9.0 * 6) * 6))
+    assert(math.abs(out(("big", "data"))._2 - math.rint(exp * 1e6) / 1e6) < 1e-9)
+    assert(out(("data", "big"))._1 == 3L)
+  }
+}
