@@ -293,6 +293,35 @@ object HashSig {
     a.length < b.length
   }
 
+  /** Count of `needles` elements present in ascending-sorted `haystack`
+    * (both array<long>, no nulls): one binary search per needle —
+    * O(|needles| · log |haystack|) with NO per-row hash-set build, unlike
+    * `array_intersect`, which re-hashes the full haystack for every row.
+    * The haystack is typically a broadcast corpus-level set (benchmark
+    * shingles), so per-row cost must not scale with its size. */
+  def countInSorted(needles: ArrayData, haystack: ArrayData): Long = {
+    val n = needles.numElements()
+    val m = haystack.numElements()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val v = needles.getLong(i)
+      var lo = 0
+      var hi = m - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val x = haystack.getLong(mid)
+        if (x == v) found = true
+        else if (x < v) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Exact int64 dot product of two equal-length long arrays. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -349,6 +378,12 @@ object functions {
   /** round(v*scale) int64 quantization of a float array. */
   def quantize_vec(arr: Column, scale: Double): Column =
     Bridge.column(QuantizeVec(Bridge.expression(arr), scale))
+
+  /** Membership count of `needles` in an ascending-sorted `haystack`
+    * array — O(log n) binary search per needle instead of
+    * `array_intersect`'s per-row haystack re-hash. */
+  def count_in_sorted(needles: Column, haystack: Column): Column =
+    Bridge.column(CountInSorted(Bridge.expression(needles), Bridge.expression(haystack)))
 
   /** Exact int64 dot product. */
   def dot_long(a: Column, b: Column): Column =
@@ -481,6 +516,19 @@ case class QuantizeVec(child: Expression, scale: Double)
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.quantize($c, $scale)")
   override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
     copy(child = newChild)
+}
+
+/** `count_in_sorted(needles, haystack)`: array<long> × sorted array<long>
+  * → long membership count (binary search; see HashSig.countInSorted). */
+case class CountInSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashSig.countInSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.HashSig.countInSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountInSorted =
+    copy(left = l, right = r)
 }
 
 /** `dot_long(a, b)`: array<long> × array<long> → long (fused loop). */
