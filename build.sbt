@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 90+ queries in one JVM generate thousands of whole-stage-codegen
+  // classes; the JDK default 240 MB code cache overflows mid-run and the
+  // sweeper then deopt/re-JITs hot methods continuously (measured: the
+  // same bench 185 s -> 736 s across consecutive runs, rotating victims,
+  // CPUs idle). A 1 GiB cache keeps every compiled stage resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )
