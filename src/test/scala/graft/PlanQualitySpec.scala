@@ -151,6 +151,40 @@ class PlanQualitySpec extends SparkSpec {
       s"unpartitioned window over the dense grid:\n$plan")
   }
 
+  test("q87/q89 curation gates are pure projections: no hash shuffle, no agg") {
+    for (q <- Seq("q87_stratified_sample", "q89_quality_filter")) {
+      val plan = finalPlan(query(q))
+      // the only exchange allowed is the final ORDER BY's range partition
+      assert(!plan.contains("hashpartitioning"),
+        s"$q: projection-only query hash-shuffles:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$q: unexpected aggregation:\n$plan")
+      assert(!plan.contains("Join"), s"$q: unexpected join:\n$plan")
+    }
+  }
+
+  test("q86 chunking is one explode, no shuffle before the output sort") {
+    val plan = finalPlan(query("q86_chunk_windows"))
+    assert("Generate".r.findAllIn(plan).length == 1, s"expected 1 explode:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"chunking shuffled:\n$plan")
+  }
+
+  test("q85 bm25: corpus stats ride a broadcast, aggs are partial+final") {
+    val plan = finalPlan(query("q85_bm25"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"corpus-stats frame not broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"tf/df aggs not partial+final:\n$plan")
+  }
+
+  test("q88 packing: every cumulative window is per-stratum partitioned") {
+    val plan = finalPlan(query("q88_pack_sequences"))
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in q88 plan:\n$plan")
+    assert(windowSpecs.forall(_.contains("source")),
+      s"unpartitioned (single-task) cumulative sum:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length
