@@ -63,6 +63,43 @@ object Curation {
         floor((col("cum_tok") - col(nTokCol)) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** Train/eval split-leakage audit: for every NON-train document, how
+    * many train documents share at least one word n-gram with it, and
+    * how many (doc, train-doc, shingle) hits there are in total. Zero
+    * for a clean split. The shingle side carries fused xxhash64 longs
+    * (never the n-gram strings), the join is keyed on the hash, and
+    * every non-train doc is kept via the left join — the same dataflow
+    * as the benchmark-contamination audit, pointed at the split.
+    *
+    * Scale: shuffles are keyed on shingle hash then doc_id; a stopword-
+    * like degenerate shingle would fan out — callers with adversarial
+    * corpora should pre-cap bucket sizes like the near-dup path does. */
+  def splitLeakage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      splitCol: String,
+      trainTag: String): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(splitCol).as("split"),
+      explode(graft.expressions.functions.ngram_shingle_hashes(
+        TextAnalysis.toks(col(textCol)), n, distinct = true)).as("h"))
+    val tr = sh.filter(col("split") === trainTag)
+      .select(col("h"), col("doc_id").as("train_id"))
+    val te = sh.filter(col("split") =!= trainTag)
+      .select(col("doc_id"), col("h"))
+    val hits = te.join(tr, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_shared_shingles"))
+    docs.filter(col(splitCol) =!= trainTag)
+      .select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
+  }
+
   /** Gopher-style quality gates over whitespace tokens, all-integer
     * comparisons (threshold * denominator vs numerator * scale):
     *   - ok_len:  10 <= n_tok <= 90

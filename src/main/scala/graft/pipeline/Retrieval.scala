@@ -42,6 +42,35 @@ object Retrieval {
         round(idf * (col("tf") * lit(k1 + 1.0)) / norm, 6).as("bm25"))
   }
 
+  /** Per-document mean unigram surprisal — the perplexity-style quality
+    * signal of a corpus-trained unigram LM (CCNet-style filtering, one
+    * model order down). Engine-exact by construction: each token's
+    * surprisal ln(N/c) is rounded to integer MICRO-nats BEFORE the
+    * per-doc sum, so the aggregation is integer and order-independent —
+    * a raw double sum would differ across engines by reduction order.
+    *
+    * Scale: token→count join shuffles on `term` (vocab-sized build side,
+    * map-side combined), per-doc rollup shuffles on `doc_id`; both keyed,
+    * no broadcast of anything corpus-sized. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val uc = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = terms.agg(count(lit(1)).as("n_toks"))
+    val scored = uc.crossJoin(broadcast(n))
+      .select(col("term"),
+        round(log(col("n_toks").cast("double") / col("c")) * 1e6, 0)
+          .cast("long").as("s_micro"))
+    terms.join(scored, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("s_micro")).as("surp_sum_micro"))
+      .select(col("doc_id"), col("n_tok"), col("surp_sum_micro"),
+        // floor of the same IEEE division both engines compute —
+        // a bare long cast would truncate in Spark but round in DuckDB
+        floor(col("surp_sum_micro") / col("n_tok")).cast("long")
+          .as("mean_surprisal_micro"))
+  }
+
   /** Bigram collocations by pointwise mutual information:
     * pmi = ln(c_xy * N_uni^2 / (N_bi * c_x * c_y)), adjacent whitespace
     * tokens only, thresholded on the raw pair count to keep the result

@@ -165,6 +165,68 @@ object Pipeline5 {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
               FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
+    // Corpus unigram surprisal per doc — the perplexity-style quality
+    // signal. Integer micro-nats before the per-doc sum, so the
+    // aggregation is order-independent in any engine.
+    QEntry("q92_unigram_surprisal",
+      (s, d) => Retrieval.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+                         FROM documents),
+                   uc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+                   n AS (SELECT count(*) AS n_toks FROM t),
+                   sc AS (SELECT term,
+                       CAST(round(ln(CAST(n.n_toks AS DOUBLE) / c) * 1000000.0) AS BIGINT)
+                         AS s_micro
+                     FROM uc CROSS JOIN n),
+                   agg AS (SELECT doc_id, count(*) AS n_tok,
+                       CAST(sum(s_micro) AS BIGINT) AS surp_sum_micro
+                     FROM t JOIN sc USING (term) GROUP BY doc_id)
+              SELECT doc_id, n_tok, surp_sum_micro,
+                CAST(floor(surp_sum_micro / n_tok) AS BIGINT) AS mean_surprisal_micro
+              FROM agg ORDER BY doc_id""")),
+
+    // Train/eval split-leakage audit over the q57 md5-bucket split:
+    // shared 8-gram shingles between eval docs and ANY train doc. The
+    // Spark side joins on fused xxhash64 longs; the oracle re-derives
+    // the same split and joins the n-gram STRINGS (hash-free twin).
+    QEntry("q93_split_leakage",
+      (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100
+        val docs = Tables.documents(s, d)
+          .withColumn("split", when(bucket < 80, "train").otherwise("eval"))
+        Curation.splitLeakage(docs, "doc_id", "text", 8, "split", "train")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (
+                SELECT doc_id, text,
+                  CASE WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 100 < 80
+                       THEN 'train' ELSE 'eval' END AS split
+                FROM documents),
+              sh AS (
+                SELECT doc_id, split, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                       toks[i+6] || ' ' || toks[i+7]))) AS g
+                FROM (SELECT doc_id, split, string_split_regex(lower(text), '\s+') AS toks
+                      FROM sp)
+                WHERE len(toks) >= 8),
+              tr AS (SELECT g, doc_id AS train_id FROM sh WHERE split = 'train'),
+              te AS (SELECT doc_id, g FROM sh WHERE split <> 'train'),
+              hits AS (
+                SELECT te.doc_id, count(DISTINCT tr.train_id) AS n_train_docs,
+                       count(*) AS n_shared_shingles
+                FROM te JOIN tr USING (g) GROUP BY te.doc_id)
+              SELECT sp.doc_id,
+                CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+                CAST(coalesce(h.n_shared_shingles, 0) AS BIGINT) AS n_shared_shingles
+              FROM sp LEFT JOIN hits h ON sp.doc_id = h.doc_id
+              WHERE sp.split <> 'train'
+              ORDER BY sp.doc_id""")),
+
     // PMI bigram collocations (count >= 3): adjacent-token pairs via
     // zip_with (no explode of position indices), integer counts, one ln()
     // at the rounded edge. See Retrieval.pmiBigrams.
