@@ -78,6 +78,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(out((2L, "banana")) - math.rint(expBanana * 1e6) / 1e6) < 1e-9)
   }
 
+  test("quality gate + stratified sample stream in append mode == batch") {
+    // Both operators are stateless projections, so they run unchanged on
+    // a stream with no watermark and no state store — the property that
+    // lets one curation codepath serve backfill AND live ingestion.
+    val corpus = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(
+        df.withColumn("keep", Curation.qualityFlags(col("text")).getField("keep")),
+        "doc_id", "lang", Map("en" -> 60), 25, "strat")
+        .select(col("doc_id"), col("keep"), col("bucket"))
+    val expected = gate(corpus).as[(Long, Boolean, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("curation_stream").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = gate(stream)
+      .writeStream.format("memory").queryName("curation_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curation_mem").as[(Long, Boolean, Long)].collect().toSet
+    assert(got == expected, s"stream != batch: ${(expected -- got).take(3)}")
+  }
+
   test("pmiBigrams counts adjacent pairs and scores with ln") {
     val df = Seq.fill(3)("big data big data").toDF("text")
     // per doc toks = [big, data, big, data]; bigrams: (big,data)x2, (data,big)x1
