@@ -227,6 +227,56 @@ object Pipeline5 {
               WHERE sp.split <> 'train'
               ORDER BY sp.doc_id""")),
 
+    // Parquet schema evolution under the gate: an old batch written with
+    // 2 columns, a new batch with 3, one mergeSchema read over both —
+    // rows from the old layout surface the new column as NULL. The
+    // oracle computes the same aggregate from the original table, so a
+    // wrong NULL-fill, a dropped batch, or a bad partition-discovery
+    // shows up as a hash mismatch.
+    QEntry("q94_schema_evolution",
+      (s, d) => {
+        val path = "/tmp/graft_schema_evo_q94"
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$path/batch=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$path/batch=2")
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars_new_batch"),
+            count(col("n_chars")).as("n_new_batch"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+                  AS sum_chars_new_batch,
+                count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_new_batch
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Partitioned layout + partition pruning: write partitioned by lang,
+    // read back with a lang filter — the filter must prune DIRECTORIES
+    // (PartitionFilters, plan-gated), not scan-and-discard rows. The
+    // oracle recomputes from the unpartitioned original.
+    QEntry("q95_partition_pruning",
+      (s, d) => {
+        val path = "/tmp/graft_part_q95"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+        s.read.parquet(path)
+          .filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM documents WHERE lang = 'en'
+              GROUP BY source ORDER BY source""")),
+
     // PMI bigram collocations (count >= 3): adjacent-token pairs via
     // zip_with (no explode of position indices), integer counts, one ln()
     // at the rounded edge. See Retrieval.pmiBigrams.

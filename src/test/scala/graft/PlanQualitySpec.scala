@@ -185,6 +185,16 @@ class PlanQualitySpec extends SparkSpec {
       s"unpartitioned (single-task) cumulative sum:\n$plan")
   }
 
+  test("q95 lang filter prunes partition directories, not rows") {
+    val plan = finalPlan(query("q95_partition_pruning"))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter not applied as a partition filter:\n$plan")
+    // pruning happened at planning: the data filter list must not
+    // re-check lang row-by-row
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang degraded to a row-level data filter:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length
