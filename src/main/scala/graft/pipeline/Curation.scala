@@ -63,6 +63,31 @@ object Curation {
         floor((col("cum_tok") - col(nTokCol)) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** Data-mixture rebalancing: compute a per-stratum keep RATE from a
+    * per-stratum token budget (rate% = budget·100 / stratum_tokens,
+    * capped at 100), then apply it with the same md5-bucket rule as
+    * [[stratifiedSample]]. Two keyed aggregations + a broadcast of the
+    * per-stratum rates (strata cardinality, not corpus) + a zero-shuffle
+    * filter — the standard "equalize language shares" step before
+    * training. All integer math, so the sampled set is engine-exact and
+    * stable under re-runs. */
+  def rebalanceMixture(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      nTokCol: String,
+      budgetTokens: Long,
+      salt: String): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(nTokCol)).as("stratum_tokens"))
+      .withColumn("rate",
+        least(lit(100L), floor(lit(budgetTokens) * 100.0 / col("stratum_tokens"))
+          .cast("long")))
+    df.join(broadcast(totals), strataCol)
+      .withColumn("bucket", md5Bucket(col(keyCol), salt))
+      .filter(col("bucket") < col("rate"))
+  }
+
   /** Train/eval split-leakage audit: for every NON-train document, how
     * many train documents share at least one word n-gram with it, and
     * how many (doc, train-doc, shingle) hits there are in total. Zero

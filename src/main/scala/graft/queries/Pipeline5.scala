@@ -277,6 +277,56 @@ object Pipeline5 {
               FROM documents WHERE lang = 'en'
               GROUP BY source ORDER BY source""")),
 
+    // Data-mixture rebalancing: equalize per-language token shares by
+    // computing each language's keep rate from a 20k-token budget, then
+    // applying the deterministic md5-bucket rule. Two keyed aggs + a
+    // strata-sized broadcast; the filter itself is zero-shuffle.
+    QEntry("q96_mixture_rebalance",
+      (s, d) => Curation.rebalanceMixture(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok")),
+          "doc_id", "lang", "n_tok", 20000L, "mix")
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("rate"), col("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                     CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+                   FROM documents),
+                   tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS stratum_tokens
+                           FROM t GROUP BY lang),
+                   r AS (SELECT lang,
+                           least(100, CAST(floor(20000 * 100.0 / stratum_tokens) AS BIGINT))
+                             AS rate
+                         FROM tot),
+                   k AS (SELECT t.doc_id, t.lang, t.n_tok, r.rate,
+                           ('0x' || substr(md5(cast(t.doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+                             % 100 AS bucket
+                         FROM t JOIN r USING (lang))
+              SELECT doc_id, lang, n_tok, rate, bucket FROM k
+              WHERE bucket < rate ORDER BY doc_id""")),
+
+    // JSON sink + schema-inferred scan roundtrip (the write-side twin of
+    // q69's JSONL ingest): corruption anywhere in the sink/scan loop
+    // hash-fails against the parquet-original oracle.
+    QEntry("q97_json_sink_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_json_q97"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(path)
+        s.read.json(path)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).as("chars_total"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                min(doc_id) AS first_id, max(doc_id) AS last_id
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
     // PMI bigram collocations (count >= 3): adjacent-token pairs via
     // zip_with (no explode of position indices), integer counts, one ln()
     // at the rounded edge. See Retrieval.pmiBigrams.
