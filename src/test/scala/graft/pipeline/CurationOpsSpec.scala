@@ -46,6 +46,27 @@ class CurationOpsSpec extends SparkSpec {
       ("a", 4L, 310L, 1L), ("b", 1L, 300L, 0L)))
   }
 
+  test("rebalanceMixture: kept tokens land near the per-stratum budget") {
+    val df = (0L until 2000L).map { i =>
+      val lang = if (i % 4 == 0) "en" else "xx" // en: 500 docs, xx: 1500
+      (i, lang, 40L)                            // en: 20k toks, xx: 60k toks
+    }.toDF("doc_id", "lang", "n_tok")
+    val kept = Curation.rebalanceMixture(df, "doc_id", "lang", "n_tok", 20000L, "mix")
+    val byLang = kept.groupBy("lang")
+      .agg(sum("n_tok").as("toks"), max("rate").as("rate"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // en is exactly at budget -> rate 100, everything kept
+    assert(byLang("en") == ((20000L, 100L)))
+    // xx is 3x over budget -> rate 33%; md5 buckets are near-uniform
+    assert(byLang("xx")._2 == 33L)
+    assert(byLang("xx")._1 > 14000L && byLang("xx")._1 < 26000L,
+      s"xx kept ${byLang("xx")._1} tokens for a 20k budget")
+    // deterministic
+    assert(kept.agg(sum("doc_id")).head.getLong(0) ==
+      Curation.rebalanceMixture(df, "doc_id", "lang", "n_tok", 20000L, "mix")
+        .agg(sum("doc_id")).head.getLong(0))
+  }
+
   test("qualityFlags: integer-threshold rules and first-reason semantics") {
     val df = Seq(
       (1L, "quick brown foxes jumped over those lazy sleeping dogs" +
