@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 closing pack: sentence segmentation, lexical coverage (OOV),
+  * and embedding-norm QA. Same conventions as the rest of the suite —
+  * integer aggregates, floor-div for ratios, total ordering.
+  */
+object Pipeline6 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Sentence segmentation stats: split on [.!?]+ runs, drop whitespace-
+    // only fragments, report per-doc counts. Pure projection (the
+    // split/filter/aggregate all happen inside one row), zero shuffle.
+    QEntry("q98_sentence_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+            x => length(x) > 0).as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sentences"),
+          coalesce(aggregate(col("sents"), lit(0L), (acc, x) => acc + length(x)),
+            lit(0L)).as("sum_sent_chars"),
+          coalesce(array_max(transform(col("sents"), x => length(x))), lit(0))
+            .cast("long").as("max_sent_chars"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  list_filter(list_transform(
+                    string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                    x -> length(x) > 0) AS sents
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(sents) AS BIGINT) AS n_sentences,
+                CAST(coalesce(list_sum(list_transform(sents, x -> length(x))), 0)
+                  AS BIGINT) AS sum_sent_chars,
+                CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+                  AS BIGINT) AS max_sent_chars
+              FROM t ORDER BY doc_id""")),
+
+    // Lexical coverage: out-of-vocabulary rate against a FREQUENCY-CUTOFF
+    // vocab (corpus count >= 5) — the word2vec-style min_count vocab. A
+    // top-k vocab would need a global rank (single-partition window, the
+    // q05 anti-pattern); the cutoff vocab is one keyed agg + one keyed
+    // join and scales with no hot spot. oov_bp floor-divs the SAME IEEE
+    // quotient in both engines.
+    QEntry("q99_oov_rate",
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+        val uc = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        terms.join(uc, "term")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("c") < 5, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            floor(col("n_oov") * 10000.0 / col("n_tok")).cast("long").as("oov_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+                         FROM documents),
+                   uc AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+                   agg AS (SELECT doc_id, count(*) AS n_tok,
+                       CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                     FROM t JOIN uc USING (term) GROUP BY doc_id)
+              SELECT doc_id, n_tok, n_oov,
+                CAST(floor(n_oov * 10000.0 / n_tok) AS BIGINT) AS oov_bp
+              FROM agg ORDER BY doc_id""")),
+
+    // Embedding QA: per-label count and quantized-int64 squared-norm
+    // stats — the drift/NaN tripwire a vector pipeline runs before
+    // indexing. Fused dot_long keeps the norm in one codegen'd loop;
+    // all aggregates are exact integers.
+    QEntry("q100_embedding_norms",
+      (s, d) => {
+        val q = graft.expressions.functions.quantize_vec(col("embedding"), 10000.0)
+        val n2 = graft.expressions.functions.dot_long(col("q"), col("q"))
+        Tables.embeddings(s, d)
+          .select(col("label"), q.as("q"))
+          .select(col("label"), n2.as("norm2"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("norm2")).as("sum_norm2"),
+            min(col("norm2")).as("min_norm2"),
+            max(col("norm2")).as("max_norm2"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH q AS (
+                SELECT label,
+                  CAST(list_sum(list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT) *
+                         CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)))
+                    AS BIGINT) AS norm2
+                FROM embeddings)
+              SELECT label, count(*) AS n_vecs,
+                CAST(sum(norm2) AS BIGINT) AS sum_norm2,
+                min(norm2) AS min_norm2, max(norm2) AS max_norm2
+              FROM q GROUP BY label ORDER BY label"""))
+  )
+}
