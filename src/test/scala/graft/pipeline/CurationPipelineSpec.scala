@@ -68,5 +68,32 @@ class CurationPipelineSpec extends SparkSpec {
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))
     assert(split.exceptAll(again).count() == 0)
+
+    // 6. mixture rebalance on the train split (token budget per lang),
+    // then sequence packing of what survives — the last two stages a
+    // training-data pipeline runs before writing shards
+    val train = split.filter(col("split") === "train")
+      .join(deduped.select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tok")), "doc_id")
+    val rebalanced = Curation.rebalanceMixture(
+      train, "doc_id", "lang", "n_tok", 2000L, "mix")
+    rebalanced.groupBy("lang").agg(sum("n_tok").as("kept"))
+      .as[(String, Long)].collect().foreach { case (lang, kept) =>
+        // md5 buckets are near-uniform: kept tokens never exceed ~2x a
+        // budget that the stratum itself exceeds
+        assert(kept <= 4000L, s"$lang kept $kept tokens for a 2000 budget")
+      }
+    val packed = Curation.packSequences(
+      rebalanced.select("doc_id", "lang", "n_tok"),
+      "doc_id", "lang", "n_tok", 512)
+    // packing covers every rebalanced doc exactly once, bins start at 0
+    // and are contiguous per stratum
+    assert(packed.count() == rebalanced.count())
+    packed.groupBy("lang")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"),
+        countDistinct("bin_id").as("n"))
+      .as[(String, Long, Long, Long)].collect().foreach { case (lang, lo, hi, n) =>
+        assert(lo == 0L && n == hi + 1, s"$lang bins not contiguous: [$lo,$hi] n=$n")
+      }
   }
 }
