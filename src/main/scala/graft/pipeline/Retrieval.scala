@@ -49,21 +49,25 @@ object Retrieval {
     * per-doc sum, so the aggregation is integer and order-independent —
     * a raw double sum would differ across engines by reduction order.
     *
-    * Scale: token→count join shuffles on `term` (vocab-sized build side,
-    * map-side combined), per-doc rollup shuffles on `doc_id`; both keyed,
-    * no broadcast of anything corpus-sized. */
+    * Scale: the raw token stream never crosses a shuffle — it collapses
+    * to (doc, term, tf) in the FIRST map-side-combined agg, so the vocab
+    * join and the per-doc rollup carry distinct pairs, not token
+    * instances (2–10× fewer shuffle bytes on natural text). No broadcast
+    * of anything corpus-sized. */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("term"))
-    val uc = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val n = terms.agg(count(lit(1)).as("n_toks"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val uc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val n = uc.agg(sum(col("c")).as("n_toks"))
     val scored = uc.crossJoin(broadcast(n))
       .select(col("term"),
         round(log(col("n_toks").cast("double") / col("c")) * 1e6, 0)
           .cast("long").as("s_micro"))
-    terms.join(scored, "term")
+    tf.join(scored, "term")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("s_micro")).as("surp_sum_micro"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("s_micro")).as("surp_sum_micro"))
       .select(col("doc_id"), col("n_tok"), col("surp_sum_micro"),
         // floor of the same IEEE division both engines compute —
         // a bare long cast would truncate in Spark but round in DuckDB

@@ -47,14 +47,18 @@ object Pipeline6 {
     // quotient in both engines.
     QEntry("q99_oov_rate",
       (s, d) => {
-        val terms = Tables.documents(s, d)
+        // collapse to (doc, term, tf) FIRST: the vocab join and the
+        // per-doc rollup then carry distinct pairs, never the raw
+        // token stream (same shuffle discipline as unigramSurprisal)
+        val tf = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(split(lower(col("text")), "\\s+")).as("term"))
-        val uc = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
-        terms.join(uc, "term")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val uc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+        tf.join(uc, "term")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tok"),
-            sum(when(col("c") < 5, 1L).otherwise(0L)).as("n_oov"))
+          .agg(sum(col("tf")).as("n_tok"),
+            sum(when(col("c") < 5, col("tf")).otherwise(0L)).as("n_oov"))
           .select(col("doc_id"), col("n_tok"), col("n_oov"),
             floor(col("n_oov") * 10000.0 / col("n_tok")).cast("long").as("oov_bp"))
           .orderBy(col("doc_id"))
