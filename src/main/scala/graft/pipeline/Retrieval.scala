@@ -26,17 +26,22 @@ object Retrieval {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(lower(col(textCol)), "\\s+").as("toks"))
-    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val terms = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // dl rides THROUGH the explode and the tf agg (constant per group,
+    // picked up with first()) — no separate doc-length frame, no
+    // doc_id shuffle join. Corpus stats come from the pre-explode frame:
+    // a single-row agg with no shuffle at all.
+    val terms = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)
     val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))
-    tf.join(dl, "doc_id")
-      .join(dfreq, "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
         round(idf * (col("tf") * lit(k1 + 1.0)) / norm, 6).as("bm25"))
