@@ -1,9 +1,42 @@
 package graft
+import java.lang.management.ManagementFactory
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Whole-process CPU nanos (all threads, incl. Spark's local[N] executor
+    * pool). ThreadMXBean.getCurrentThreadCpuTime only sees the driver
+    * thread, which idles while executor threads burn CPU — useless for
+    * telling "query was slow" from "JVM was starved". Falls back to -1 if
+    * the com.sun.management bean is unavailable (never on HotSpot). */
+  private def processCpuNanos(): Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _                                            => -1L
+    }
+
+  /** Occupancy of the JIT code heaps in MiB (sum of the CodeHeap pools on
+    * segmented-code-cache JVMs, or the single "Code Cache" pool). When this
+    * approaches the reserved size the sweeper flushes hot methods and
+    * wall-clock degrades with idle CPUs — the BENCH_r05 pathology
+    * (BASELINE.md "code-cache fix"). */
+  private def codeCacheUsedMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed.toDouble)
+      .sum / (1024.0 * 1024.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // JVM flags up front so a log reader can verify ReservedCodeCacheSize
+    // et al. without hunting for the sbt launcher invocation.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val flags = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      System.err.println(s"[bench] jvm flags: ${flags.mkString(" ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,16 +62,30 @@ object Bench {
     // (a projection-only query degenerates to a scan count) — numbers
     // were self-consistent but flattered. Anchor re-recorded in
     // BASELINE.md with this methodology.
+    //
+    // Per-query process-CPU deltas ride along: wall ≈ cpu/32 is a healthy
+    // parallel query; wall ≫ cpu flags an environmental stall (JIT sweeper,
+    // CPU contention) rather than a plan regression — that distinction is
+    // what BENCH_r05 lacked.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val c0 = processCpuNanos()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
+      (name, wall, cpu)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val cpuS = results.map { case (k, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val jit = ManagementFactory.getCompilationMXBean
+    val jitMs = if (jit != null && jit.isCompilationTimeMonitoringSupported)
+      jit.getTotalCompilationTime else -1L
+    val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_s":$cpuS,"jvm":$jvm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
