@@ -8,12 +8,62 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
   * (BASELINE.json north star): dedup (exact / Jaccard / MinHash-LSH /
   * SimHash), similarity search (brute-force + LSH-bucketed ANN), text
   * analysis, multimodal plumbing. Oracle-checked wherever DuckDB can
-  * express the semantics; hash-based candidate generation (MinHash /
-  * SimHash / LSH buckets use Spark's xxhash64) is rows-only checked.
+  * express the semantics — including the MinHash/SimHash LSH pipelines,
+  * which run here with PORTABLE md5-based hashes (q37/q38/q51/q53) so
+  * DuckDB recomputes signature → banding → candidate → verify
+  * bit-for-bit; the fused xxhash64 production paths in
+  * [[graft.pipeline.Dedup]] keep their spec coverage (DedupSpec recall /
+  * differential twins). Only genuinely approximate ANN (q39/q47) is
+  * rows-only checked.
   */
 object Pipeline {
 
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Portable 32-bit SimHash over the doc's token multiset: token hash =
+    * first 8 md5 hex chars as uint32 (the q51 convention), bit j of the
+    * signature set iff strictly more than half the tokens have bit j set
+    * (ties → 0). Explode + 32 conditional sums: one map-side-combined
+    * hash aggregate, fully codegen'd — the portable twin of the fused
+    * zero-shuffle [[graft.pipeline.Dedup.simhash64]] (xxhash64), which
+    * DuckDB cannot recompute. Both engines evaluate this formulation
+    * bit-for-bit (q38 pins it; q53 builds its LSH on top). */
+  private val SimBits = 32
+
+  private def portableSimhash32(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val ones = (0 until SimBits).map(j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L))).as(s"o$j"))
+    val sig = (0 until SimBits).map(j =>
+        when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), ones: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** DuckDB twin of [[portableSimhash32]] — CTEs ending in `sig(doc_id,
+    * simhash)`, generated with the same bit constants. */
+  private def portableSimhashSql: String = {
+    val ones = (0 until SimBits).map(j =>
+      s"CAST(sum((h>>$j)&1) AS BIGINT) AS o$j").mkString(", ")
+    val sig = (0 until SimBits).map(j =>
+      s"(CASE WHEN 2*o$j > n THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""tk AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+        ag AS (
+          SELECT doc_id, count(*) AS n, $ones FROM th GROUP BY doc_id),
+        sig AS (
+          SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM ag)"""
+  }
 
   val entries: Seq[QEntry] = Seq(
 
@@ -205,20 +255,128 @@ object Pipeline {
               SELECT q_id, vec_id, dot, rn FROM ranked
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
-    // MinHash+LSH near-dup pairs, verified with exact Jaccard. Candidate
-    // generation depends on xxhash64 → rows-only check (no oracle).
-    QEntry("q37_minhash_pairs",
-      (s, d) => Dedup.minhashNearDupPairs(
-        Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, bands = 4, shingleK = 3, threshold = 0.8)
-        .orderBy(col("a_id"), col("b_id")),
-      None),
+    // MinHash+LSH near-dup pairs with PORTABLE hashes, under the FULL
+    // oracle: md5-prefix shingle hashes + 16 affine permutations (q51's
+    // convention) → 4 bands of 4 → per-bucket in-group combinations (the
+    // minhashNearDupPairs candidate scheme: no self-join, degenerate
+    // buckets capped) → exact-Jaccard verify at 4/5 in pure int64. DuckDB
+    // recomputes signature → banding → candidates → verify bit-for-bit,
+    // so the whole LSH pipeline is hash-compared, not rows-only. The
+    // fused xxhash64 production path (Dedup.minhashNearDupPairs) keeps
+    // its DedupSpec recall coverage.
+    QEntry("q37_minhash_pairs", {
+      val P = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
+      val perms = Seq(
+        (1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L),
+        (49979687L, 11L), (67867967L, 222L), (86028121L, 3333L), (104395301L, 44444L),
+        (122949823L, 5L), (141650939L, 66L), (160481183L, 777L), (179424673L, 8888L),
+        (198491317L, 99L), (217645177L, 101L), (236887691L, 2027L), (256203161L, 30011L))
+      val bands = 4
+      val rows = perms.size / bands
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // Staged projections (see q50/q51): each HOF lambda reads a
+        // materialized attribute, never an inline subtree.
+        val hs = transform(col("shingles"),
+          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
+        val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
+          array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig$j")
+        }
+        val bandCols = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
+              .as("bkey"))
+        }
+        val sig = docs
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"),
+            graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true)
+              .as("shingles"))
+          .filter(size(col("shingles")) > 0) // short docs can't band-collide
+          .select(col("doc_id"), hs.as("hs"))
+          .select((col("doc_id") +: sigs): _*)
+        val grouped = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          .groupBy(col("band"), col("bkey"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 1000))
+        val combos = flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            b => struct(a.as("a_id"), b.as("b_id")))))
+        val cand = grouped.select(explode(combos).as("p"))
+          .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+          .distinct()
+        Dedup.verifyJaccard(cand, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+          .orderBy(col("a_id"), col("b_id"))
+      }
+    },
+      Some {
+        val P = 4294967311L
+        val perms = Seq(
+          (1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L),
+          (49979687L, 11L), (67867967L, 222L), (86028121L, 3333L), (104395301L, 44444L),
+          (122949823L, 5L), (141650939L, 66L), (160481183L, 777L), (179424673L, 8888L),
+          (198491317L, 99L), (217645177L, 101L), (236887691L, 2027L), (256203161L, 30011L))
+        val sigList = perms.map { case (a, b) =>
+          s"list_min(list_transform(hs, x -> (x*$a+$b)%$P))"
+        }.mkString("[", ",\n                  ", "]")
+        s"""WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM t),
+            h AS (
+              SELECT doc_id, list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM sh WHERE len(shingles) > 0),
+            sig AS (
+              SELECT doc_id, $sigList AS sig
+              FROM h),
+            bands AS (
+              SELECT doc_id, band,
+                array_to_string(list_transform(sig[band*4+1:band*4+4],
+                  x -> CAST(x AS VARCHAR)), ',') AS bkey
+              FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+            ok AS (
+              SELECT band, bkey FROM bands
+              GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a
+              JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+                          AND b.doc_id > a.doc_id
+              JOIN ok ON ok.band = a.band AND ok.bkey = a.bkey),
+            tok AS (
+              SELECT doc_id,
+                unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+              FROM documents),
+            sizes AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT c.a_id, c.b_id, count(*) AS inter
+              FROM cand c
+              JOIN tok a ON a.doc_id = c.a_id
+              JOIN tok b ON b.doc_id = c.b_id AND b.tok = a.tok
+              GROUP BY c.a_id, c.b_id)
+            SELECT i.a_id, i.b_id, i.inter, sa.ntok + sb.ntok - i.inter AS uni
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4
+            ORDER BY a_id, b_id"""
+      }),
 
-    // SimHash signatures (xxhash64-based → rows-only check).
+    // SimHash signatures with the portable 32-bit md5 formulation —
+    // hash-compared value-by-value (the fused 64-bit xxhash64 production
+    // signature, Dedup.simhash64, stays spec-covered via DedupSpec).
     QEntry("q38_simhash",
-      (s, d) => Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+      (s, d) => portableSimhash32(Tables.documents(s, d))
         .orderBy(col("doc_id")),
-      None),
+      Some(s"""WITH ${portableSimhashSql}
+               SELECT doc_id, simhash FROM sig ORDER BY doc_id""")),
 
     // Near-dup pairs → dedup GROUPS: connected components by min-label
     // propagation over the jaccard-adjacent edge graph (threshold 0.8 as
@@ -260,15 +418,57 @@ object Pipeline {
               SELECT id, min(lbl) AS component
               FROM comp GROUP BY id ORDER BY id""")),
 
-    // SimHash banded hamming pair join — signatures (q38) turned into a
-    // dedup operator: band-bucket candidates, exact bit_count verify.
-    // xxhash64-based like q37/q38 → rows-only; recall is spec-pinned
-    // (DedupSpec plants near-dups).
+    // SimHash banded hamming pair join on the portable signature (q38) —
+    // the simhashPairs candidate scheme (band-bucket group-emit, no
+    // self-join, capped buckets, bit_count verify BEFORE the distinct)
+    // under the full oracle: 4 bands of 8 bits over the 32-bit portable
+    // simhash; by pigeonhole hamming<=3 pairs always share a band, and
+    // DuckDB rebuilds banding + xor/bit_count verify exactly. The 64-bit
+    // xxhash64 production operator (Dedup.simhashPairs) keeps DedupSpec's
+    // planted-near-dup recall coverage.
     QEntry("q53_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        bands = 4, maxHamming = 3)
-        .orderBy(col("a_id"), col("b_id")),
-      None),
+      (s, d) => {
+        val width = SimBits / 4
+        val mask = (1L << width) - 1
+        val bandCols = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
+              .as("bval"))
+        }
+        val grouped = portableSimhash32(Tables.documents(s, d))
+          .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.bval").as("bval"))
+          .groupBy(col("band"), col("bval"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+          .filter(size(col("ids")).between(2, 1000))
+        val combos = flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))),
+            b => struct(
+              a.getField("doc_id").as("a_id"), b.getField("doc_id").as("b_id"),
+              a.getField("simhash").as("ha"), b.getField("simhash").as("hb")))))
+        grouped.select(explode(combos).as("p"))
+          .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+            expr("bit_count(p.ha ^ p.hb)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH ${portableSimhashSql},
+            bands AS (
+              SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bval
+              FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+            ok AS (
+              SELECT band, bval FROM bands
+              GROUP BY band, bval HAVING count(*) BETWEEN 2 AND 1000)
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM bands a
+            JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                        AND b.doc_id > a.doc_id
+            JOIN ok ON ok.band = a.band AND ok.bval = a.bval
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY a_id, b_id""")),
 
     // Embedding-cosine near-dup on a defined candidate set (adjacent vec
     // ids) — quantized-exact, oracle-backed; the unbounded-candidate
