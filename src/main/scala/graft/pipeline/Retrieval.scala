@@ -28,15 +28,22 @@ object Retrieval {
       split(lower(col(textCol)), "\\s+").as("toks"))
     // dl rides THROUGH the explode and the tf agg (constant per group,
     // picked up with first()) — no separate doc-length frame, no
-    // doc_id shuffle join. Corpus stats come from the pre-explode frame:
-    // a single-row agg with no shuffle at all.
+    // doc_id shuffle join.
     val terms = toks.select(col("doc_id"),
       size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+    // tf is consumed THREE times (score join, df rollup, corpus stats);
+    // without a checkpoint each consumer re-executes the scan+tokenize
+    // lineage — three corpus scans where one suffices (the q61 `grams`
+    // pattern; on a real cluster persist()/checkpoint()). Everything
+    // downstream derives from tf: df by term rollup, n_docs as the
+    // distinct doc count (every doc yields >=1 token — split() never
+    // returns an empty array), sum_dl = sum(tf) exactly.
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val stats = tf.agg(count_distinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)
@@ -58,11 +65,14 @@ object Retrieval {
     * to (doc, term, tf) in the FIRST map-side-combined agg, so the vocab
     * join and the per-doc rollup carry distinct pairs, not token
     * instances (2–10× fewer shuffle bytes on natural text). No broadcast
-    * of anything corpus-sized. */
+    * of anything corpus-sized. tf is checkpointed (the q61 `grams`
+    * pattern) because both the vocab rollup and the score join consume
+    * it — otherwise each re-runs the scan+tokenize lineage. */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val uc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val n = uc.agg(sum(col("c")).as("n_toks"))
     val scored = uc.crossJoin(broadcast(n))
@@ -95,10 +105,15 @@ object Retrieval {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= minCount)
+    // bigram counts feed both the thresholded result and the corpus
+    // total — checkpoint the (small) bigram-vocab frame so the
+    // explode+zip_with lineage runs once, not twice. n_bi = sum of ALL
+    // bigram counts (pre-threshold), identical to counting pair rows.
+    val bi0 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val bi = bi0.filter(col("c_xy") >= minCount)
     val nUni = uni.agg(sum(col("c")).as("n_uni"))
-    val nBi = pairs.agg(count(lit(1)).as("n_bi"))
+    val nBi = bi0.agg(sum(col("c_xy")).as("n_bi"))
     bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
       .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
       .crossJoin(broadcast(nUni))

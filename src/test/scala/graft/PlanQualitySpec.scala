@@ -176,6 +176,22 @@ class PlanQualitySpec extends SparkSpec {
       s"tf/df aggs not partial+final:\n$plan")
   }
 
+  test("q85/q92 scan documents once: consumers read the checkpointed tf frame") {
+    // bm25/surprisal derive df, corpus stats AND the score join from one
+    // (doc, term, tf) frame; without the checkpoint each consumer re-ran
+    // the scan+tokenize lineage (three parquet scans of documents —
+    // PLANS.md r5 nodes 1/14/27). The corpus is read exactly once, in
+    // the checkpoint job; the query's own plan reads only materialized
+    // RDD blocks.
+    for (q <- Seq("q85_bm25", "q92_unigram_surprisal")) {
+      val plan = finalPlan(query(q))
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 0, s"$q: re-scans the corpus $scans time(s):\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q: tf not read from the checkpoint:\n$plan")
+    }
+  }
+
   test("q88 packing: every cumulative window is per-stratum partitioned") {
     val plan = finalPlan(query("q88_pack_sequences"))
     val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
