@@ -174,6 +174,64 @@ object Pipeline3 {
               WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
               GROUP BY c.doc_id ORDER BY c.doc_id""")),
 
+    // 13-gram contamination over a LONG-DOCUMENT derivation (SURVEY §8
+    // item 2: the 31-word-vocab fixture's raw docs rarely share wide
+    // windows, so q80 stops at n=8). Long docs are overlapping
+    // concatenations of the base corpus — window g = docs [5g, 5g+10)
+    // joined in doc_id order — so adjacent windows contain an IDENTICAL
+    // 5-doc concatenated run: hundreds of planted 13-gram overlaps,
+    // including shingles that CROSS base-document boundaries (exactly
+    // what a wide-window audit must catch). Same hashed-shingle operator
+    // as q80 (n=13); the oracle joins raw 13-gram strings, proving the
+    // xxhash64 compression lossless at this window size too.
+    QEntry("q101_contamination_13g", {
+      val n = 13
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // each base doc belongs to windows floor(id/5)-1 and floor(id/5)
+        val member = docs
+          .select(explode(array(expr("doc_id div 5 - 1"), expr("doc_id div 5")))
+            .as("g"), col("doc_id"), col("text"))
+          .filter(col("g") >= 0)
+        val ldocs = member.groupBy(col("g"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), " ").as("text"))
+          .select(col("g").as("doc_id"), col("text"))
+        TextAnalysis.contaminationHashed(ldocs, "doc_id", "text",
+            col("doc_id") % 10 === 0, n = n)
+          .orderBy(col("doc_id"))
+      }
+    },
+      Some {
+        val n = 13
+        val cat = (0 until n).map {
+          case 0 => "toks[i]"
+          case k => s"toks[i+$k]"
+        }.mkString(" || ' ' || ")
+        s"""WITH m AS (
+              SELECT doc_id // 5 - 1 AS g, doc_id, text FROM documents
+              WHERE doc_id // 5 - 1 >= 0
+              UNION ALL
+              SELECT doc_id // 5 AS g, doc_id, text FROM documents),
+            ld AS (
+              SELECT g, string_agg(text, ' ' ORDER BY doc_id) AS text
+              FROM m GROUP BY g),
+            sh AS (
+              SELECT g AS doc_id, unnest(list_distinct(list_transform(
+                range(1, len(toks) - ${n - 2}),
+                i -> $cat))) AS gr
+              FROM (SELECT g, string_split_regex(lower(text), '\\s+') AS toks
+                    FROM ld)
+              WHERE len(toks) >= $n)
+            SELECT c.doc_id,
+              count(DISTINCT b.doc_id) AS n_bench_docs,
+              count(*) AS n_shared_shingles
+            FROM sh c JOIN sh b ON c.gr = b.gr
+            WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+            GROUP BY c.doc_id ORDER BY c.doc_id"""
+      }),
+
     // Time-series resample + gap-fill + forward-fill: per user, a dense
     // hourly grid over their active span (sequence + explode — the
     // gap-filling idiom), hourly cents left-joined on, missing hours
