@@ -375,10 +375,17 @@ object Similarity {
   /** Deterministic seed codebook: per subspace, the subvectors of the
     * `ksub` lowest-vec_id corpus vectors, cid = rank 0..ksub-1. Both
     * engines can rebuild this — the q83 oracle does. */
-  def pqCodebookSeed(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+  def pqCodebookSeed(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame =
+    pqCodebookSeedQ(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("qe")), m, ksub, dim)
+
+  /** [[pqCodebookSeed]] over an ALREADY-QUANTIZED (vec_id, qe) frame —
+    * the entry point for residual-coupled PQ, where `qe` is an int64
+    * residual rather than a quantized raw vector. */
+  def pqCodebookSeedQ(corpusQ: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
     val subDim = dim / m
-    val seeds = corpus.orderBy(col("vec_id")).limit(ksub)
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val seeds = corpusQ.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"), col("qe"))
       .withColumn("cid",
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("vec_id"))) - 1).cast("int"))
@@ -428,10 +435,16 @@ object Similarity {
     * partial-agg'd argmax + one collect into the code array — the
     * corpus never shuffles more than its own m× exploded rows.
     * Output: (vec_id, codes array<int>), codes[s] = chosen cid. */
-  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    pqEncodeQ(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("qe")),
+      codebook, m, dim)
+
+  /** [[pqEncode]] over an already-quantized (vec_id, qe) frame (residual
+    * encoding feeds int64 residuals here — same assignment math). */
+  def pqEncodeQ(corpusQ: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
-    pqSubvectors(
-      corpus.select(col("vec_id"), quantize(col("embedding")).as("qe")), m, subDim)
+    pqSubvectors(corpusQ, m, subDim)
       .join(broadcast(codebook), "s")
       // textbook L2 assignment, integer-exact: argmin |sv-cv|^2 =
       // argmax 2*dot - |cv|^2 (raw-dot argmax would bias toward long
@@ -476,6 +489,119 @@ object Similarity {
     encoded.join(broadcast(dt), lit(true))
       .withColumn("score",
         graft.expressions.functions.pq_adc_score(col("codes"), col("dt"), ksub))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
+  }
+
+  // ------------------------------------------------------- IVF-PQ (ADC)
+
+  /** Deterministic coarse centroids for the integer-exact IVF-PQ path:
+    * the `nList` lowest-vec_id corpus vectors, quantized, cid = rank
+    * 0..nList-1 (the pqCodebookSeed convention, so an oracle can rebuild
+    * them). */
+  def ivfCentroidSeed(corpus: DataFrame, nList: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(nList)
+      .select(col("vec_id"), quantize(col("embedding")).as("cente"))
+      .withColumn("cid",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("cente"))
+
+  /** Coarse assignment + residuals — the coupling step of IVFADC (Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search", PAMI
+    * 2011 §IV): each vector is assigned to its nearest coarse centroid
+    * by the INTEGER L2 fit (argmax 2·dot − |c|², ties to the lowest cid
+    * — the pqEncode convention, so both engines agree bit-for-bit), and
+    * what gets PQ-encoded is the residual `qe − cente[assigned]`, whose
+    * energy is a fraction of the raw vector's — the same ksub codewords
+    * quantize a much smaller ball, which is where IVFADC's accuracy
+    * over raw-vector PQ comes from.
+    *
+    * One broadcast pass + one partial-agg'd argmax; the corpus never
+    * shuffles more than its own rows. Residuals stay int64 — exact.
+    * Output: (vec_id, cluster, re array<long>). */
+  def ivfResiduals(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), quantize(col("embedding")).as("ce"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("fit",
+        lit(2) * dotQ(col("ce"), col("cente")) - dotQ(col("cente"), col("cente")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("ce")).as("ce"),
+        max_by(struct(col("cid").as("cid"), col("cente").as("cente")),
+          struct(col("fit"), -col("cid"))).as("cc"))
+      .select(col("vec_id"), col("cc.cid").as("cluster"),
+        zip_with(col("ce"), col("cc.cente"), (a, b) => a - b).as("re"))
+
+  /** IVF-PQ top-k by asymmetric dot (IVFADC): coarse-quantize the corpus,
+    * PQ-encode the RESIDUALS, and score a candidate as
+    * `dot(q, cente[cluster]) + adc(q, residual codes)` — exactly
+    * `dot(q, cente + reconstruct(codes))`, an integer both engines can
+    * recompute (the q102 oracle does). Queries probe only their `nProbe`
+    * best coarse lists (integer L2 fit, ties to lowest cid), so per-query
+    * work is O(corpus × nProbe/nList) like [[cosineTopKIvf]], but each
+    * candidate costs m table lookups instead of a dim-length dot.
+    *
+    * Scale shape: centroids, codebook, probes and distance tables all
+    * broadcast (each bounded: nList / m·ksub / queries×nProbe rows); the
+    * corpus is scanned once for assignment+encode and once for scoring,
+    * never shuffled before the per-query top-k. Set `nProbe = nList` for
+    * exhaustive ADC (no probe recall loss — the spec uses this to isolate
+    * residual-coupling quality). */
+  def ivfPqTopKDot(
+      queries: DataFrame, // (q_id, embedding)
+      corpus: DataFrame,  // (vec_id, embedding)
+      nList: Int, m: Int, ksub: Int, dim: Int, k: Int, nProbe: Int,
+      maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    guardQueryCount(queries, "ivfPqTopKDot", maxQueries)
+    val cent = ivfCentroidSeed(corpus, nList)
+    val resid = ivfResiduals(corpus, cent) // (vec_id, cluster, re)
+    val residQ = resid.select(col("vec_id"), col("re").as("qe"))
+    // Codebook seeds must EXCLUDE the centroid-source vectors: each of
+    // the nList lowest vec_ids is (almost always) its own nearest
+    // centroid, so its residual is the zero vector — seeding from them
+    // gives a degenerate all-zeros codebook whose ADC term carries no
+    // information (measured: recall halved vs raw PQ). Seed from the
+    // next ksub vectors by vec_id instead (oracle: LIMIT ksub OFFSET
+    // nList).
+    val centSrc = corpus.orderBy(col("vec_id")).limit(nList).select(col("vec_id"))
+    val cb = pqCodebookSeedQ(
+      residQ.join(centSrc, Seq("vec_id"), "left_anti"), m, ksub, dim)
+    val enc = pqEncodeQ(residQ, cb, m, dim)
+      .join(resid.select(col("vec_id"), col("cluster")), "vec_id")
+
+    val q = queries.select(col("q_id"), quantize(col("embedding")).as("qe"))
+    val centN = cent.withColumn("ncc", dotQ(col("cente"), col("cente")))
+    val probes = q.join(broadcast(centN), lit(true))
+      .withColumn("qcdot", dotQ(col("qe"), col("cente")))
+      .withColumn("fit", lit(2) * col("qcdot") - col("ncc"))
+      .withColumn("prn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("fit").desc, col("cid"))))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("cid").as("cluster"), col("qcdot"))
+    // per-query table of subvector⋅codeword dots over the RAW query —
+    // adc(codes) then reconstructs dot(q, residual) exactly
+    val dt = pqSubvectors(
+      q.select(col("q_id").as("vec_id"), col("qe")), m, subDim)
+      .join(broadcast(cb), "s")
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"),
+        dotQ(col("sv"), col("cv")).as("qdot"))
+      .groupBy(col("q_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("cid"), col("qdot")))),
+        x => x.getField("qdot")).as("dt"))
+
+    enc.join(broadcast(probes.join(dt, "q_id")), Seq("cluster"))
+      .withColumn("score",
+        col("qcdot") +
+          graft.expressions.functions.pq_adc_score(col("codes"), col("dt"), ksub))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id"))

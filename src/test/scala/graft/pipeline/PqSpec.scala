@@ -78,6 +78,58 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual coupling (IVFADC) approximates exact dots strictly better than raw PQ") {
+    // Residual coupling presumes the coarse quantizer actually reduces
+    // energy (|x − c| < |x|). The driver's embeddings fixture is
+    // near-isotropic (measured: avg |residual|² 1.7× avg |raw|² under a
+    // 4-centroid quantizer — no structure for a 4-list IVF to exploit),
+    // so — like the DedupSpec recall tests — this spec PLANTS the
+    // structure the operator exists for: 4 orthogonal cluster centers
+    // plus a 1-D detail component t·u with t varying per member. Raw
+    // PQ's 4 codewords are spent saying "which center" and the detail is
+    // invisible; coupled PQ's coarse term handles the center exactly and
+    // its 4 codewords quantize the detail line. The deterministic,
+    // tie-robust measure of that advantage is ADC approximation error —
+    // Σ|score − exact_dot| over ALL query×candidate pairs (k = corpus,
+    // nProbe = nList, so both variants score every pair) — which
+    // coupling must strictly reduce.
+    val (nList, ks) = (4, 4)
+    val n = 400
+    import spark.implicits._
+    // orthogonal centers: c_g lives on dims i ≡ g (mod 4)
+    def center(g: Int, i: Int): Double = if (i % 4 == g) 1.0 else 0.0
+    // shared detail direction, nonlinear per-id magnitude in [-0.5, 0.5)
+    def u(i: Int): Double = if ((i * 7) % 3 == 0) 0.15 else -0.15
+    def t(id: Int): Double = ((7 * id * id + 13 * id) % 100) / 100.0 - 0.5
+    val clustered = (0 until n).map { id =>
+      (id.toLong, Array.tabulate(dim)(i => (center(id % 4, i) + t(id) * u(i)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val q = queries.select(col("q_id"), Similarity.quantize(col("embedding")).as("qe"))
+    val c = clustered.select(col("vec_id"), Similarity.quantize(col("embedding")).as("ce"))
+    val exact = c.join(broadcast(q), lit(true))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.functions.dot_long(col("qe"), col("ce")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def totalErr(scored: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      val rows = scored.select("q_id", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      (rows.map { case (key, s) => math.abs(s - exact(key)) }.sum, rows.length)
+    }
+    val rawCb = Similarity.pqCodebookSeed(clustered, m, ks, dim)
+    val (rawErr, rawN) = totalErr(Similarity.pqTopKDot(
+      queries, Similarity.pqEncode(clustered, rawCb, m, dim), rawCb, m, ks, dim, k = n))
+    val (resErr, resN) = totalErr(Similarity.ivfPqTopKDot(
+      queries, clustered, nList, m, ks, dim, k = n, nProbe = nList))
+    assert(rawN == resN && rawN == exact.size,
+      s"variants scored different pair sets: raw=$rawN residual=$resN exact=${exact.size}")
+    assert(resErr < rawErr,
+      s"residual coupling did not improve ADC fidelity: $resErr >= $rawErr")
+    assert(resErr * 2 <= rawErr, // the planted structure should be decisive
+      s"residual improvement implausibly small: $resErr vs $rawErr")
+  }
+
   test("PQ top-k recall against brute-force cosine is non-trivial") {
     val cb = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
     val queries = emb.filter(col("vec_id") % 100 === 0)
