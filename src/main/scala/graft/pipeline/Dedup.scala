@@ -264,17 +264,28 @@ object Dedup {
     *
     * Scale shape: per round, one shuffle join of labels×edges (O(E)) and
     * one min-aggregate (O(V+E)); rounds = component diameter, which for
-    * near-dup clusters is small. `localCheckpoint` after each round cuts
-    * the exponentially-growing iterative lineage (on a real cluster use
-    * reliable `checkpoint` to survive executor loss). Convergence test:
+    * near-dup clusters is small. A checkpoint after each round cuts the
+    * exponentially-growing iterative lineage. Convergence test:
     * labels only ever decrease, so an unchanged label-sum means a fixed
     * point (one scalar action per round on the checkpointed frame).
     *
     * @param pairs (a_id, b_id) undirected near-dup edges
     * @param nodes (id) every doc, including isolated ones
+    * @param checkpointDir when set, per-round frames use RELIABLE
+    *   `checkpoint()` into this directory (HDFS/object store on a real
+    *   cluster) instead of `localCheckpoint()` — executor loss then
+    *   costs a re-read, not the whole iteration history (localCheckpoint
+    *   blocks live in executor storage and die with it)
     * @return (id, component) — component = min reachable id
     */
-  def components(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // Two regimes, same fixpoint (the cosineTopKBucketed convention):
     //  - small graph: labels broadcast into every round's join — no
     //    edge exchange happens anyway, so the checkpointed frame is all
@@ -288,9 +299,8 @@ object Dedup {
     //    the prop-join spec. Checkpoint FIRST so the regime probe and
     //    the repartition never re-run the (possibly LSH-shaped) pair
     //    lineage.
-    val e0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+    val e0 = ckpt(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     val bigGraph = e0.count() > 1000000L // past any broadcastable label frame
     val edges = if (bigGraph) e0.repartition(col("src")).persist() else e0
     // Only edge-touched nodes can ever change label — iterate over that
@@ -298,8 +308,8 @@ object Dedup {
     // the end. For dedup graphs V >> E, so this is the difference
     // between per-round work scaling with the corpus and with the
     // (much smaller) near-dup population.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
     var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
     var it = 0
     var done = false
@@ -320,9 +330,8 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "lbl0"),
           col("l0") === col("lbl0"))
         .select(col("id0").as("id"), col("lbl"))
-      val next = prop.union(shortcut)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+      val next = ckpt(prop.union(shortcut)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
       val s = next.agg(sum(col("lbl"))).head.getLong(0)
       done = s == prevSum
       prevSum = s

@@ -195,6 +195,28 @@ class DedupSpec extends SparkSpec {
       s"got $comp")
   }
 
+  test("components: reliable-checkpoint path matches localCheckpoint exactly") {
+    // checkpointDir switches per-round lineage cuts to reliable
+    // checkpoint() files (survive executor loss on a cluster); the
+    // fixpoint must be byte-identical, and the checkpoint dir must
+    // actually be used.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+      val local = Dedup.components(pairs, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.components(pairs, nodes, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local, s"reliable $reliable != local $local")
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty,
+        s"no reliable checkpoint data written under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("jaccard verification is exact") {
     val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
     val got = Dedup.verifyJaccard(pairs, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
