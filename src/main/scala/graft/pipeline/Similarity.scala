@@ -133,6 +133,62 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
   }
 
+  /** Mean-pool quantized token vectors into one vector per document —
+    * how token-level embeddings become doc-level embeddings for
+    * corpus-level ANN. Engine-exact: components are int64 BEFORE the
+    * pool, the per-component sum is integer (order-independent), and the
+    * mean is the floor of the same IEEE quotient both engines compute
+    * (the rebalanceMixture convention). One posexplode + one
+    * partial+final hash aggregate + one per-doc reassembly — the token
+    * vectors shuffle as (doc, pos, component) triples, never as whole
+    * arrays.
+    *
+    * @param tokenVecs (doc_id, qe array<long>) — quantized token vectors
+    * @return (doc_id, pe array<long>) — pe[i] = floor(mean of qe[i])
+    */
+  def meanPoolQ(tokenVecs: DataFrame): DataFrame =
+    tokenVecs.select(col("doc_id"), posexplode(col("qe")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("pos"),
+        floor(col("s") / col("n")).cast("long").as("pv"))
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("pv")))),
+        x => x.getField("pv")).as("pe"))
+
+  /** [[cosineTopKBucketed]] over ALREADY-QUANTIZED vectors with the
+    * INTEGER hyperplane bucket ([[graft.expressions.LshBucketLong]]) —
+    * the ANN entry point for pooled doc vectors ([[meanPoolQ]]), and
+    * fully integer-exact up to the final cosine ranking, so a SQL oracle
+    * can rebuild buckets and scores (the q60 convention; q104 pins the
+    * pooled-ANN pipeline end to end). Same scale posture as
+    * [[cosineTopKBucketed]]: query side broadcast under the cap,
+    * shuffle hash join on bucket past it. */
+  def cosineTopKBucketedQ(
+      queriesQ: DataFrame, // (q_id, qe array<long>)
+      corpusQ: DataFrame,  // (vec_id, qe array<long>)
+      nBits: Int, k: Int,
+      maxBroadcast: Long = MaxBroadcastQueries): DataFrame = {
+    val q = queriesQ.select(col("q_id"), col("qe"),
+        graft.expressions.functions.lsh_bucket_long(col("qe"), nBits).as("bucket"))
+      .withColumn("na", dotQ(col("qe"), col("qe")))
+    val c = corpusQ.select(col("vec_id"), col("qe").as("ce"),
+        graft.expressions.functions.lsh_bucket_long(col("ce"), nBits).as("bucket"))
+      .withColumn("nb", dotQ(col("ce"), col("ce")))
+    val joinedQ =
+      if (queriesQ.count() <= maxBroadcast) broadcast(q)
+      else q.hint("shuffle_hash")
+    c.join(joinedQ, Seq("bucket"))
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
+  }
+
   /** ALL-PAIRS embedding near-dup: every corpus pair in the same
     * random-hyperplane bucket with quantized cosine >= threshold — the
     * embedding-space twin of [[Dedup.minhashNearDupPairs]] (q37): LSH

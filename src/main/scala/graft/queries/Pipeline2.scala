@@ -17,7 +17,7 @@ object Pipeline2 {
   /** DuckDB twin of the q60 bucket: sign bits of the +-qe parity-mix
     * projection, integer-exact (same weights as
     * Similarity.cosineNearDupPairs). */
-  private def duckBucketBits(nBits: Int): String =
+  private[queries] def duckBucketBits(nBits: Int): String =
     (0 until nBits).map { b =>
       s"""(CASE WHEN list_sum(list_transform(range(64),
          |  i -> CASE WHEN (i*2654435761 + $b*40503)%97 < 48

@@ -101,6 +101,87 @@ object Pipeline6 {
               SELECT label, count(*) AS n_vecs,
                 CAST(sum(norm2) AS BIGINT) AS sum_norm2,
                 min(norm2) AS min_norm2, max(norm2) AS max_norm2
-              FROM q GROUP BY label ORDER BY label"""))
+              FROM q GROUP BY label ORDER BY label""")),
+
+    // Doc-level embedding pooling (SURVEY §9 round-6 candidate): groups
+    // of 10 token vectors (doc = vec_id div 10 — the fixture derivation)
+    // mean-pooled into one doc vector. Integer-exact per the
+    // Similarity.meanPoolQ contract: quantize first, integer per-
+    // component sums, floor of the same IEEE mean both engines compute.
+    // Output is one row PER COMPONENT, so the oracle pins every pooled
+    // value, not a digest.
+    QEntry("q103_embed_pool",
+      (s, d) => {
+        val toks = Tables.embeddings(s, d)
+          .select(expr("vec_id div 10").as("doc_id"),
+            graft.expressions.functions.quantize_vec(col("embedding"), 10000.0).as("qe"))
+        graft.pipeline.Similarity.meanPoolQ(toks)
+          .select(col("doc_id"), posexplode(col("pe")))
+          .select(col("doc_id"), col("pos"), col("col").as("pv"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id // 10 AS doc_id,
+                  list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              e AS (
+                SELECT doc_id, CAST(t.i AS INTEGER) AS pos, qe[t.i+1] AS v
+                FROM qz, range(64) t(i))
+              SELECT doc_id, pos,
+                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS pv
+              FROM e GROUP BY doc_id, pos
+              ORDER BY doc_id, pos""")),
+
+    // Pooled vectors flowing into bucketed ANN — the corpus-level
+    // similarity search over q103's doc vectors, via the INTEGER
+    // hyperplane bucket (lsh_bucket_long), so unlike the float-bucket
+    // q39 this LSH pipeline is fully oracle-pinned: DuckDB rebuilds
+    // pooling, buckets, in-bucket dots and the top-k ranking (the q60
+    // convention).
+    QEntry("q104_pooled_ann",
+      (s, d) => {
+        val pooled = graft.pipeline.Similarity.meanPoolQ(
+          Tables.embeddings(s, d)
+            .select(expr("vec_id div 10").as("doc_id"),
+              graft.expressions.functions.quantize_vec(col("embedding"), 10000.0).as("qe")))
+        val queries = pooled.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("q_id"), col("pe").as("qe"))
+        graft.pipeline.Similarity.cosineTopKBucketedQ(
+          queries, pooled.select(col("doc_id").as("vec_id"), col("pe").as("qe")),
+          nBits = 4, k = 3)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""WITH qz AS (
+                SELECT vec_id // 10 AS doc_id,
+                  list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              e AS (
+                SELECT doc_id, t.i AS pos, qe[t.i+1] AS v
+                FROM qz, range(64) t(i)),
+              pooled AS (
+                SELECT doc_id, pos,
+                  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS pv
+                FROM e GROUP BY doc_id, pos),
+              pv AS (
+                SELECT doc_id, list(pv ORDER BY pos) AS qe
+                FROM pooled GROUP BY doc_id),
+              bk AS (SELECT doc_id, qe, ${Pipeline2.duckBucketBits(4)} AS bucket FROM pv),
+              cand AS (
+                SELECT q.doc_id AS q_id, c.doc_id AS vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                    i -> q.qe[i+1] * c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM bk q JOIN bk c ON q.bucket = c.bucket
+                WHERE q.doc_id % 10 = 0),
+              ranked AS (
+                SELECT q_id, vec_id, dot,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM cand)
+              SELECT q_id, vec_id, dot, rn FROM ranked WHERE rn <= 3
+              ORDER BY q_id, rn"""))
   )
 }
