@@ -182,6 +182,48 @@ object Pipeline6 {
                     ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
                 FROM cand)
               SELECT q_id, vec_id, dot, rn FROM ranked WHERE rn <= 3
-              ORDER BY q_id, rn"""))
+              ORDER BY q_id, rn""")),
+
+    // Watermark late-data audit (EventsProfile.lateDataAudit): replay
+    // the event log in a deterministic near-ordered arrival sequence
+    // (event_id jittered by a +-3 md5 draw — the fixture's events are
+    // perfectly time-ordered, so the jitter plants the out-of-order
+    // tail a real ingest has; ~1-25% of rows arrive behind the running
+    // watermark depending on SF) and compute, per (hour window,
+    // event_type), what the streaming profile would emit (on-time
+    // count + cents) and what its watermark would drop (late count).
+    // Streaming equivalence is spec-pinned with real per-event
+    // micro-batches; this row pins the audit math cross-engine.
+    QEntry("q105_late_data_audit",
+      (s, d) => {
+        val arrival = col("event_id") +
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 6 - 3
+        graft.streaming.EventsProfile.lateDataAudit(Tables.events(s, d), arrival)
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some("""WITH e AS (
+                SELECT event_id, event_type, epoch_us(ts) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  event_id + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 6 - 3 AS arr
+                FROM events),
+              w AS (
+                SELECT *, max(us) OVER (ORDER BY arr, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmax
+                FROM e),
+              f AS (
+                SELECT event_type, cents,
+                  (us // 3600000000) * 3600000000 AS window_start_us,
+                  (wmax IS NOT NULL AND
+                   (us // 3600000000) * 3600000000 + 3600000000 <= wmax - 600000000)
+                    AS late
+                FROM w)
+              SELECT window_start_us, event_type,
+                count(*) AS n_total,
+                CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime,
+                CAST(sum(CASE WHEN late THEN 0 ELSE cents END) AS BIGINT) AS cents_ontime
+              FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

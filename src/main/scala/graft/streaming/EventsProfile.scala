@@ -48,6 +48,68 @@ object EventsProfile {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_cents"))
 
+  /** Watermark late-data audit — the BATCH twin of what
+    * [[windowedProfile]]'s watermark does to late rows, as a defined,
+    * engine-reproducible metric. Replays the event log in `arrival`
+    * order and flags each event the way the streaming aggregation
+    * would: the running watermark is (max event time seen strictly
+    * before this arrival) − `delayUs`, and an event is LATE — dropped
+    * by the stateful agg — iff its window has already closed
+    * (window_end <= watermark). Output per (window_start_us,
+    * event_type): total/late/on-time counts and the on-time cents sum,
+    * i.e. exactly what the streaming profile would have emitted plus
+    * how much it dropped. Spec-pinned against real append-mode
+    * streaming with forced per-event batches (EventsProfileSpec).
+    * One semantic footnote from that spec: Spark applies the late-input
+    * filter with the PREVIOUS micro-batch's watermark (eviction uses
+    * the current one — the two-watermark split of SPARK-24634), so this
+    * as-of-arrival audit matches the engine exactly except for
+    * stragglers landing in the very batch after their watermark-
+    * advancer, where Spark is one batch more lenient.
+    *
+    * Scale shape: the running max needs a global arrival order, which
+    * is the [[graft.operators.GlobalRank]] two-pass — range-partition
+    * by arrival key, strict-prefix max within partitions, per-partition
+    * maxima (<= numPartitions rows) prefix-combined and broadcast back.
+    * No single-partition window ever sees event rows. */
+  def lateDataAudit(
+      events: DataFrame,
+      arrival: org.apache.spark.sql.Column,
+      delayUs: Long = 600000000L,
+      windowUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_id"), col("event_type"),
+      expr("ts div 1000").as("us"),
+      round(col("value") * 100, 0).cast("long").as("cents"),
+      arrival.as("__arr"))
+    val parted = base
+      .repartitionByRange(col("__arr"), col("event_id"))
+      .sortWithinPartitions(col("__arr"), col("event_id"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .drop("__mid")
+    val strictPrefix = Window.partitionBy(col("__pid"))
+      .orderBy(col("__arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__lmax", max(col("us")).over(strictPrefix))
+    // per-partition maxima: a <= numPartitions-row frame; its window is
+    // the only unpartitioned one and never sees event rows
+    val offsets = parted.groupBy(col("__pid")).agg(max(col("us")).as("__pmax"))
+      .withColumn("__prev", max(col("__pmax")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__prev"))
+    val flagged = local.join(broadcast(offsets), "__pid")
+      .withColumn("__wmax", greatest(col("__lmax"), col("__prev")))
+      .withColumn("window_start_us", expr(s"(us div $windowUs) * $windowUs"))
+      .withColumn("late", col("__wmax").isNotNull &&
+        (col("window_start_us") + windowUs <= col("__wmax") - delayUs))
+    flagged.groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late"), 0L).otherwise(1L)).as("n_ontime"),
+        sum(when(col("late"), 0L).otherwise(col("cents"))).as("cents_ontime"))
+  }
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exactGroups`:
     * drops re-deliveries of the same `event_id` arriving within the
     * watermark (at-least-once sources re-deliver; this makes the

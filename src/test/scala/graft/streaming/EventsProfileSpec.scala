@@ -34,6 +34,74 @@ class EventsProfileSpec extends SparkSpec {
     assert(s.length >= b.size / 2, s"too few closed windows: ${s.length} of ${b.size}")
   }
 
+  test("late-data audit matches real append-mode drops under per-event batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // Planted arrival log (event-time in us): the 02:05 event advances
+    // the watermark to 01:55, so the 00:15 straggler's window (end
+    // 01:00) is already closed -> dropped; the 01:20 straggler's window
+    // (end 02:00) is still open -> kept. The 09:00 event flushes
+    // windows 1 and 2; its own window never closes (append semantics).
+    // One subtlety the progress log exposes: Spark filters late INPUT
+    // with the PREVIOUS batch's watermark (eviction uses the current
+    // one), so the audit's as-of-arrival watermark equals Spark's only
+    // when the doomed straggler does not arrive in the very next batch
+    // after its watermark-advancer — hence the 01:50 filler between
+    // them.
+    val h = 3600L * 1000000L
+    val evs = Seq(
+      (0L, 1L * 60000000L, "click", 1.0),   // 00:01
+      (1L, 30L * 60000000L, "click", 2.0),  // 00:30
+      (2L, 2L * h + 5L * 60000000L, "click", 4.0), // 02:05 -> wm 01:55
+      (3L, 1L * h + 50L * 60000000L, "click", 64.0), // 01:50 filler, kept
+      (4L, 15L * 60000000L, "click", 8.0),  // 00:15 LATE (dropped)
+      (5L, 1L * h + 20L * 60000000L, "click", 16.0), // 01:20 kept
+      (6L, 9L * h, "click", 32.0))          // flush
+    val dir = java.nio.file.Files.createTempDirectory("events_late")
+    val batchDf = evs.map { case (id, us, t, v) => (id, us * 1000L, id, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // one file per event, mtimes in arrival order -> the file source's
+    // oldest-first ordering + maxFilesPerTrigger=1 forces one real
+    // micro-batch per event, watermark advancing between batches
+    evs.zipWithIndex.foreach { case ((id, us, t, v), i) =>
+      val f = dir.resolve(f"ev_$i%03d")
+      Seq((id, us * 1000L, id, t, v, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+      }
+    }
+    val stream = spark.readStream.schema(EventsProfile.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/ev_*")
+    val q = EventsProfile.windowedProfile(EventsProfile.withEventTime(stream))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ep_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ep_late").collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000L, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val audit = EventsProfile.lateDataAudit(batchDf, col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // the audit flags exactly one late event, in window 0
+    assert(audit.values.map(_._2).sum == 1L, s"audit late total: $audit")
+    assert(audit((0L, "click"))._2 == 1L, s"late event not in window 0: $audit")
+    // every emitted window matches the audit's on-time view exactly
+    assert(streamed.keySet == Set((0L, "click"), (1L * h, "click"), (2L * h, "click")),
+      s"closed windows: ${streamed.keySet}")
+    streamed.foreach { case (key, (n, cents)) =>
+      val (_, _, nOn, centsOn) = audit(key)
+      assert((n, cents) == ((nOn, centsOn)),
+        s"window $key: streamed ($n, $cents) != audited on-time ($nOn, $centsOn)")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("streaming dedup drops watermark-window re-deliveries exactly") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // simulate an at-least-once source: every event delivered twice
