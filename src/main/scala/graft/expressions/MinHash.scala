@@ -519,9 +519,17 @@ case class QuantizeVec(child: Expression, scale: Double)
 }
 
 /** `count_in_sorted(needles, haystack)`: array<long> × sorted array<long>
-  * → long membership count (binary search; see HashSig.countInSorted). */
+  * → long membership count (binary search; see HashSig.countInSorted).
+  * PRECONDITION: the haystack must be ASCENDING-sorted (e.g.
+  * `sort_array(collect_set(...))`) — an unsorted haystack silently
+  * undercounts. Input types are analyzer-checked so a non-array<long>
+  * argument fails at analysis, not as a runtime ClassCastException. */
 case class CountInSorted(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // AbstractDataType is private[sql]; the covariant concrete type works
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashSig.countInSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -49,7 +49,12 @@ object Curation {
   /** Training-sequence packing: concatenate documents per stratum in key
     * order and cut the stream into `budget`-token bins; each doc is
     * assigned the bin its START offset falls in. One cumulative-sum
-    * window per stratum; no data movement beyond the per-stratum shuffle. */
+    * window per stratum; no data movement beyond the per-stratum shuffle.
+    * PRECONDITION: `keyCol` must be unique within each stratum (like the
+    * sortedness note on count_in_sorted) — the cumulative window orders
+    * by it, so duplicate keys would make cum_tok/bin_id assignment
+    * tie-nondeterministic across runs and engines. Every caller passes
+    * a document id. */
   def packSequences(
       df: DataFrame,
       keyCol: String,
@@ -69,8 +74,11 @@ object Curation {
     * [[stratifiedSample]]. Two keyed aggregations + a broadcast of the
     * per-stratum rates (strata cardinality, not corpus) + a zero-shuffle
     * filter — the standard "equalize language shares" step before
-    * training. All integer math, so the sampled set is engine-exact and
-    * stable under re-runs. */
+    * training. The keep rate is the floor of the same IEEE quotient
+    * both engines compute (budget·100.0 / stratum_tokens — exact for
+    * budgets below ~2^46; the DuckDB twin mirrors the float divide),
+    * and the bucket rule is pure integers, so the sampled set is
+    * engine-exact and stable under re-runs. */
   def rebalanceMixture(
       df: DataFrame,
       keyCol: String,

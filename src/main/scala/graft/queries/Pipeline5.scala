@@ -148,7 +148,7 @@ object Pipeline5 {
     // roundtrip corruption anywhere (schema, nulls, values) hash-fails.
     QEntry("q90_orc_roundtrip",
       (s, d) => {
-        val path = "/tmp/graft_orc_q90"
+        val path = Scratch.dir(s, "orc_q90")
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").orc(path)
@@ -235,7 +235,7 @@ object Pipeline5 {
     // shows up as a hash mismatch.
     QEntry("q94_schema_evolution",
       (s, d) => {
-        val path = "/tmp/graft_schema_evo_q94"
+        val path = Scratch.dir(s, "schema_evo_q94")
         val docs = Tables.documents(s, d)
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"))
@@ -262,7 +262,7 @@ object Pipeline5 {
     // oracle recomputes from the unpartitioned original.
     QEntry("q95_partition_pruning",
       (s, d) => {
-        val path = "/tmp/graft_part_q95"
+        val path = Scratch.dir(s, "part_q95")
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
           .write.mode("overwrite").partitionBy("lang").parquet(path)
@@ -310,7 +310,7 @@ object Pipeline5 {
     // hash-fails against the parquet-original oracle.
     QEntry("q97_json_sink_roundtrip",
       (s, d) => {
-        val path = "/tmp/graft_json_q97"
+        val path = Scratch.dir(s, "json_q97")
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").json(path)

@@ -167,7 +167,7 @@ object Profiling {
           .select(col("c_custkey").as("rowId"), Synth.phone.as("raw"))
           .select(lit("phone_col").as("column"), col("rowId"),
             v.getField("code").as("code"), v.getField("norm").as("norm"))
-        val path = "/tmp/graft_text_sink_q56"
+        val path = Scratch.dir(s, "text_sink_q56")
         graft.sources.CsvSource.writeVerdictText(verdicts, path)
         val re = "^\\((.*?),\\((\\d+),(\\d+),(.*)\\)\\)$"
         s.read.text(path)

@@ -10,6 +10,15 @@ case class QEntry(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Per-run scratch sink paths for roundtrip queries (q56/q90/q94/q95/
+  * q97): suffixed with the Spark application id so two suites running
+  * concurrently on one machine never overwrite each other's sink
+  * mid-read (fixed literals produced spurious hash mismatches). */
+object Scratch {
+  def dir(s: SparkSession, name: String): String =
+    s"/tmp/graft_${name}_${s.sparkContext.applicationId}"
+}
+
 /** Core relational operator coverage (SURVEY.md §2a O1–O17 mappings).
   *
   * Oracle-parity rules (SURVEY.md §5/§7): every query is totally ordered

@@ -194,10 +194,13 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q88 packing: every cumulative window is per-stratum partitioned") {
     val plan = finalPlan(query("q88_pack_sequences"))
-    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(windowSpecs.nonEmpty, s"no window in q88 plan:\n$plan")
-    assert(windowSpecs.forall(_.contains("source")),
+    // Partition columns print FIRST inside windowspecdefinition(...), so
+    // asserting on the spec's opening chars avoids capturing a paren-free
+    // group (nested specifiedwindowframe(...) broke the [^)]* idiom).
+    val windowSpecs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    assert(windowSpecs > 0, s"no window in q88 plan:\n$plan")
+    val partitioned = "windowspecdefinition\\(source".r.findAllIn(plan).length
+    assert(partitioned == windowSpecs,
       s"unpartitioned (single-task) cumulative sum:\n$plan")
   }
 
