@@ -98,16 +98,31 @@ object TextAnalysis {
       textCol: String,
       isBench: Column,
       n: Int,
+      benchCap: Long = 100000L): org.apache.spark.sql.DataFrame =
+    contaminationHashedToks(
+      docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"),
+        isBench.as("is_bench")),
+      n, benchCap)
+
+  /** [[contaminationHashed]] over PRE-TOKENIZED docs — (doc_id, toks
+    * array<string>, is_bench boolean). The entry point for derived
+    * corpora whose token stream already exists (q101's concatenated
+    * long docs flatten per-base-doc token arrays here instead of
+    * string-concatenating and regex-re-splitting ~10× longer texts —
+    * the re-split was the single-core hot spot of the long-doc audit). */
+  def contaminationHashedToks(
+      docsToks: org.apache.spark.sql.DataFrame,
+      n: Int,
       benchCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
     def shingleHashes(df: org.apache.spark.sql.DataFrame, idAs: String) = df
-      .select(col(idCol).as(idAs), toks(col(textCol)).as("toks"))
+      .select(col("doc_id").as(idAs), col("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idAs), explode(
         graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true))
         .as("h"))
-    val benchDocs = docs.filter(isBench)
+    val benchDocs = docsToks.filter(col("is_bench"))
     val bench = shingleHashes(benchDocs, "bench_id")
-    val corpus = shingleHashes(docs.filter(!isBench), "doc_id")
+    val corpus = shingleHashes(docsToks.filter(!col("is_bench")), "doc_id")
     val benchSide =
       if (benchDocs.count() <= benchCap) broadcast(bench)
       else bench.hint("shuffle_hash")

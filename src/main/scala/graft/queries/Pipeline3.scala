@@ -187,19 +187,25 @@ object Pipeline3 {
     QEntry("q101_contamination_13g", {
       val n = 13
       (s, d) => {
+        // Tokenize each base doc ONCE, then flatten the per-window token
+        // arrays: identical to concatenating texts with ' ' and
+        // re-splitting (whitespace tokens round-trip through a space
+        // join), but skips the regex re-split of ~10x longer strings —
+        // measured as the audit's single-core hot spot.
         val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
         // each base doc belongs to windows floor(id/5)-1 and floor(id/5)
         val member = docs
           .select(explode(array(expr("doc_id div 5 - 1"), expr("doc_id div 5")))
-            .as("g"), col("doc_id"), col("text"))
+            .as("g"), col("doc_id"), col("toks"))
           .filter(col("g") >= 0)
         val ldocs = member.groupBy(col("g"))
-          .agg(array_join(transform(
-            sort_array(collect_list(struct(col("doc_id"), col("text")))),
-            x => x.getField("text")), " ").as("text"))
-          .select(col("g").as("doc_id"), col("text"))
-        TextAnalysis.contaminationHashed(ldocs, "doc_id", "text",
-            col("doc_id") % 10 === 0, n = n)
+          .agg(flatten(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("toks")))),
+            x => x.getField("toks"))).as("toks"))
+          .select(col("g").as("doc_id"), col("toks"),
+            (col("g") % 10 === 0).as("is_bench"))
+        TextAnalysis.contaminationHashedToks(ldocs, n = n)
           .orderBy(col("doc_id"))
       }
     },
