@@ -486,6 +486,45 @@ object Similarity {
     cb
   }
 
+  /** ONE Lloyd iteration over the seed codebook with INTEGER-EXACT math
+    * — the oracle-pinnable twin of [[pqTrain]]: assignment by the same
+    * integer L2 fit, but the mean update is round-half-up computed as
+    * `floor((2·sum + n) / (2n))` — sum and n are exact integers and the
+    * division is the floor-of-the-same-IEEE-quotient convention, so
+    * both engines replay the whole training step bit-for-bit (q106).
+    * [[pqTrain]]'s `avg`+`round` update is NOT cross-engine exact
+    * (double avg reduction order + HALF_UP vs half-even edges), which
+    * is why it is spec-gated rather than oracle-pinned; this variant
+    * closes that gap for single-iteration training. Empty clusters
+    * keep their seed centroid. Output: (s, cid, cv array<long>). */
+  def pqTrainIterExact(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val corpusQ = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val sample = pqSubvectors(corpusQ, m, subDim)
+    val cb = pqCodebookSeedQ(corpusQ, m, ksub, dim)
+    val assigned = sample.join(broadcast(cb), "s")
+      .withColumn("fit",
+        lit(2) * dotQ(col("sv"), col("cv")) - dotQ(col("cv"), col("cv")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(first(col("sv")).as("sv"),
+        max_by(col("cid"), struct(col("fit"), -col("cid"))).as("cid"))
+    val means = assigned
+      .select(col("s"), col("cid"), posexplode(col("sv")))
+      .groupBy(col("s"), col("cid"), col("pos"))
+      .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+      .select(col("s"), col("cid"), col("pos"),
+        floor((col("sm") * 2 + col("n")) / (col("n") * 2)).cast("long").as("mv"))
+    cb.select(col("s"), col("cid"), posexplode(col("cv")))
+      .withColumnRenamed("col", "seedv")
+      .join(means, Seq("s", "cid", "pos"), "left")
+      .groupBy(col("s"), col("cid"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"),
+          coalesce(col("mv"), col("seedv")).as("v")))),
+        x => x.getField("v")).as("cv"))
+  }
+
   /** PQ encode: each vector → `m` centroid ids (nearest by integer dot
     * per subspace, ties to the lowest cid). One broadcast join + one
     * partial-agg'd argmax + one collect into the code array — the

@@ -208,6 +208,63 @@ object Pipeline4 {
               SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= 5
               ORDER BY q_id, rn""")),
 
+    // One Lloyd iteration of PQ codebook training, INTEGER-EXACT and
+    // oracle-pinned per component (Similarity.pqTrainIterExact): the
+    // assignment is the q83 integer L2 fit, the mean update is
+    // round-half-up as floor((2·sum + n)/(2n)) — pure integer sums,
+    // floor of the same IEEE quotient — so DuckDB replays the entire
+    // k-means step (assign → per-component mean → empty-cluster
+    // fallback) value-by-value. The multi-iteration pqTrain stays
+    // spec-gated (its avg/round update is not cross-engine exact).
+    QEntry("q106_pq_train_iter",
+      (s, d) => graft.pipeline.Similarity
+        .pqTrainIterExact(Tables.embeddings(s, d), m = 4, ksub = 4, dim = 64)
+        .select(col("s"), col("cid"), posexplode(col("cv")))
+        .select(col("s"), col("cid"), col("pos"), col("col").as("cv"))
+        .orderBy(col("s"), col("cid"), col("pos")),
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              sub AS (
+                SELECT vec_id, sg.s, qe[sg.s*16+1 : sg.s*16+16] AS sv
+                FROM qz CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg),
+              seeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+              cb AS (
+                SELECT sub.s, seeds.cid, sub.sv AS cv
+                FROM sub JOIN seeds USING (vec_id)),
+              dots AS (
+                SELECT sub.vec_id, sub.s, cb.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       i -> sub.sv[i+1] * cb.cv[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb ON sub.s = cb.s),
+              assign AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM dots) WHERE arn = 1),
+              comp AS (
+                SELECT a.s, a.cid, CAST(t.i AS INTEGER) AS pos, sub.sv[t.i+1] AS v
+                FROM assign a
+                JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+                CROSS JOIN range(16) t(i)),
+              means AS (
+                SELECT s, cid, pos,
+                  CAST(floor((2*sum(v) + count(*)) / (2.0*count(*))) AS BIGINT) AS mv
+                FROM comp GROUP BY s, cid, pos),
+              seedcomp AS (
+                SELECT s, cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb CROSS JOIN range(16) t(i))
+              SELECT sc.s, sc.cid, sc.pos, COALESCE(m.mv, sc.seedv) AS cv
+              FROM seedcomp sc
+              LEFT JOIN means m ON m.s = sc.s AND m.cid = sc.cid AND m.pos = sc.pos
+              ORDER BY sc.s, sc.cid, sc.pos""")),
+
     // Per-doc contamination FLAGS (every non-bench doc kept, zero
     // included) — the state-free projection twin of q80, identical in
     // batch and append-mode streaming (TextAnalysis.contaminationFlags

@@ -130,6 +130,20 @@ class PqSpec extends SparkSpec {
       s"residual improvement implausibly small: $resErr vs $rawErr")
   }
 
+  test("integer-exact Lloyd iteration reconstructs no worse than the seeds") {
+    // pqTrainIterExact is the oracle-pinnable single-step twin of
+    // pqTrain; the Lloyd property (assignment-then-mean never raises
+    // total squared error vs the codebook it assigned against) must
+    // hold for the integer round-half-up mean too, up to the +-0.5
+    // per-component rounding — on real data the improvement dominates.
+    val ks = 8
+    val seedCb = Similarity.pqCodebookSeed(emb, m, ks, dim)
+    val exact = Similarity.pqTrainIterExact(emb, m, ks, dim)
+    val (es, ee) = (reconstructionError(seedCb), reconstructionError(exact))
+    assert(ee <= es, s"exact Lloyd step raised reconstruction error: $ee > $es")
+    assert(ee < es, s"exact Lloyd step changed nothing (suspicious on real data)")
+  }
+
   test("PQ top-k recall against brute-force cosine is non-trivial") {
     val cb = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
     val queries = emb.filter(col("vec_id") % 100 === 0)
