@@ -281,6 +281,34 @@ class SimilaritySpec extends SparkSpec {
       s"join strategies disagree: ${viaShuffle.diff(viaBroadcast).take(3)}")
   }
 
+  test("pooled ANN: every pooled query finds itself first; recall vs brute force is sane") {
+    val pooled = Similarity.meanPoolQ(
+      graft.queries.Tables.embeddings(spark, sf)
+        .select(expr("vec_id div 10").as("doc_id"),
+          Similarity.quantize(col("embedding")).as("qe")))
+      .localCheckpoint()
+    val corpusQ = pooled.select(col("doc_id").as("vec_id"), col("pe").as("qe"))
+    val queriesQ = pooled.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("q_id"), col("pe").as("qe"))
+    val got = Similarity.cosineTopKBucketedQ(queriesQ, corpusQ, nBits = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // a vector shares its own bucket and has cosine 1 with itself
+    queriesQ.collect().map(_.getLong(0)).foreach { qid =>
+      assert(got.contains((qid, qid, 1)), s"pooled query $qid is not its own top-1")
+    }
+    // bucketed results restricted to brute force's in-bucket order: every
+    // returned neighbor must appear in the exact top-|bucket| ranking —
+    // cheap sanity via exact top-k superset at k = corpus size
+    val exact = corpusQ.join(broadcast(
+        queriesQ.select(col("q_id"), col("qe").as("qq"))), lit(true))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.functions.dot_long(col("qq"), col("qe")).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (q, v, _) =>
+      assert(exact.contains((q, v)), s"pooled ANN returned unknown pair ($q, $v)")
+    }
+  }
+
   test("IVF ANN: self is found, and recall vs brute force is sane") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 50 === 7)
