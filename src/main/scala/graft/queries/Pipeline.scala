@@ -533,7 +533,13 @@ object Pipeline {
               FROM grouped
               ORDER BY user_id, "durationUs", "nEvents", closed""")),
 
-    // LSH-bucketed ANN (approximate recall → rows-only check).
+    // LSH-bucketed ANN. Approximate vs exact search (recall < 1 across
+    // bucket borders), but deterministic: the float bucket is a strict
+    // left-to-right ±v double sum (HashSig.lshBucket) that DuckDB's
+    // sequential list_sum reproduces (float→double widening is exact),
+    // and scores are integer dots ranked by IEEE-deterministic
+    // sqrt/division — so the oracle replays bucketing → in-bucket
+    // top-k and hash-pins the whole pipeline.
     QEntry("q39_ann_bucketed",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -542,7 +548,35 @@ object Pipeline {
         Similarity.cosineTopKBucketed(queries, emb, dim = 64, k = 5, nBits = 4)
           .orderBy(col("q_id"), col("rn"))
       },
-      None),
+      Some {
+        val bits = (0 until 4).map { b =>
+          s"""(CASE WHEN list_sum(list_transform(range(64),
+             |  i -> CASE WHEN (i*2654435761 + $b*40503)%97 < 48
+             |       THEN CAST(embedding[i+1] AS DOUBLE)
+             |       ELSE -CAST(embedding[i+1] AS DOUBLE) END)) >= 0
+             |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+        }.mkString(" + ")
+        s"""WITH bkt AS (
+              SELECT vec_id, $bits AS bucket,
+                list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+              FROM embeddings),
+            cand AS (
+              SELECT q.vec_id AS q_id, c.vec_id,
+                CAST(list_sum(list_transform(range(len(q.qe)),
+                     i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+              FROM bkt q JOIN bkt c ON c.bucket = q.bucket
+              WHERE q.vec_id % 100 = 0),
+            ranked AS (
+              SELECT q_id, vec_id, dot,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+              FROM cand)
+            SELECT q_id, vec_id, dot, rn FROM ranked WHERE rn <= 5
+            ORDER BY q_id, rn"""
+      }),
 
     // The shingling stage of the MinHash pipeline, oracle-pinned: 3-gram
     // word shingles per doc (the signature hash itself is xxhash64 —
@@ -624,8 +658,14 @@ object Pipeline {
             FROM h ORDER BY doc_id"""
       }),
 
-    // IVF ANN: coarse-quantizer cluster lists, nProbe-limited search —
-    // rows-only check (approximate by construction, like q39).
+    // IVF ANN: coarse-quantizer cluster lists, nProbe-limited search.
+    // Approximate vs EXACT search (recall < 1 across unprobed lists) —
+    // but the algorithm is deterministic, and every quantity is either
+    // an exact int64 dot or a double derived from exact ints by
+    // IEEE-deterministic sqrt/division, so the oracle replays the whole
+    // dataflow (centroids → assignment → probes → in-list top-k) and
+    // hash-pins it. The orderings tie-break exactly like the Spark
+    // side (max_by struct(cscore, -cid) == ORDER BY cscore DESC, cid).
     QEntry("q47_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -635,7 +675,53 @@ object Pipeline {
           nList = 16, nProbe = 4)
           .orderBy(col("q_id"), col("rn"))
       },
-      None),
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              cseeds AS (
+                SELECT vec_id AS cid_src, row_number() OVER (ORDER BY vec_id) AS rk
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+              cent AS (
+                SELECT cs.cid_src AS cid, qz.qe AS cente,
+                  CAST(list_sum(list_transform(qz.qe, x -> x*x)) AS BIGINT) AS nc
+                FROM cseeds cs JOIN qz ON qz.vec_id = cs.cid_src),
+              cfit AS (
+                SELECT qz.vec_id, cent.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       i -> qz.qe[i+1]*cent.cente[i+1])) AS BIGINT)
+                    / sqrt(cent.nc) AS cscore
+                FROM qz CROSS JOIN cent),
+              assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS arn
+                  FROM cfit) WHERE arn = 1),
+              probes AS (
+                SELECT vec_id AS q_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS prn
+                  FROM cfit WHERE vec_id % 100 = 0) WHERE prn <= 4),
+              scored AS (
+                SELECT p.q_id, a.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM probes p
+                JOIN assigned a ON a.cluster = p.cluster
+                JOIN qz q ON q.vec_id = p.q_id
+                JOIN qz c ON c.vec_id = a.vec_id),
+              ranked AS (
+                SELECT q_id, vec_id, dot,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM scored)
+              SELECT q_id, vec_id, dot, rn FROM ranked WHERE rn <= 5
+              ORDER BY q_id, rn""")),
 
     // Skew-safe two-phase (salted) aggregation — same answer as a direct
     // GROUP BY, pinned by the direct SQL oracle; the salt spreads any one
