@@ -501,8 +501,18 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val corpusQ = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
-    val sample = pqSubvectors(corpusQ, m, subDim)
-    val cb = pqCodebookSeedQ(corpusQ, m, ksub, dim)
+    lloydStepExact(pqSubvectors(corpusQ, m, subDim),
+      pqCodebookSeedQ(corpusQ, m, ksub, dim))
+  }
+
+  /** The integer-exact Lloyd step shared by [[pqTrainIterExact]] and
+    * [[ivfPqTopKDot]]'s residual-codebook training: assign every
+    * subvector by the integer L2 fit against `cb`, update each codeword
+    * to the round-half-up integer mean of its cell, empty cells keep
+    * their codeword. */
+  private def lloydStepExact(
+      sample: DataFrame, // (vec_id, s, sv) from pqSubvectors
+      cb: DataFrame): DataFrame = {
     val assigned = sample.join(broadcast(cb), "s")
       .withColumn("fit",
         lit(2) * dotQ(col("sv"), col("cv")) - dotQ(col("cv"), col("cv")))
@@ -650,7 +660,8 @@ object Similarity {
       queries: DataFrame, // (q_id, embedding)
       corpus: DataFrame,  // (vec_id, embedding)
       nList: Int, m: Int, ksub: Int, dim: Int, k: Int, nProbe: Int,
-      maxQueries: Long = MaxBroadcastQueries): DataFrame = {
+      maxQueries: Long = MaxBroadcastQueries,
+      trainIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     guardQueryCount(queries, "ivfPqTopKDot", maxQueries)
@@ -665,8 +676,16 @@ object Similarity {
     // next ksub vectors by vec_id instead (oracle: LIMIT ksub OFFSET
     // nList).
     val centSrc = corpus.orderBy(col("vec_id")).limit(nList).select(col("vec_id"))
-    val cb = pqCodebookSeedQ(
+    var cb = pqCodebookSeedQ(
       residQ.join(centSrc, Seq("vec_id"), "left_anti"), m, ksub, dim)
+    // Optional integer-exact Lloyd refinement of the RESIDUAL codebook
+    // ([[lloydStepExact]] — same oracle-replayable convention as q106);
+    // each step is one broadcast assign + one partial-agg'd mean.
+    if (trainIters > 0) {
+      val residSubs = pqSubvectors(residQ, m, subDim).localCheckpoint()
+      for (_ <- 1 to trainIters)
+        cb = lloydStepExact(residSubs, cb).localCheckpoint()
+    }
     val enc = pqEncodeQ(residQ, cb, m, dim)
       .join(resid.select(col("vec_id"), col("cluster")), "vec_id")
 

@@ -128,6 +128,15 @@ class PqSpec extends SparkSpec {
       s"residual coupling did not improve ADC fidelity: $resErr >= $rawErr")
     assert(resErr * 2 <= rawErr, // the planted structure should be decisive
       s"residual improvement implausibly small: $resErr vs $rawErr")
+    // trainIters=1 runs the integer-exact Lloyd step (q106's convention)
+    // on the RESIDUAL codebook: k-means on the planted 1-D detail line
+    // must place quantization levels no worse than the 4 arbitrary seed
+    // residuals — and strictly better on this fixture.
+    val (trainedErr, trainedN) = totalErr(Similarity.ivfPqTopKDot(
+      queries, clustered, nList, m, ks, dim, k = n, nProbe = nList, trainIters = 1))
+    assert(trainedN == resN, s"trained variant scored a different pair set: $trainedN")
+    assert(trainedErr < resErr,
+      s"Lloyd step on residuals did not tighten ADC fidelity: $trainedErr >= $resErr")
   }
 
   test("integer-exact Lloyd iteration reconstructs no worse than the seeds") {
