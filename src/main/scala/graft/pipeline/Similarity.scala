@@ -505,11 +505,28 @@ object Similarity {
       pqCodebookSeedQ(corpusQ, m, ksub, dim))
   }
 
-  /** The integer-exact Lloyd step shared by [[pqTrainIterExact]] and
-    * [[ivfPqTopKDot]]'s residual-codebook training: assign every
-    * subvector by the integer L2 fit against `cb`, update each codeword
-    * to the round-half-up integer mean of its cell, empty cells keep
-    * their codeword. */
+  /** Multi-iteration integer-exact PQ training: `iters` chained
+    * [[lloydStepExact]] steps from the deterministic seed codebook.
+    * Every step is oracle-replayable (q107 pins iters=2), so codebook
+    * CONVERGENCE — not just one update — can be audited across engines.
+    * Each step: one broadcast assign + one partial-agg'd mean; the
+    * subvector table is checkpointed once and reused across steps. */
+  def pqTrainExact(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int): DataFrame = {
+    require(dim % m == 0 && iters >= 1, s"bad pqTrainExact params: m=$m dim=$dim iters=$iters")
+    val subDim = dim / m
+    val corpusQ = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val sample = pqSubvectors(corpusQ, m, subDim).localCheckpoint()
+    var cb = pqCodebookSeedQ(corpusQ, m, ksub, dim).localCheckpoint()
+    for (_ <- 1 to iters) cb = lloydStepExact(sample, cb).localCheckpoint()
+    cb
+  }
+
+  /** The integer-exact Lloyd step shared by [[pqTrainIterExact]],
+    * [[pqTrainExact]] and [[ivfPqTopKDot]]'s residual-codebook
+    * training: assign every subvector by the integer L2 fit against
+    * `cb`, update each codeword to the round-half-up integer mean of
+    * its cell, empty cells keep their codeword. */
   private def lloydStepExact(
       sample: DataFrame, // (vec_id, s, sv) from pqSubvectors
       cb: DataFrame): DataFrame = {

@@ -265,6 +265,73 @@ object Pipeline4 {
               LEFT JOIN means m ON m.s = sc.s AND m.cid = sc.cid AND m.pos = sc.pos
               ORDER BY sc.s, sc.cid, sc.pos""")),
 
+    // Iterated exact training (q106 chained twice): codebook CONVERGENCE
+    // audited cross-engine — the oracle replays assign → mean → assign →
+    // mean with generated chained CTEs, pinning every component of the
+    // 2-iteration codebook. Spec asserts the Lloyd property holds per
+    // step (PqSpec).
+    QEntry("q107_pq_train_2iter", {
+      val iters = 2
+      (s, d) => graft.pipeline.Similarity
+        .pqTrainExact(Tables.embeddings(s, d), m = 4, ksub = 4, dim = 64, iters = iters)
+        .select(col("s"), col("cid"), posexplode(col("cv")))
+        .select(col("s"), col("cid"), col("pos"), col("col").as("cv"))
+        .orderBy(col("s"), col("cid"), col("pos"))
+    },
+      Some {
+        val iters = 2
+        val steps = (0 until iters).map { i =>
+          s"""dots$i AS (
+                SELECT sub.vec_id, sub.s, cb$i.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       j -> sub.sv[j+1] * cb$i.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb$i.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb$i ON sub.s = cb$i.s),
+              assign$i AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM dots$i) WHERE arn = 1),
+              means$i AS (
+                SELECT a.s, a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(sub.sv[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM assign$i a
+                JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+                CROSS JOIN range(16) t(i)
+                GROUP BY a.s, a.cid, t.i),
+              seedc$i AS (
+                SELECT s, cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb$i CROSS JOIN range(16) t(i)),
+              cb${i + 1} AS (
+                SELECT sc.s, sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cv
+                FROM seedc$i sc
+                LEFT JOIN means$i m
+                  ON m.s = sc.s AND m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.s, sc.cid)"""
+        }.mkString(",\n              ")
+        s"""WITH qz AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+              FROM embeddings),
+            sub AS (
+              SELECT vec_id, sg.s, qe[sg.s*16+1 : sg.s*16+16] AS sv
+              FROM qz CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg),
+            seeds AS (
+              SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+            cb0 AS (
+              SELECT sub.s, seeds.cid, sub.sv AS cv
+              FROM sub JOIN seeds USING (vec_id)),
+            $steps
+            SELECT s, cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS cv
+            FROM cb$iters CROSS JOIN range(16) t(i)
+            ORDER BY s, cid, pos"""
+      }),
+
     // Per-doc contamination FLAGS (every non-bench doc kept, zero
     // included) — the state-free projection twin of q80, identical in
     // batch and append-mode streaming (TextAnalysis.contaminationFlags

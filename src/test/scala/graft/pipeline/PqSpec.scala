@@ -151,6 +151,9 @@ class PqSpec extends SparkSpec {
     val (es, ee) = (reconstructionError(seedCb), reconstructionError(exact))
     assert(ee <= es, s"exact Lloyd step raised reconstruction error: $ee > $es")
     assert(ee < es, s"exact Lloyd step changed nothing (suspicious on real data)")
+    // and iteration keeps descending (up to ±0.5/component rounding)
+    val e2 = reconstructionError(Similarity.pqTrainExact(emb, m, ks, dim, iters = 2))
+    assert(e2 <= ee, s"second exact Lloyd step raised reconstruction error: $e2 > $ee")
   }
 
   test("PQ top-k recall against brute-force cosine is non-trivial") {
