@@ -522,11 +522,23 @@ object Similarity {
     cb
   }
 
+  /** Exact-trained COARSE centroids for IVF: the same oracle-replayable
+    * Lloyd convention applied at the quantizer level — full-vector
+    * k-means is just PQ training with one subspace (m = 1), so
+    * [[pqTrainExact]] does the work and the result feeds
+    * [[cosineTopKIvf]]'s `centroids` parameter (q108 pins the trained
+    * quantizer AND the search built on it). cid = seed rank 0..nList-1. */
+  def ivfCentroidsTrainedExact(
+      corpus: DataFrame, nList: Int, dim: Int, iters: Int): DataFrame =
+    pqTrainExact(corpus, m = 1, ksub = nList, dim = dim, iters = iters)
+      .select(col("cid"), col("cv").as("cente"))
+
   /** The integer-exact Lloyd step shared by [[pqTrainIterExact]],
-    * [[pqTrainExact]] and [[ivfPqTopKDot]]'s residual-codebook
-    * training: assign every subvector by the integer L2 fit against
-    * `cb`, update each codeword to the round-half-up integer mean of
-    * its cell, empty cells keep their codeword. */
+    * [[pqTrainExact]], [[ivfCentroidsTrainedExact]] and
+    * [[ivfPqTopKDot]]'s residual-codebook training: assign every
+    * subvector by the integer L2 fit against `cb`, update each codeword
+    * to the round-half-up integer mean of its cell, empty cells keep
+    * their codeword. */
   private def lloydStepExact(
       sample: DataFrame, // (vec_id, s, sv) from pqSubvectors
       cb: DataFrame): DataFrame = {

@@ -723,6 +723,102 @@ object Pipeline {
               SELECT q_id, vec_id, dot, rn FROM ranked WHERE rn <= 5
               ORDER BY q_id, rn""")),
 
+    // IVF ANN over EXACT-TRAINED coarse centroids — the q47 search with
+    // its quantizer first refined by one oracle-replayable Lloyd step
+    // (full-vector k-means = PQ training with m=1; q106's integer
+    // round-half-up mean convention). The oracle replays seed → train →
+    // assign → probe → in-list top-k, so quantizer TRAINING and the
+    // search built on it are pinned together.
+    QEntry("q108_ann_ivf_trained",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val cent = graft.pipeline.Similarity
+          .ivfCentroidsTrainedExact(emb, nList = 16, dim = 64, iters = 1)
+        graft.pipeline.Similarity.cosineTopKIvf(queries, emb, k = 5,
+          nList = 16, nProbe = 4, centroids = Some(cent))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              seeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+              cb0 AS (
+                SELECT seeds.cid, qz.qe AS cv FROM seeds JOIN qz USING (vec_id)),
+              tdots AS (
+                SELECT qz.vec_id, cb0.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1] * cb0.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb0.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM qz CROSS JOIN cb0),
+              tassign AS (
+                SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM tdots) WHERE arn = 1),
+              tmeans AS (
+                SELECT a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(qz.qe[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM tassign a
+                JOIN qz ON qz.vec_id = a.vec_id
+                CROSS JOIN range(64) t(i)
+                GROUP BY a.cid, t.i),
+              seedc AS (
+                SELECT cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb0 CROSS JOIN range(64) t(i)),
+              cent AS (
+                SELECT sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cente
+                FROM seedc sc
+                LEFT JOIN tmeans m ON m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.cid),
+              centn AS (
+                SELECT cid, cente,
+                  CAST(list_sum(list_transform(cente, x -> x*x)) AS BIGINT) AS nc
+                FROM cent),
+              cfit AS (
+                SELECT qz.vec_id, centn.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1]*centn.cente[j+1])) AS BIGINT)
+                    / sqrt(centn.nc) AS cscore
+                FROM qz CROSS JOIN centn),
+              assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS arn
+                  FROM cfit) WHERE arn = 1),
+              probes AS (
+                SELECT vec_id AS q_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS prn
+                  FROM cfit WHERE vec_id % 100 = 0) WHERE prn <= 4),
+              scored AS (
+                SELECT p.q_id, a.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       j -> q.qe[j+1]*c.qe[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM probes p
+                JOIN assigned a ON a.cluster = p.cluster
+                JOIN qz q ON q.vec_id = p.q_id
+                JOIN qz c ON c.vec_id = a.vec_id),
+              ranked AS (
+                SELECT q_id, vec_id, dot,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM scored)
+              SELECT q_id, vec_id, dot, rn FROM ranked WHERE rn <= 5
+              ORDER BY q_id, rn""")),
+
     // Skew-safe two-phase (salted) aggregation — same answer as a direct
     // GROUP BY, pinned by the direct SQL oracle; the salt spreads any one
     // hot key over `buckets` reducers (see pipeline/Skew.scala).
