@@ -76,16 +76,36 @@ object Bench {
       val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
       (name, wall, cpu)
     }
-    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
-    val cpuS = results.map { case (k, _, c) => s"\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val cpuTotal = results.map(_._3).filter(_ >= 0).sum
     val jit = ManagementFactory.getCompilationMXBean
     val jitMs = if (jit != null && jit.isCompilationTimeMonitoringSupported)
       jit.getTotalCompilationTime else -1L
     val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_s":$cpuS,"jvm":$jvm,"sf":"$sfDir"}""")
+    // The driver's BENCH capture keeps only a ~2000-char TAIL of stdout,
+    // so the round-6 line (full names + full-precision wall AND cpu maps,
+    // ~9 KB) survived only as its cpu_s suffix — per-query wall times and
+    // the total were unrecoverable from the artifact of record. The
+    // stdout line therefore has to FIT: keys shrink to their unique qNN
+    // prefix (verified unique below; falls back to full names if a clash
+    // ever appears), values round to 2 decimals, and the per-query cpu
+    // map moves to stderr + bench_full.json (full names, full precision)
+    // — the line lands ~1.6 KB, valid JSON even under tail capture.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val shortsUnique = results.map(r => short(r._1)).distinct.size == results.size
+    def key(name: String): String = if (shortsUnique) short(name) else name
+    val qs = results.map { case (k, w, _) => "\"" + key(k) + "\":" + f"$w%.2f" }
+      .mkString("{", ",", "}")
+    val full = {
+      val w = results.map { case (k, x, _) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
+      val c = results.map { case (k, _, x) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
+      s"""{"queries":$w,"cpu_s":$c,"jvm":$jvm,"sf":"$sfDir"}"""
+    }
+    System.err.println(s"[bench-full] $full")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // diagnostics only — never fail the bench
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n":${results.size},"cpu_total_s":${f"$cpuTotal%.1f"},"jvm":$jvm,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -21,6 +21,29 @@ object Dedup {
   // 31-bit modulus keeps h*a < 2^62 — no int64 overflow under ANSI mode.
   private val Prime = 2147483647L // 2^31 - 1
 
+  /** Two-pass degenerate-bucket cap. A one-pass
+    * `groupBy(bucket).agg(collect_list(...)).filter(size <= maxBucket)`
+    * bounds the m² pair FAN-OUT but not the aggregation BUFFER: one
+    * degenerate bucket (mass near-identical docs, all-zero embeddings)
+    * still collects its entire membership into a single buffer before
+    * the size filter drops it — an executor OOM at 100× scale. This
+    * helper removes oversized buckets BEFORE any list exists: a count
+    * aggregate (constant-size partial buffers, map-side combined) finds
+    * them, a left-anti join on the bucket key drops their rows. Same
+    * pattern as [[IncrementalNearDup.processBatch]]'s running-corpus cap,
+    * which got this right first. Callers whose bucket lineage is
+    * expensive (MinHash/SimHash signatures) checkpoint `buckets` so the
+    * two passes don't run it twice; scan-shaped lineages (quantize)
+    * recompute instead of materializing a corpus copy. */
+  private[graft] def dropOversizedBuckets(
+      buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val oversized = buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select(keys.map(col): _*)
+    buckets.join(oversized, keys, "left_anti")
+  }
+
   /** Exact duplicate groups by content digest. O(n) + one shuffle. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_md5"))
@@ -208,16 +231,23 @@ object Dedup {
       bands: Int = 4,
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // Checkpointed because the cap's count pass and the collect pass
+    // both consume it — the MinHash signature lineage is the expensive
+    // part and the bucket rows are tiny (doc_id, band, int sig); on a
+    // real cluster this is persist()/checkpoint().
     val buckets = minhashBuckets(docs, idCol, textCol, numHashes, bands, shingleK)
-    // candidate pairs in ONE pass: group per bucket, emit in-group
-    // combinations (a < b). A self-join here would recompute the whole
-    // signature lineage twice — the group-by scans it once. Degenerate
-    // buckets (mass exact-dups) are capped to bound the m² fan-out;
-    // exact dups are [[exactGroups]]' job anyway.
+      .localCheckpoint()
+    // candidate pairs: drop degenerate buckets FIRST
+    // ([[dropOversizedBuckets]] — count + anti-join, so no aggregation
+    // buffer ever holds an oversized membership; mass exact-dups are
+    // [[exactGroups]]' job anyway), then ONE grouping pass emits
+    // in-group combinations (a < b). A self-join here would recompute
+    // the whole signature lineage twice — the group-by scans it once.
     val maxBucket = 1000
-    val grouped = buckets.groupBy(col("band"), col("sig"))
+    val grouped = dropOversizedBuckets(buckets, Seq("band", "sig"), maxBucket)
+      .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
     val combos = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("a_id"), b.as("b_id")))))
@@ -282,7 +312,26 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        // setCheckpointDir mutates SESSION-GLOBAL state — a concurrent
+        // job using checkpoint() in this session would silently have its
+        // location redirected. Only claim the setting when unset; if the
+        // session already checkpoints somewhere else, fail loudly instead
+        // of hijacking it. (setCheckpointDir stores a fully-qualified
+        // path with a per-context UUID subdir, so "already ours" means
+        // the existing dir lives UNDER the qualified requested dir.)
+        val sc = pairs.sparkSession.sparkContext
+        val qualified = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        }
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(existing) if existing.startsWith(qualified) => ()
+          case Some(existing) => throw new IllegalArgumentException(
+            s"components(checkpointDir=$dir): session checkpoint dir is already " +
+              s"$existing — refusing to redirect session-global state; pass that " +
+              "dir, or leave checkpointDir unset to use localCheckpoint")
+        }
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
@@ -383,7 +432,8 @@ object Dedup {
       textCol: String,
       n: Int = 2,
       tNum: Int = 4,
-      tDen: Int = 5): DataFrame = {
+      tDen: Int = 5,
+      maxPosting: Int = 100000): DataFrame = {
     require(n >= 1 && tNum > 0 && tNum <= tDen, s"bad n-gram join params: n=$n, t=$tNum/$tDen")
     // Staged projections (memory: q50/q51) — each HOF lambda reads a
     // materialized attribute, never an inline subtree.
@@ -422,6 +472,26 @@ object Dedup {
         posexplode(transform(slice(col("ranked"), lit(1), p.cast("int")),
           s => s.getField("g"))))
       .withColumnRenamed("col", "g") // (doc_id, sz, pos, g); pos 0-based
+    // Fail fast on degenerate prefix postings instead of silently
+    // sliding toward brute force: the operator is exact by contract, so
+    // oversized postings cannot be DROPPED (the MinHash/SimHash cap) —
+    // but they can be DETECTED for the cost of one count aggregate over
+    // the checkpointed shingle lineage (constant-size partial buffers).
+    // Candidate pairs grow ~posting² — measured (tuning note above): a
+    // 31-word vocabulary at n=2 puts 6M of 5000²/2 pairs through the
+    // postings where n=3 yields 122k; at 100 TB that is the job that
+    // never finishes, and "raise n" is the fix, not a bigger cluster.
+    if (maxPosting > 0) {
+      val worst = prefixes.groupBy(col("g")).agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).head()
+      val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(biggest <= maxPosting,
+        s"ngramJaccardPairs: largest prefix posting holds $biggest docs, over the " +
+          s"cap $maxPosting — n=$n is too small for this corpus's vocabulary " +
+          "(candidate pairs grow with posting²; measured: a 31-word vocab at n=2 " +
+          "yields 6M candidate pairs from 5000 docs, n=3 yields 122k). Raise n, " +
+          "or raise maxPosting (0 disables) to accept the fan-out")
+    }
     // candidate pairs: in-group combinations per prefix posting (one
     // grouping shuffle; a self-join would recompute the ranked lineage
     // twice). No bucket cap: this operator is exact by contract. Two
@@ -484,13 +554,18 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bval"))
     }
+    // Checkpointed for the same reason as minhashNearDupPairs: the
+    // signature is the expensive lineage, the bucket rows are tiny, and
+    // both cap passes consume them.
     val buckets = simhash64(docs, idCol, textCol)
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
-    val grouped = buckets.groupBy(col("band"), col("bval"))
+      .localCheckpoint()
+    val grouped = dropOversizedBuckets(buckets, Seq("band", "bval"), maxBucket)
+      .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
     val combos = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(

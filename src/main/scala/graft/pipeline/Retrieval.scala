@@ -24,8 +24,16 @@ object Retrieval {
     * Robertson-Sparck-Jones idf `ln((N - df + 0.5)/(df + 0.5) + 1)`. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(lower(col(textCol)), "\\s+").as("toks"))
+    // NULL-text docs are excluded EVERYWHERE, explicitly: split(NULL)
+    // yields NULL toks, whose rows the explode silently drops — so such
+    // docs would contribute no terms yet the "every doc yields >= 1
+    // token" n_docs/avgdl derivation below wouldn't count them either.
+    // Filtering here makes that one consistent, documented contract: a
+    // NULL-text doc is not part of the corpus (no terms, no corpus
+    // stats) rather than half-in.
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("toks"))
     // dl rides THROUGH the explode and the tf agg (constant per group,
     // picked up with first()) — no separate doc-length frame, no
     // doc_id shuffle join.

@@ -168,15 +168,23 @@ object Similarity {
       queriesQ: DataFrame, // (q_id, qe array<long>)
       corpusQ: DataFrame,  // (vec_id, qe array<long>)
       nBits: Int, k: Int,
-      maxBroadcast: Long = MaxBroadcastQueries): DataFrame = {
+      maxBroadcast: Long = MaxBroadcastQueries,
+      knownQueryCount: Option[Long] = None): DataFrame = {
     val q = queriesQ.select(col("q_id"), col("qe"),
         graft.expressions.functions.lsh_bucket_long(col("qe"), nBits).as("bucket"))
       .withColumn("na", dotQ(col("qe"), col("qe")))
     val c = corpusQ.select(col("vec_id"), col("qe").as("ce"),
         graft.expressions.functions.lsh_bucket_long(col("ce"), nBits).as("bucket"))
       .withColumn("nb", dotQ(col("ce"), col("ce")))
+    // The strategy probe counts the query frame, which — unlike the raw
+    // scans the other guarded entry points count — may sit on a derived
+    // pipeline (q104: the whole meanPoolQ dataflow), re-executed once
+    // per call purely for this decision. Callers that already know the
+    // size (or have persisted the frame) pass `knownQueryCount` to skip
+    // the probe.
+    val nQ = knownQueryCount.getOrElse(queriesQ.count())
     val joinedQ =
-      if (queriesQ.count() <= maxBroadcast) broadcast(q)
+      if (nQ <= maxBroadcast) broadcast(q)
       else q.hint("shuffle_hash")
     c.join(joinedQ, Seq("bucket"))
       .withColumn("dot", dotQ(col("qe"), col("ce")))
@@ -224,9 +232,17 @@ object Similarity {
     // pattern as lshBucket/lshBucketHof.
     val bucketed = q.withColumn("bucket",
       graft.expressions.functions.lsh_bucket_long(col("qe"), nBits))
-    val grouped = bucketed.groupBy(col("bucket"))
+    // Degenerate buckets (e.g. a mass of all-zero embeddings) drop via
+    // the two-pass count + anti-join ([[Dedup.dropOversizedBuckets]])
+    // BEFORE any collect_list — this operator was the worst offender of
+    // the one-pass cap's buffer hazard: its buffer holds whole quantized
+    // vectors (maxBucket × dim longs), not just ids. No checkpoint here:
+    // the lineage is scan+quantize (cheap to rerun for the count pass),
+    // while materializing `bucketed` would copy the quantized corpus.
+    val grouped = Dedup.dropOversizedBuckets(bucketed, Seq("bucket"), maxBucket)
+      .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("qe"), col("na")))).as("vs"))
-      .filter(size(col("vs")).between(2, maxBucket))
+      .filter(size(col("vs")) >= 2)
     val combos = flatten(transform(col("vs"), (a, i) =>
       transform(slice(col("vs"), i + 2, size(col("vs"))),
         b => struct(a.getField("vec_id").as("a_id"), b.getField("vec_id").as("b_id"),
@@ -278,7 +294,12 @@ object Similarity {
     * the corpus. Deterministic end to end (no RNG: seeds are the first
     * `nList` sample vectors, ties break on cid). Feed the result to
     * [[cosineTopKIvf]]'s `centroids` parameter; the probe dataflow is
-    * unchanged. */
+    * unchanged.
+    *
+    * ==Prefer [[ivfCentroidsTrainedExact]]== — same Lloyd dataflow with
+    * the oracle-replayable integer mean (q108 pins quantizer AND search
+    * together); this float-mean variant is spec-gated only (PqSpec), for
+    * the same avg-reduction-order reason as [[pqTrain]]. */
   def trainCentroids(
       corpus: DataFrame, nList: Int, iters: Int = 2,
       sampleMod: Long = 1L,
@@ -455,7 +476,15 @@ object Similarity {
     * grouping key): assignment by max integer dot against the broadcast
     * codebook, update by element-wise mean, empty clusters keep their
     * centroid. Deterministic (seeds = [[pqCodebookSeed]], ties on cid).
-    * Output: (s, cid, cv array<long>). */
+    * Output: (s, cid, cv array<long>).
+    *
+    * ==Prefer [[pqTrainExact]]== — this variant's `avg`+`round` mean is
+    * NOT cross-engine reproducible (double reduction order + HALF_UP vs
+    * half-even rounding edges), so it is gated by PqSpec only, while
+    * [[pqTrainExact]] computes the identical Lloyd dataflow with an
+    * integer round-half-up mean and is replayed bit-for-bit by the
+    * DuckDB oracle (q106/q107/q108). Keep this variant only where you
+    * specifically want IEEE means and accept spec-level assurance. */
   def pqTrain(
       corpus: DataFrame, m: Int, ksub: Int, dim: Int,
       iters: Int = 2): DataFrame = {
@@ -707,6 +736,18 @@ object Similarity {
     val centSrc = corpus.orderBy(col("vec_id")).limit(nList).select(col("vec_id"))
     var cb = pqCodebookSeedQ(
       residQ.join(centSrc, Seq("vec_id"), "left_anti"), m, ksub, dim)
+      .localCheckpoint()
+    // pq_adc_score indexes the flattened table as dt[s*ksub + cid] — a
+    // SHORT codebook (corpus smaller than nList + ksub, so the post-
+    // left-anti seed frame has < ksub rows) would silently misalign
+    // every lookup instead of failing. Checkpointed above, so this count
+    // is a local-blocks read, and the multi-consumer codebook (train,
+    // encode, dt) no longer re-runs its seed lineage either.
+    val cbRows = cb.count()
+    require(cbRows == m.toLong * ksub,
+      s"ivfPqTopKDot: residual codebook has $cbRows entries, need m*ksub=${m * ksub} — " +
+        s"corpus must hold at least nList+ksub=${nList + ksub} vectors (nList=$nList " +
+        s"lowest vec_ids seed the coarse centroids and are excluded from codebook seeds)")
     // Optional integer-exact Lloyd refinement of the RESIDUAL codebook
     // ([[lloydStepExact]] — same oracle-replayable convention as q106);
     // each step is one broadcast assign + one partial-agg'd mean.

@@ -295,12 +295,17 @@ object Pipeline {
           .filter(size(col("shingles")) > 0) // short docs can't band-collide
           .select(col("doc_id"), hs.as("hs"))
           .select((col("doc_id") +: sigs): _*)
-        val grouped = sig
+        // Two-pass cap (Dedup.dropOversizedBuckets): same result set as
+        // a size-filter after the collect, but no aggregation buffer
+        // ever holds a degenerate bucket's membership.
+        val buckets = sig
           .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          .localCheckpoint()
+        val grouped = Dedup.dropOversizedBuckets(buckets, Seq("band", "bkey"), 1000)
           .groupBy(col("band"), col("bkey"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")).between(2, 1000))
+          .filter(size(col("ids")) >= 2)
         val combos = flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             b => struct(a.as("a_id"), b.as("b_id")))))
@@ -435,13 +440,20 @@ object Pipeline {
             shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
               .as("bval"))
         }
-        val grouped = portableSimhash32(Tables.documents(s, d))
+        // Two-pass cap (Dedup.dropOversizedBuckets): oversized buckets
+        // leave via count + anti-join BEFORE the collect_list, so no
+        // aggregation buffer ever holds a degenerate membership — same
+        // result set as the old size-filter, same oracle.
+        val buckets = portableSimhash32(Tables.documents(s, d))
           .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("simhash"),
             col("bk.band").as("band"), col("bk.bval").as("bval"))
+          .localCheckpoint()
+        val grouped = graft.pipeline.Dedup
+          .dropOversizedBuckets(buckets, Seq("band", "bval"), 1000)
           .groupBy(col("band"), col("bval"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
-          .filter(size(col("ids")).between(2, 1000))
+          .filter(size(col("ids")) >= 2)
         val combos = flatten(transform(col("ids"), (a, i) =>
           transform(slice(col("ids"), i + 2, size(col("ids"))),
             b => struct(

@@ -192,6 +192,12 @@ object Pipeline3 {
         // re-splitting (whitespace tokens round-trip through a space
         // join), but skips the regex re-split of ~10x longer strings —
         // measured as the audit's single-core hot spot.
+        // PRECONDITION of that equivalence: every base text is non-empty
+        // with no leading/trailing whitespace. An empty text tokenizes
+        // to [""] here, while the oracle's string_agg+re-split merges
+        // that token away — the fixture satisfies this (asserted by
+        // TextAnalysisSpec's fixture-precondition check); for arbitrary
+        // input, filter empty token arrays first.
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
         // each base doc belongs to windows floor(id/5)-1 and floor(id/5)

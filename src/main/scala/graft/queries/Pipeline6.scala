@@ -141,10 +141,14 @@ object Pipeline6 {
     // convention).
     QEntry("q104_pooled_ann",
       (s, d) => {
+        // Checkpoint the pooled frame ONCE: three consumers (query side,
+        // corpus side, and the broadcast-strategy count probe) would
+        // otherwise each re-run the whole meanPoolQ dataflow.
         val pooled = graft.pipeline.Similarity.meanPoolQ(
           Tables.embeddings(s, d)
             .select(expr("vec_id div 10").as("doc_id"),
               graft.expressions.functions.quantize_vec(col("embedding"), 10000.0).as("qe")))
+          .localCheckpoint()
         val queries = pooled.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("q_id"), col("pe").as("qe"))
         graft.pipeline.Similarity.cosineTopKBucketedQ(

@@ -399,6 +399,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fused == ref,
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
+
+  // q101's tokenize-once equivalence (flattened per-doc token arrays ==
+  // string_agg + re-split in the oracle) holds only when every base
+  // text is non-empty with no leading/trailing whitespace — an empty
+  // text tokenizes to [""] on the Spark side, which the oracle's regex
+  // re-split merges away. Pin that precondition on the fixture so a
+  // driver-side fixture change surfaces HERE, not as a q101 hash drift.
+  test("documents fixture satisfies q101's non-empty/untrimmed-text precondition") {
+    val bad = graft.queries.Tables.documents(spark, sf)
+      .filter(col("text").isNull || col("text") === "" ||
+        col("text") =!= trim(col("text")))
+      .count()
+    assert(bad == 0L, s"$bad docs violate q101's tokenize-once precondition")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
