@@ -408,9 +408,23 @@ object Similarity {
       .collect() // bounded: O(l * rounds) candidates by construction
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
 
-    // deterministic greedy weighted farthest-first: heaviest candidate
-    // first, then repeatedly the candidate maximizing w * (1 - cos to
-    // the chosen set); ties break on min cid.
+    import spark.implicits._
+    greedyFarthestFirst(weighted, nList)
+      .map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cente")
+  }
+
+  /** Deterministic greedy weighted farthest-first reduction shared by
+    * [[kmeansParallelSeeds]] and [[kmeansParallelSeedsExact]]: heaviest
+    * candidate first, then repeatedly the candidate maximizing
+    * w * (1 - max cos to the chosen set); ties break on min cid. Every
+    * double here is a single-expression IEEE value (int64 dot over
+    * sqrt·sqrt — no reduction-order dependence), so an engine replaying
+    * the same weighted candidates picks the same seeds (the q109 oracle
+    * does, as chained selection CTEs). */
+  private def greedyFarthestFirst(
+      weighted: Array[(Long, Array[Long], Long)],
+      nList: Int): Seq[(Long, Array[Long])] = {
     def cos(a: Array[Long], b: Array[Long]): Double = {
       var dot = 0L; var na = 0L; var nb = 0L; var i = 0
       while (i < a.length) {
@@ -431,8 +445,89 @@ object Similarity {
       chosen += ((best._1, best._2))
       remaining -= best
     }
+    chosen.toSeq
+  }
+
+  /** Oracle-pinnable k-means|| seeding — the portable, integer-exact
+    * twin of [[kmeansParallelSeeds]] (the q37/q51/q53 convention: the
+    * production operator keeps the codegen'd xxhash64 draw, this twin
+    * swaps every cross-engine-fragile step so a SQL oracle can replay
+    * the WHOLE seeding, driver-side greedy reduction included):
+    *
+    *  - per-point cost is `greatest(floor((1 - best cos) · 10⁶), 0)` —
+    *    an exact int64 derived from IEEE-deterministic doubles (int64
+    *    dot / sqrt·sqrt, no reduction), so the round's total cost is an
+    *    INTEGER sum (order-independent) where the float variant sums
+    *    doubles in reduction order;
+    *  - the admission draw is the md5-prefix uint32 (portable across
+    *    engines, unlike xxhash64), admitted when
+    *    u·total < cost·over·2³² — compared in decimal128, which stays
+    *    exact at any corpus size (int64 products would overflow past
+    *    ~4.6M sample points);
+    *  - the greedy reduction is the SAME code as the float variant
+    *    ([[greedyFarthestFirst]]).
+    *
+    * q109 replays all of it in DuckDB: `rounds` cost/draw/union rounds,
+    * nearest-cell weights, and the `nList` greedy picks as chained
+    * CTEs. Expected oversample per round is `over` (cost-proportional,
+    * Bahmani et al. VLDB 2012), so the driver-side candidate set stays
+    * O(1 + over·rounds). */
+  def kmeansParallelSeedsExact(
+      corpus: DataFrame, nList: Int,
+      over: Int = 0, rounds: Int = 3,
+      sampleMod: Long = 1L): DataFrame = {
+    require(nList >= 1 && rounds >= 1 && sampleMod >= 1)
+    val l = if (over > 0) over else 2 * nList
+    val spark = corpus.sparkSession
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nq", dotQ(col("qe"), col("qe")))
+      .filter(col("nq") > 0) // zero vectors have no cosine direction
+      .localCheckpoint()
+    var cands = sample.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("qe").as("cente"))
+      .localCheckpoint()
+
+    // best-candidate cosine + nearest candidate per sample point (max
+    // and max_by over per-pair IEEE doubles — order-independent).
+    def bestCos(c: DataFrame): DataFrame = {
+      val wc = c.withColumn("nc", dotQ(col("cente"), col("cente")))
+      sample.join(broadcast(wc), lit(true))
+        .withColumn("cscore", dotQ(col("qe"), col("cente")).cast("double") /
+          (sqrt(col("nc")) * sqrt(col("nq"))))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qe")).as("qe"),
+          max(col("cscore")).as("best"),
+          max_by(col("cid"), struct(col("cscore"), -col("cid"))).as("near"))
+    }
+
+    for (r <- 1 to rounds) {
+      val cost = bestCos(cands)
+        .withColumn("cost",
+          greatest(floor((lit(1.0) - col("best")) * lit(1e6)).cast("long"), lit(0L)))
+      val total = cost.agg(coalesce(sum(col("cost")), lit(0L))).head.getLong(0)
+      // total == 0 (all points ARE candidates) admits nothing via the
+      // strict < below — no special case needed, and the oracle agrees.
+      val u = conv(substring(md5(concat_ws(":", col("vec_id"), lit(r))), 1, 8), 16, 10)
+        .cast("long")
+      val picked = cost
+        .filter(u.cast(dec) * lit(total).cast(dec) <
+          col("cost").cast(dec) * lit(l.toLong * 4294967296L).cast(dec))
+        .select(col("vec_id").as("cid"), col("qe").as("cente"))
+      cands = cands.union(picked).distinct().localCheckpoint()
+    }
+
+    val weights = bestCos(cands)
+      .groupBy(col("near").as("cid")).agg(count(lit(1)).as("w"))
+    val weighted = cands.join(weights, Seq("cid"), "left")
+      .select(col("cid"), col("cente"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect() // bounded: O(1 + over * rounds) expected, by construction
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+
     import spark.implicits._
-    chosen.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+    greedyFarthestFirst(weighted, nList)
+      .map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "cente")
   }
 

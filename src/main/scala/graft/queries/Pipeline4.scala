@@ -332,6 +332,153 @@ object Pipeline4 {
             ORDER BY s, cid, pos"""
       }),
 
+    // Exact-TRAINED IVFADC end to end (the SURVEY §10 round-7 item):
+    // q102's residual-coupled search with one integer-exact Lloyd
+    // refinement of the residual codebook
+    // (ivfPqTopKDot(trainIters = 1) — lloydStepExact, the q106
+    // convention), all under the oracle: DuckDB replays coarse
+    // assignment, residuals, codebook seeding, the training step
+    // (assign → round-half-up mean → empty-cell fallback, as a chained
+    // CTE per iteration — the q107 pattern), re-encoding against the
+    // TRAINED codebook, probes, and ADC scores. The
+    // trained-tightens-fidelity property is spec-pinned
+    // (SimilaritySpec); this row pins the trained search's VALUES.
+    QEntry("q110_ivfadc_trained", {
+      val iters = 1
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        graft.pipeline.Similarity.ivfPqTopKDot(queries, emb,
+          nList = 4, m = 4, ksub = 4, dim = 64, k = 5, nProbe = 2,
+          trainIters = iters)
+          .orderBy(col("q_id"), col("rn"))
+      }
+    },
+      Some {
+        val iters = 1
+        val trainSteps = (0 until iters).map { i =>
+          s"""tdots$i AS (
+                SELECT sub.vec_id, sub.s, cb$i.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       j -> sub.sv[j+1] * cb$i.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb$i.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb$i ON sub.s = cb$i.s),
+              tassign$i AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM tdots$i) WHERE arn = 1),
+              tmeans$i AS (
+                SELECT a.s, a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(sub.sv[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM tassign$i a
+                JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+                CROSS JOIN range(16) t(i)
+                GROUP BY a.s, a.cid, t.i),
+              tseedc$i AS (
+                SELECT s, cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb$i CROSS JOIN range(16) t(i)),
+              cb${i + 1} AS (
+                SELECT sc.s, sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cv
+                FROM tseedc$i sc
+                LEFT JOIN tmeans$i m
+                  ON m.s = sc.s AND m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.s, sc.cid)"""
+        }.mkString(",\n              ")
+        s"""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              cseeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+              cent AS (
+                SELECT cs.cid, qz.qe AS cente FROM cseeds cs JOIN qz USING (vec_id)),
+              afit AS (
+                SELECT qz.vec_id, cent.cid,
+                  CAST(2*list_sum(list_transform(range(len(qz.qe)),
+                         i -> qz.qe[i+1]*cent.cente[i+1]))
+                     - list_sum(list_transform(cent.cente, x -> x*x)) AS BIGINT) AS fit
+                FROM qz CROSS JOIN cent),
+              assign AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY fit DESC, cid) AS arn
+                  FROM afit) WHERE arn = 1),
+              resid AS (
+                SELECT a.vec_id, a.cluster,
+                  list_transform(range(len(qz.qe)),
+                    i -> qz.qe[i+1] - cent.cente[i+1]) AS re
+                FROM assign a
+                JOIN qz ON qz.vec_id = a.vec_id
+                JOIN cent ON cent.cid = a.cluster),
+              sub AS (
+                SELECT vec_id, cluster, sg.s, re[sg.s*16+1 : sg.s*16+16] AS sv
+                FROM resid CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg),
+              pseeds AS (
+                -- skip the centroid sources: their residuals are ~zero
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4 OFFSET 4)),
+              cb0 AS (
+                SELECT sub.s, pseeds.cid, sub.sv AS cv
+                FROM sub JOIN pseeds USING (vec_id)),
+              $trainSteps,
+              cb AS (SELECT s, cid, cv FROM cb$iters),
+              dots AS (
+                SELECT sub.vec_id, sub.s, cb.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       i -> sub.sv[i+1] * cb.cv[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb ON sub.s = cb.s),
+              codes AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM dots) WHERE arn = 1),
+              qfit AS (
+                SELECT qz.vec_id AS q_id, cent.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       i -> qz.qe[i+1]*cent.cente[i+1])) AS BIGINT) AS qcdot,
+                  CAST(list_sum(list_transform(cent.cente, x -> x*x)) AS BIGINT) AS ncc
+                FROM qz CROSS JOIN cent WHERE qz.vec_id % 100 = 0),
+              probes AS (
+                SELECT q_id, cid AS cluster, qcdot FROM (
+                  SELECT q_id, cid, qcdot,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY 2*qcdot - ncc DESC, cid) AS prn
+                  FROM qfit) WHERE prn <= 2),
+              qsub AS (
+                SELECT vec_id AS q_id, sg.s, qe[sg.s*16+1 : sg.s*16+16] AS sv
+                FROM qz CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg
+                WHERE vec_id % 100 = 0),
+              qdots AS (
+                SELECT qsub.q_id, qsub.s, cb.cid,
+                  CAST(list_sum(list_transform(range(len(qsub.sv)),
+                       i -> qsub.sv[i+1] * cb.cv[i+1])) AS BIGINT) AS qdot
+                FROM qsub JOIN cb ON qsub.s = cb.s),
+              scores AS (
+                SELECT p.q_id, c.vec_id,
+                  CAST(p.qcdot + sum(qd.qdot) AS BIGINT) AS score
+                FROM probes p
+                JOIN assign a ON a.cluster = p.cluster
+                JOIN codes c ON c.vec_id = a.vec_id
+                JOIN qdots qd ON qd.q_id = p.q_id AND qd.s = c.s AND qd.cid = c.cid
+                GROUP BY p.q_id, c.vec_id, p.qcdot),
+              ranked AS (
+                SELECT q_id, vec_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, vec_id) AS rn
+                FROM scores)
+              SELECT q_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+              ORDER BY q_id, rn"""
+      }),
+
     // Per-doc contamination FLAGS (every non-bench doc kept, zero
     // included) — the state-free projection twin of q80, identical in
     // batch and append-mode streaming (TextAnalysis.contaminationFlags

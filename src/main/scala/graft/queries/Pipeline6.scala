@@ -228,6 +228,94 @@ object Pipeline6 {
                 CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
                 CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime,
                 CAST(sum(CASE WHEN late THEN 0 ELSE cents END) AS BIGINT) AS cents_ontime
-              FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // k-means|| seeding (Bahmani et al. VLDB 2012), oracle-pinned end to
+    // end via the integer-exact portable twin
+    // (Similarity.kmeansParallelSeedsExact): integer micro-nat costs
+    // (order-independent totals), md5-prefix admission draws compared in
+    // exact wide arithmetic (decimal128 / HUGEINT), and the driver-side
+    // greedy weighted farthest-first reduction replayed as chained
+    // selection CTEs — the SURVEY §10 round-7 item: the hash-draw stages
+    // were already deterministic, this pins the greedy reduction too.
+    // The xxhash64 float-cost production operator keeps its
+    // determinism+quality spec (ExactJoinSpec).
+    QEntry("q109_kmeanspp_seeds", {
+      val (nList, over, rounds) = (4, 8, 2)
+      (s, d) => graft.pipeline.Similarity.kmeansParallelSeedsExact(
+        Tables.embeddings(s, d), nList = nList, over = over, rounds = rounds)
+        .select(col("cid"), posexplode(col("cente")))
+        .select(col("cid"), col("pos"), col("col").as("cv"))
+        .orderBy(col("cid"), col("pos"))
+    },
+      Some {
+        val (nList, over, rounds) = (4, 8, 2)
+        def dot(a: String, b: String) =
+          s"CAST(list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1])) AS BIGINT)"
+        def norm(a: String) = s"CAST(list_sum(list_transform($a, x -> x*x)) AS BIGINT)"
+        val admit = over.toLong * 4294967296L // over * 2^32
+        val roundCtes = (1 to rounds).map { r =>
+          s"""sc$r AS (
+                SELECT p.vec_id, p.qe,
+                  max(${dot("p.qe", "c.cente")}
+                      / (sqrt(${norm("c.cente")}) * sqrt(p.nq))) AS best
+                FROM spts p CROSS JOIN cand${r - 1} c
+                GROUP BY p.vec_id, p.qe),
+              cost$r AS (
+                SELECT vec_id, qe,
+                  greatest(CAST(floor((1.0 - best) * 1000000.0) AS BIGINT), 0) AS cost
+                FROM sc$r),
+              tot$r AS (SELECT COALESCE(sum(cost), 0) AS total FROM cost$r),
+              pick$r AS (
+                SELECT c.vec_id AS cid, c.qe AS cente
+                FROM cost$r c CROSS JOIN tot$r t
+                WHERE CAST(CAST(('0x' || substr(md5(CAST(c.vec_id AS VARCHAR) || ':$r'),
+                          1, 8)) AS BIGINT) AS HUGEINT) * CAST(t.total AS HUGEINT)
+                    < CAST(c.cost AS HUGEINT) * CAST($admit AS HUGEINT)),
+              cand$r AS (
+                SELECT cid, cente FROM cand${r - 1}
+                UNION
+                SELECT cid, cente FROM pick$r)"""
+        }.mkString(",\n              ")
+        val greedyCtes = (2 to nList).map { k =>
+          s"""g$k AS (
+                SELECT r.cid, r.cente,
+                  CAST(r.w AS DOUBLE) * (1.0 - max(
+                    ${dot("r.cente", "s.cente")} /
+                    (sqrt(${norm("r.cente")}) * sqrt(${norm("s.cente")})))) AS gain
+                FROM wcand r CROSS JOIN ch${k - 1} s
+                WHERE r.cid NOT IN (SELECT cid FROM ch${k - 1})
+                GROUP BY r.cid, r.cente, r.w),
+              sel$k AS (SELECT cid, cente FROM g$k ORDER BY gain DESC, cid LIMIT 1),
+              ch$k AS (SELECT cid, cente FROM ch${k - 1}
+                       UNION ALL SELECT cid, cente FROM sel$k)"""
+        }.mkString(",\n              ")
+        s"""WITH qz AS (
+              SELECT vec_id, list_transform(embedding,
+                v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+              FROM embeddings),
+            pts AS (SELECT vec_id, qe, ${norm("qe")} AS nq FROM qz),
+            spts AS (SELECT * FROM pts WHERE nq > 0),
+            cand0 AS (
+              SELECT vec_id AS cid, qe AS cente FROM spts ORDER BY vec_id LIMIT 1),
+            $roundCtes,
+            wnear AS (
+              SELECT vec_id, cid FROM (
+                SELECT p.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY ${dot("p.qe", "c.cente")}
+                      / (sqrt(${norm("c.cente")}) * sqrt(p.nq)) DESC, c.cid) AS nrn
+                FROM spts p CROSS JOIN cand$rounds c) WHERE nrn = 1),
+            cellw AS (SELECT cid, count(*) AS w FROM wnear GROUP BY cid),
+            wcand AS (
+              SELECT c.cid, c.cente, COALESCE(cellw.w, 0) AS w
+              FROM cand$rounds c LEFT JOIN cellw ON cellw.cid = c.cid),
+            sel1 AS (SELECT cid, cente FROM wcand ORDER BY w DESC, cid LIMIT 1),
+            ch1 AS (SELECT cid, cente FROM sel1),
+            $greedyCtes
+            SELECT cid, CAST(t.i AS INTEGER) AS pos, cente[t.i+1] AS cv
+            FROM ch$nList CROSS JOIN range(64) t(i)
+            ORDER BY cid, pos"""
+      })
   )
 }

@@ -158,6 +158,35 @@ class ExactJoinSpec extends SparkSpec {
     assert(cs <= cf + 1e-6, s"k-means|| seeding hurt: seeded=$cs firstN=$cf")
   }
 
+  test("exact k-means|| twin: deterministic, corpus members, spread picks") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val run1 = Similarity.kmeansParallelSeedsExact(emb, nList = 8, over = 8, rounds = 2)
+    val run2 = Similarity.kmeansParallelSeedsExact(emb, nList = 8, over = 8, rounds = 2)
+    val s1 = run1.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    // deterministic end to end: md5 draws, integer costs, greedy picks
+    assert(s1 == run2.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq)
+    assert(s1.size == 8 && s1.map(_._1).distinct.size == 8, s"bad seed set: ${s1.map(_._1)}")
+    // every seed is a real corpus vector, quantized (cid -> qe membership)
+    val byId = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    s1.foreach { case (cid, v) =>
+      assert(byId.get(cid).contains(v), s"seed $cid is not its corpus vector")
+    }
+    // farthest-first actually spreads: no two chosen seeds are the same
+    // vector, and at least one pair is far apart in cosine
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val pairsCos = for (i <- s1.indices; j <- i + 1 until s1.size)
+      yield cos(s1(i)._2, s1(j)._2)
+    assert(pairsCos.min < 0.999, "all seeds collapsed onto one direction")
+  }
+
   test("cosine pairs agree with brute-force verification on real embeddings") {
     // Precision check on the corpus: every emitted pair really has
     // cos >= threshold (recomputed directly), and pair keys are a<b.
