@@ -96,6 +96,44 @@ object Curation {
       .filter(col("bucket") < col("rate"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement via priority
+    * sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimating arbitrary subset sums", JACM 54(6), 2007): each row
+    * draws a uniform u ∈ [1, 2³²] from the md5 of its key (+salt), gets
+    * integer priority `(w · 2³²) div u`, and the `k` highest-priority
+    * rows are the sample (ties break on the key for a total order).
+    * Inclusion probability rises with weight exactly as the estimator
+    * prescribes, and every step is integer math on a portable hash — the
+    * sample is reproducible across runs, engines, partitionings and
+    * retries (q111 replays it in DuckDB; `rand()`-based weighted
+    * sampling is none of those things).
+    *
+    * Scale shape: one zero-shuffle projection, then a distributed top-k
+    * (TakeOrderedAndProject: per-partition heaps of k, k rows to the
+    * final) — the corpus is scanned once and never shuffled.
+    *
+    * Weights must be in [0, 2³¹) — larger would overflow w·2³², which
+    * ANSI mode turns into a loud error (pre-scale such weights down;
+    * sampling only uses their ratios). w = 0 rows get priority 0 and are
+    * only picked if fewer than k positive-weight rows exist. */
+  def prioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    val u = conv(substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt))),
+      1, 8), 16, 10).cast("long") + 1
+    df.select(col(keyCol).as("key"), col(weightCol).cast("long").as("w"), u.as("u"))
+      // integer div, not `/` (double division would lose exactness past
+      // 2^53 — priorities reach w·2³²)
+      .withColumn("priority", expr("(w * 4294967296L) div u"))
+      .drop("u")
+      .orderBy(col("priority").desc, col("key"))
+      .limit(k)
+  }
+
   /** Train/eval split-leakage audit: for every NON-train document, how
     * many train documents share at least one word n-gram with it, and
     * how many (doc, train-doc, shingle) hits there are in total. Zero

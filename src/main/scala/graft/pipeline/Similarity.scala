@@ -156,6 +156,52 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("pv")))),
         x => x.getField("pv")).as("pe"))
 
+  /** Embedding-QA: per-label centroid-distance outlier flags — the
+    * "does this vector belong to its labeled cluster" audit a curation
+    * pipeline runs before trusting labels (mislabeled or corrupt
+    * embeddings sit far from their label's centroid).
+    *
+    * Engine-exact end to end: centroids are the floor-mean of the
+    * label's quantized members per component (the [[meanPoolQ]]
+    * convention), dist2 is the exact int64 squared L2 to the centroid,
+    * and the outlier test `dist2 > (factorNum/factorDen) · label mean`
+    * compares `dist2 · n · factorDen > sum_dist2 · factorNum` in
+    * decimal128 — label sums of per-vector int64 distances overflow
+    * int64 near a billion rows, so the comparison is wide on BOTH
+    * engines (HUGEINT in the q113 oracle).
+    *
+    * Scale shape: one partial+final agg over (label, pos) triples for
+    * centroids, label-cardinality broadcasts both ways, the corpus
+    * scanned twice (centroid pass, distance pass) and never shuffled.
+    * Output: (vec_id, label, dist2, is_outlier). */
+  def labelCentroidOutliers(
+      emb: DataFrame, // (vec_id, embedding, label)
+      factorNum: Int = 3,
+      factorDen: Int = 2): DataFrame = {
+    require(factorNum > 0 && factorDen > 0,
+      s"bad outlier factor: $factorNum/$factorDen")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+    val cent = q.select(col("label"), posexplode(col("qe")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cn"))
+      .select(col("label"), col("pos"),
+        floor(col("s") / col("cn")).cast("long").as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cente"))
+    val dist = q.join(broadcast(cent), "label")
+      .withColumn("diff", zip_with(col("qe"), col("cente"), (a, b) => a - b))
+      .select(col("vec_id"), col("label"),
+        dotQ(col("diff"), col("diff")).as("dist2"))
+    val stats = dist.groupBy(col("label"))
+      .agg(sum(col("dist2").cast(dec)).as("sum_d"), count(lit(1)).as("n_lbl"))
+    dist.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2").cast(dec) * col("n_lbl").cast(dec) * lit(factorDen).cast(dec) >
+          col("sum_d") * lit(factorNum).cast(dec)).as("is_outlier"))
+  }
+
   /** [[cosineTopKBucketed]] over ALREADY-QUANTIZED vectors with the
     * INTEGER hyperplane bucket ([[graft.expressions.LshBucketLong]]) —
     * the ANN entry point for pooled doc vectors ([[meanPoolQ]]), and

@@ -172,6 +172,62 @@ object TextAnalysis {
         graft.expressions.functions.count_in_sorted(col("hs"), col("bh"))
           .as("n_contaminated"))
 
+  /** CCNet-style boilerplate signal: the share of a document's segments
+    * that recur across `minDf`+ DISTINCT documents (navigation chrome,
+    * legal footers, templated intros — the content paragraph-level dedup
+    * removes before training). The segment unit is sentences
+    * (`chunkTokens = 0`: the q98 convention — split on `[.!?]+` runs
+    * over the lower-cased text, trimmed, empty fragments dropped) or
+    * non-overlapping `chunkTokens`-token windows (for corpora without
+    * punctuation structure — the driver fixture; near-dup docs share
+    * token runs, which is exactly what recurs). Segments travel as
+    * fused xxhash64 longs — the frequency dim and the join shuffle
+    * 8-byte keys, never segment strings (the splitLeakage convention;
+    * the q112 oracle joins the RAW strings, so the driver gate proves
+    * the compression lossless).
+    *
+    * Output per doc: n_sent (segment instances), n_boiler (instances
+    * whose segment occurs in >= minDf docs), boiler_bp = floor(
+    * n_boiler · 10⁴ / n_sent) — floor of the same IEEE quotient both
+    * engines compute; segment-free docs are kept with zeros.
+    *
+    * Scale shape: explode → per-(doc, hash) instance counts (map-side
+    * combined) → per-hash distinct-doc counts off that same frame → one
+    * keyed join back on the hash → per-doc rollup. Every shuffle is
+    * keyed on an 8-byte hash or doc_id; nothing corpus-sized broadcasts. */
+  def boilerplateRatio(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, minDf: Int,
+      chunkTokens: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 2, s"minDf below 2 would flag every segment, got $minDf")
+    val segs =
+      if (chunkTokens == 0)
+        filter(transform(split(lower(col(textCol)), "[.!?]+"), x => trim(x)),
+          x => length(x) > 0)
+      else {
+        val t = toks(col(textCol))
+        transform(
+          sequence(lit(0), floor((size(t) - 1) / chunkTokens).cast("int")),
+          i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " "))
+      }
+    val sents = docs.select(col(idCol).as("doc_id"), explode(segs).as("sent"))
+      .select(col("doc_id"), xxhash64(col("sent")).as("h"))
+    val perDoc = sents.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n_inst"))
+    val dfreq = perDoc.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val agg = perDoc.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_inst")).as("n_sent"),
+        sum(when(col("df") >= minDf, col("n_inst")).otherwise(0L)).as("n_boiler"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sent"), lit(0L)).as("n_sent"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_sent"), lit(0L)) > 0,
+          floor(col("n_boiler") * 10000 / col("n_sent")).cast("long"))
+          .otherwise(lit(0L)).as("boiler_bp"))
+  }
+
   /** Reference formulation of [[fingerprint]]: explode each k-char
     * window position, md5 per window, min() aggregate — the standard
     * shingle fan-out (len×32-byte shuffle per doc). Differential-tested

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation/QA pack: deterministic weighted sampling, boilerplate
+  * detection, and per-label embedding outlier flags. Same conventions as
+  * the rest of the suite — portable md5 draws, integer/decimal-exact
+  * comparisons, floor-of-shared-IEEE-quotient ratios, total ordering.
+  */
+object Pipeline7 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Priority sampling (Duffield/Lund/Thorup JACM 2007): weighted
+    // sample without replacement, deterministic end to end — md5 draw,
+    // integer priority (w·2³²) div u, top-k with key tie-break. The
+    // oracle replays draw, priority and ranking exactly; the Spark plan
+    // is a zero-shuffle projection + TakeOrderedAndProject.
+    QEntry("q111_priority_sample",
+      (s, d) => graft.pipeline.Curation.prioritySample(
+        Tables.documents(s, d), "doc_id", "n_chars", k = 200, salt = "q111")
+        .orderBy(col("priority").desc, col("key")),
+      Some("""WITH p AS (
+                SELECT doc_id AS key, n_chars AS w,
+                  (n_chars * 4294967296)
+                    // (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':q111'),
+                        1, 8))::BIGINT + 1) AS priority
+                FROM documents)
+              SELECT key, w, priority FROM p
+              ORDER BY priority DESC, key LIMIT 200""")),
+
+    // Boilerplate-segment ratio (CCNet-style paragraph dedup signal):
+    // per doc, the share of segment instances whose segment recurs in
+    // >= 2 distinct documents. Segments here are non-overlapping
+    // 8-token chunks — the fixture has no sentence punctuation, and
+    // near-dup docs share exactly these token runs (measured: 153
+    // chunks with df >= 2, max df 6 at sf0.01). Production path
+    // shuffles xxhash64 longs; the oracle joins the RAW chunk strings,
+    // so the gate proves the hash compression lossless (the q61/q93
+    // convention). The oracle's chunk index is a static range + filter
+    // (DuckDB range() takes no lateral column bound); 4096 covers any
+    // fixture doc with a huge margin.
+    QEntry("q112_boilerplate",
+      (s, d) => graft.pipeline.TextAnalysis.boilerplateRatio(
+        Tables.documents(s, d), "doc_id", "text", minDf = 2, chunkTokens = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              s AS (
+                SELECT doc_id,
+                  list_aggregate(toks[i*8+1 : i*8+8], 'string_agg', ' ') AS sent
+                FROM t CROSS JOIN range(4096) r(i)
+                WHERE i*8 < len(toks)),
+              pd AS (
+                SELECT doc_id, sent, count(*) AS n_inst
+                FROM s GROUP BY doc_id, sent),
+              dfr AS (SELECT sent, count(*) AS df FROM pd GROUP BY sent),
+              agg AS (
+                SELECT pd.doc_id,
+                  CAST(sum(pd.n_inst) AS BIGINT) AS n_sent,
+                  CAST(sum(CASE WHEN dfr.df >= 2 THEN pd.n_inst ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+                FROM pd JOIN dfr USING (sent) GROUP BY pd.doc_id)
+              SELECT d.doc_id,
+                COALESCE(a.n_sent, 0) AS n_sent,
+                COALESCE(a.n_boiler, 0) AS n_boiler,
+                CASE WHEN COALESCE(a.n_sent, 0) > 0
+                  THEN CAST(floor(a.n_boiler * 10000 / a.n_sent) AS BIGINT)
+                  ELSE 0 END AS boiler_bp
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+              ORDER BY d.doc_id""")),
+
+    // Per-label centroid-distance outlier flags: floor-mean integer
+    // centroid per label (the q103 pooling convention), exact int64
+    // squared L2 per member, outlier test dist2·n·20 > sum·21 compared
+    // WIDE (decimal128 / HUGEINT — label sums overflow int64 near 1e9
+    // rows, so the width is part of the operator's contract, not a
+    // fixture accident). Factor 21/20: the fixture is near-isotropic
+    // (SURVEY §10 r6 — max dist2/mean measured 1.12 at sf0.01), so the
+    // default 3/2 "strong outlier" factor flags nothing here; 1.05x
+    // flags the measured ~p90 tail, giving the gate live TRUE flags to
+    // pin alongside the exact distances.
+    QEntry("q113_label_outliers",
+      (s, d) => graft.pipeline.Similarity.labelCentroidOutliers(
+        Tables.embeddings(s, d), factorNum = 21, factorDen = 20)
+        .orderBy(col("vec_id")),
+      Some("""WITH qz AS (
+                SELECT vec_id, label,
+                  list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              e AS (
+                SELECT label, CAST(t.i AS INTEGER) AS pos, qe[t.i+1] AS v
+                FROM qz CROSS JOIN range(64) t(i)),
+              cent AS (
+                SELECT label, pos,
+                  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+                FROM e GROUP BY label, pos),
+              cl AS (
+                SELECT label, list(cv ORDER BY pos) AS cente
+                FROM cent GROUP BY label),
+              d AS (
+                SELECT qz.vec_id, qz.label,
+                  CAST(list_sum(list_transform(range(64),
+                    i -> (qe[i+1] - cente[i+1]) * (qe[i+1] - cente[i+1])))
+                    AS BIGINT) AS dist2
+                FROM qz JOIN cl USING (label)),
+              st AS (
+                SELECT label, sum(CAST(dist2 AS HUGEINT)) AS sum_d,
+                  count(*) AS n_lbl
+                FROM d GROUP BY label)
+              SELECT d.vec_id, d.label, d.dist2,
+                (CAST(d.dist2 AS HUGEINT) * st.n_lbl * 20 > st.sum_d * 21)
+                  AS is_outlier
+              FROM d JOIN st USING (label)
+              ORDER BY d.vec_id"""))
+  )
+}

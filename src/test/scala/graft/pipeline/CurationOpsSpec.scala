@@ -128,6 +128,60 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected, s"stream != batch: ${(expected -- got).take(3)}")
   }
 
+  test("prioritySample: deterministic, size k, weight-sensitive") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, if (i == 7L) 1000000L else 10L))
+    val df = rows.toDF("id", "wt")
+    val s1 = Curation.prioritySample(df, "id", "wt", k = 50, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s2 = Curation.prioritySample(df, "id", "wt", k = 50, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq == s2.toSeq, "sample not deterministic")
+    assert(s1.length == 50 && s1.map(_._1).distinct.length == 50)
+    // the dominant-weight row wins with overwhelming priority: its
+    // priority is >= w (u <= 2^32), every 10-weight row's is <= 10*2^32
+    // — it can only lose to rows drawing u < ~43, a ~1e-8 event the
+    // fixed salt makes concrete (and the assert would catch).
+    assert(s1.map(_._1).contains(7L), "dominant-weight row not sampled")
+    // priorities are exactly (w * 2^32) div u — recompute one
+    val hashed = s1.map { case (id, w, p) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:t".getBytes("UTF-8"))
+      val u = (BigInt(1, md5.take(4)).toLong & 0xffffffffL) + 1
+      p == w * 4294967296L / u
+    }
+    assert(hashed.forall(identity), "priority formula mismatch")
+    // sample order is (priority desc, id) — a total order
+    assert(s1.sortBy { case (id, _, p) => (-p, id) }.toSeq == s1.toSeq)
+  }
+
+  test("boilerplateRatio flags recurring segments in both modes") {
+    import spark.implicits._
+    // sentence mode: "buy now" recurs in 3 docs
+    val docs = Seq(
+      (0L, "Buy now. Unique alpha content."),
+      (1L, "Buy now. Different beta text."),
+      (2L, "Buy now. Another gamma body."),
+      (3L, "Totally original. Nothing shared.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateRatio(docs, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 1L, 5000L)), s"got ${out(0L)}")
+    assert(out(3L) == ((2L, 0L, 0L)))
+    // chunk mode: docs 0/1 share their first 4-token chunk
+    val docs2 = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d x y z w"),
+      (2L, "p q r s t u v m")
+    ).toDF("doc_id", "text")
+    val out2 = TextAnalysis.boilerplateRatio(docs2, "doc_id", "text",
+        minDf = 2, chunkTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out2(0L) == ((2L, 1L, 5000L)), s"got ${out2(0L)}")
+    assert(out2(1L) == ((2L, 1L, 5000L)))
+    assert(out2(2L) == ((2L, 0L, 0L)))
+  }
+
   test("pmiBigrams counts adjacent pairs and scores with ln") {
     val df = Seq.fill(3)("big data big data").toDF("text")
     // per doc toks = [big, data, big, data]; bigrams: (big,data)x2, (data,big)x1

@@ -208,4 +208,39 @@ class ExactJoinSpec extends SparkSpec {
       assert(cos >= 0.2, s"below-threshold pair emitted: ($a,$b) cos=$cos")
     }
   }
+
+  test("labelCentroidOutliers flags a planted far vector, spares the cluster") {
+    import spark.implicits._
+    // label 0: a tight cluster around (1, 0, 0, 0) + one far outlier;
+    // label 1: a clean cluster (no outlier at the default 3/2 factor)
+    val tight = (0 until 9).map(i =>
+      (i.toLong, Array(1.0f + i * 0.001f, 0f, 0f, 0f), 0))
+    val far = Seq((9L, Array(-5f, 5f, 5f, -5f), 0))
+    // equidistant around the centroid, so every member's dist2 equals
+    // the label mean and none can exceed factor x mean
+    val other = (10 until 16).map(i =>
+      (i.toLong, Array(0f, if (i % 2 == 0) 2.001f else 1.999f, 0f, 0f), 1))
+    val emb = (tight ++ far ++ other)
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(emb)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(9L), "planted far vector not flagged")
+    assert((0 until 9).forall(i => !out(i.toLong)),
+      s"cluster member falsely flagged: ${out.filter(_._2)}")
+    assert((10 until 16).forall(i => !out(i.toLong)))
+    // dist2 is the exact integer squared L2 to the floor-mean centroid
+    val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qe"), col("label"))
+      .as[(Long, Array[Long], Int)].collect()
+    val members0 = q.filter(_._3 == 0).map(_._2)
+    val cent0 = (0 until 4).map { p =>
+      val s = members0.map(_(p)).sum
+      Math.floorDiv(s, members0.length.toLong) // floor(sum/n)
+    }
+    val d9 = q.find(_._1 == 9L).get._2.zip(cent0)
+      .map { case (v, c) => (v - c) * (v - c) }.sum
+    val got9 = Similarity.labelCentroidOutliers(emb)
+      .filter(col("vec_id") === 9L).head().getLong(2)
+    assert(got9 == d9, s"dist2 mismatch: $got9 != $d9")
+  }
 }
