@@ -211,8 +211,12 @@ object TextAnalysis {
       }
     val sents = docs.select(col(idCol).as("doc_id"), explode(segs).as("sent"))
       .select(col("doc_id"), xxhash64(col("sent")).as("h"))
+    // perDoc feeds BOTH the frequency dim and the score join — without a
+    // checkpoint each consumer re-runs the tokenize+hash explode lineage
+    // (the bm25 tf convention; persist()/checkpoint() on a real cluster).
     val perDoc = sents.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("n_inst"))
+      .localCheckpoint()
     val dfreq = perDoc.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val agg = perDoc.join(dfreq, "h")
       .groupBy(col("doc_id"))

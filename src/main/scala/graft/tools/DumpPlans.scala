@@ -43,6 +43,7 @@ object DumpPlans {
     "q84_contamination_flags" -> "state-free flags: count_in_sorted binary search against the 1-row broadcast benchmark set — per-row cost independent of its size",
     "q85_bm25" -> "tf/df/stats all read the checkpointed tf frame — ONE corpus scan; corpus stats ride a 1-row broadcast",
     "q87_stratified_sample" -> "deterministic sample: pure projection + filter, zero shuffle before the output sort",
+    "q111_priority_sample" -> "weighted top-k sample: 2-column pruned scan, zero-shuffle priority projection, TakeOrderedAndProject",
     "q88_pack_sequences" -> "sequence packing: one per-stratum cumulative window, no global sort",
     "q93_split_leakage" -> "leakage audit: shingle-hash equi-join, left join keeps clean docs",
     "q95_partition_pruning" -> "lang=en read prunes directories (PartitionFilters), no row-level lang filter",

@@ -214,6 +214,17 @@ class PlanQualitySpec extends SparkSpec {
       s"lang degraded to a row-level data filter:\n$plan")
   }
 
+  test("q111 priority sample: zero shuffle, distributed top-k, pruned scan") {
+    val plan = finalPlan(query("q111_priority_sample"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k:\n$plan")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Exchange"),
+      s"sampling shuffled the corpus:\n$plan")
+    // 5-column documents, 2-column sample: the scan must prune
+    assert(!plan.contains("text") && !plan.contains("lang"),
+      s"read schema not pruned:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length
