@@ -171,6 +171,46 @@ object Curation {
         coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
   }
 
+  /** Per-group percentile rank of a score, in basis points — the
+    * "filter the bottom X% PER LANGUAGE" primitive (per-group
+    * thresholds, the CCNet convention: a global cutoff would gut
+    * low-resource strata). pct_bp = floor((rank − 1) · 10⁴ / (n − 1))
+    * over the total order (score, id) within each group; singleton
+    * groups get 0.
+    *
+    * Scale shape: a `Window.partitionBy(group)` rank would funnel each
+    * group through ONE task — a hot spot when groups are corpus-scale
+    * (a handful of languages over 100 TB). Instead the global two-pass
+    * rank ([[graft.operators.GlobalRank.rowNumber]] on (group, score,
+    * id): range partition + broadcast prefix offsets) ranks ACROSS
+    * groups with full parallelism, and per-group ranks fall out by
+    * subtracting each group's broadcast offset (groups-cardinality
+    * frame; its cumulative window is over group names, not rows).
+    * Engine-exact: ranks are integers from a total order, the bp ratio
+    * is the floor of the same IEEE quotient both engines compute. */
+  def groupPercentileRank(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String): DataFrame = {
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      df.select(col(groupCol).as("grp"), col(scoreCol).as("score"),
+        col(idCol).as("id")),
+      "grn", col("grp"), col("score"), col("id"))
+    val counts = ranked.groupBy(col("grp")).agg(count(lit(1)).as("n_grp"))
+      .withColumn("grp_offset", coalesce(sum(col("n_grp")).over(
+        Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    ranked.join(broadcast(counts), "grp")
+      .select(col("grp"), col("id"), col("score"),
+        (col("grn") - col("grp_offset")).as("rank_in_grp"),
+        col("n_grp"),
+        when(col("n_grp") > 1,
+          floor((col("grn") - col("grp_offset") - 1) * 10000 / (col("n_grp") - 1))
+            .cast("long"))
+          .otherwise(0L).as("pct_bp"))
+  }
+
   /** Gopher-style quality gates over whitespace tokens, all-integer
     * comparisons (threshold * denominator vs numerator * scale):
     *   - ok_len:  10 <= n_tok <= 90

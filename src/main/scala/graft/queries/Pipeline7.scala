@@ -114,6 +114,31 @@ object Pipeline7 {
                 (CAST(d.dist2 AS HUGEINT) * st.n_lbl * 20 > st.sum_d * 21)
                   AS is_outlier
               FROM d JOIN st USING (label)
-              ORDER BY d.vec_id"""))
+              ORDER BY d.vec_id""")),
+
+    // Per-language percentile rank of doc length — the per-group
+    // threshold primitive (filter the bottom X% PER stratum). Built on
+    // the GlobalRank two-pass over (lang, n_chars, doc_id), NOT a
+    // per-lang window (one task per language is the q05 anti-pattern
+    // when languages are corpus-scale); the oracle's window rank is the
+    // semantic reference the distributed rank must match.
+    QEntry("q114_group_percentile",
+      (s, d) => graft.pipeline.Curation.groupPercentileRank(
+        Tables.documents(s, d), "lang", "n_chars", "doc_id")
+        .orderBy(col("grp"), col("id")),
+      Some("""WITH r AS (
+                SELECT lang AS grp, doc_id AS id, n_chars AS score,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars, doc_id) AS rank_in_grp,
+                  count(*) OVER (PARTITION BY lang) AS n_grp
+                FROM documents)
+              SELECT grp, id, score,
+                CAST(rank_in_grp AS BIGINT) AS rank_in_grp,
+                CAST(n_grp AS BIGINT) AS n_grp,
+                CASE WHEN n_grp > 1
+                  THEN CAST(floor((rank_in_grp - 1) * 10000 / (n_grp - 1))
+                    AS BIGINT)
+                  ELSE 0 END AS pct_bp
+              FROM r ORDER BY grp, id"""))
   )
 }

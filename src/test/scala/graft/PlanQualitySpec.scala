@@ -225,6 +225,23 @@ class PlanQualitySpec extends SparkSpec {
       s"read schema not pruned:\n$plan")
   }
 
+  test("q114 group percentile: two-pass rank, no per-group window over doc rows") {
+    val plan = finalPlan(query("q114_group_percentile"))
+    // the only unpartitioned window may run over the per-partition /
+    // per-group count frames, never over document rows
+    // allowed windows: the GlobalRank offsets frame (keyed on __pid) and
+    // the per-group count frame (keyed on grp) — both aggregate-sized.
+    // Anything ordering doc-row attributes (id, score) would be the
+    // single-partition sort this operator exists to avoid.
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in q114 plan:\n$plan")
+    assert(windowSpecs.forall(s => s.contains("__pid") || s.startsWith("grp#")),
+      s"window over document rows (single-partition sort):\n$windowSpecs\n$plan")
+    assert(plan.contains("REPARTITION_BY_RANGE") || plan.contains("rangepartitioning"),
+      s"no range partitioning for the two-pass rank:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length

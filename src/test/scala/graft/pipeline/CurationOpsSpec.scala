@@ -182,6 +182,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("groupPercentileRank matches the window-rank reference, singleton -> 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (0L, "en", 30L), (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 10L),
+      (4L, "de", 5L), (5L, "de", 50L),
+      (6L, "fr", 99L) // singleton group
+    ).toDF("doc_id", "lang", "score")
+    val got = Curation.groupPercentileRank(df, "lang", "score", "doc_id")
+      .select("grp", "id", "rank_in_grp", "n_grp", "pct_bp")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    val ref = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("doc_id"), col("r"), col("n"),
+        when(col("n") > 1, floor((col("r") - 1) * 10000 / (col("n") - 1)).cast("long"))
+          .otherwise(0L))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == ref, s"two-pass != window reference:\n${(ref -- got).take(3)}")
+    assert(got.find(_._2 == 6L).get._5 == 0L, "singleton group must score 0")
+    // ties (docs 1 and 3, both score 10) break on id: rank 1 then 2
+    assert(got.find(_._2 == 1L).get._3 == 1L && got.find(_._2 == 3L).get._3 == 2L)
+  }
+
   test("pmiBigrams counts adjacent pairs and scores with ln") {
     val df = Seq.fill(3)("big data big data").toDF("text")
     // per doc toks = [big, data, big, data]; bigrams: (big,data)x2, (data,big)x1
