@@ -172,6 +172,56 @@ object TextAnalysis {
         graft.expressions.functions.count_in_sorted(col("hs"), col("bh"))
           .as("n_contaminated"))
 
+  /** Span-level DECONTAMINATION — the edit step after
+    * [[contaminationFlags]]' audit: remove every token covered by a
+    * benchmark n-gram, keep the rest. A token at position i (0-based,
+    * lower-cased whitespace tokens) is covered iff ANY window start
+    * j ∈ [i−n+1, i] matches the benchmark set; flags come from the
+    * positional (non-distinct) fused shingle hashes, each start checked
+    * with one binary search against the sorted broadcast benchmark
+    * array (the count_in_sorted convention — per-start cost independent
+    * of benchmark size). Output: (doc_id, n_tok, n_removed,
+    * cleaned_text) with cleaned_text the space-join of surviving
+    * lower-cased tokens (the pipeline-normalized form).
+    *
+    * Scale shape: a pure per-row projection against a 1-row broadcast —
+    * zero shuffle, works unchanged as a streaming projection (the
+    * contaminationFlags posture). The q115 oracle rebuilds spans from
+    * RAW n-gram strings, so the driver gate proves the xxhash64
+    * compression lossless here too. */
+  def decontaminate(
+      docs: org.apache.spark.sql.DataFrame,
+      benchSet: org.apache.spark.sql.DataFrame, // from [[benchShingleHashSet]]
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"window below 2 tokens is not a span, got $n")
+    // Staged projections (the q50/q51 memory): every HOF lambda reads a
+    // materialized attribute, never an inline expensive subtree.
+    val flagged = docs
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("tk"))
+      .withColumn("hs", graft.expressions.functions.ngram_shingle_hashes(
+        col("tk"), n, distinct = false))
+      .withColumn("j", lit(1))
+      .join(broadcast(benchSet.withColumn("j", lit(1))), "j")
+      .withColumn("flags", transform(col("hs"),
+        h => graft.expressions.functions.count_in_sorted(array(h), col("bh")) > 0))
+    val withCov = flagged.withColumn("cov",
+      transform(sequence(lit(0), size(col("tk")) - 1), i => {
+        val lo = greatest(i - (n - 1), lit(0))
+        val hi = least(i, size(col("flags")) - 1)
+        // hi < lo ⇔ no window can reach this token (short doc, or the
+        // tail beyond the last start on docs shorter than 2n−1)
+        when(hi >= lo, exists(slice(col("flags"), lo + 1, hi - lo + 1),
+          b => b)).otherwise(lit(false))
+      }))
+    withCov.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tok"),
+      size(filter(col("cov"), c => c)).cast("long").as("n_removed"),
+      array_join(transform(
+        filter(sequence(lit(0), size(col("tk")) - 1),
+          i => !element_at(col("cov"), i + 1)),
+        i => element_at(col("tk"), i + 1)), " ").as("cleaned_text"))
+  }
+
   /** CCNet-style boilerplate signal: the share of a document's segments
     * that recur across `minDf`+ DISTINCT documents (navigation chrome,
     * legal footers, templated intros — the content paragraph-level dedup

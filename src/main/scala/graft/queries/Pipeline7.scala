@@ -139,6 +139,56 @@ object Pipeline7 {
                   THEN CAST(floor((rank_in_grp - 1) * 10000 / (n_grp - 1))
                     AS BIGINT)
                   ELSE 0 END AS pct_bp
-              FROM r ORDER BY grp, id"""))
+              FROM r ORDER BY grp, id""")),
+
+    // Span-level decontamination (the EDIT step after the q84 audit):
+    // tokens covered by any benchmark 8-gram are removed, the rest
+    // survive in order. Same bench/corpus split as q84 (doc_id % 10).
+    // Production path: positional fused shingle hashes + one binary
+    // search per start against the sorted broadcast benchmark; the
+    // oracle rebuilds spans from RAW 8-gram strings (hash compression
+    // proven lossless by the gate). The oracle's start index is a
+    // static range + filter (the q112 note: DuckDB range() takes no
+    // lateral column bound).
+    QEntry("q115_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+        graft.pipeline.TextAnalysis.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0), bench, "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              sh AS (
+                SELECT doc_id, CAST(r.i AS BIGINT) AS s,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                  toks[i+6] || ' ' || toks[i+7] AS g
+                FROM tk CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 7 <= len(toks)),
+              bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+              fs AS (
+                SELECT sh.doc_id, sh.s FROM sh JOIN bench USING (g)
+                WHERE sh.doc_id % 10 <> 0),
+              fa AS (SELECT doc_id, list(s ORDER BY s) AS ss FROM fs GROUP BY doc_id),
+              base AS (
+                SELECT t.doc_id, t.toks, COALESCE(fa.ss, []) AS ss
+                FROM tk t LEFT JOIN fa USING (doc_id)
+                WHERE t.doc_id % 10 <> 0),
+              keptpos AS (
+                SELECT doc_id, toks,
+                  list_filter(range(1, len(toks) + 1),
+                    p -> len(list_filter(ss, s -> s <= p AND s + 7 >= p)) = 0)
+                    AS kp
+                FROM base)
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tok,
+                CAST(len(toks) - len(kp) AS BIGINT) AS n_removed,
+                COALESCE(array_to_string(list_transform(kp, p -> toks[p]), ' '),
+                  '') AS cleaned_text
+              FROM keptpos ORDER BY doc_id"""))
   )
 }

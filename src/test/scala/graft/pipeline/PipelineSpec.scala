@@ -400,6 +400,31 @@ class TextAnalysisSpec extends SparkSpec {
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
 
+  test("decontaminate removes exactly the covered spans, keeps the rest") {
+    import spark.implicits._
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val bs = TextAnalysis.benchShingleHashSet(bench, "doc_id", "text", 8)
+    val corpus = Seq(
+      // the bench 8-gram sits mid-doc: its 8 tokens go, neighbors stay
+      (0L, "keep1 keep2 b1 b2 b3 b4 b5 b6 b7 b8 keep3 keep4"),
+      (1L, "totally clean doc with eight plus distinct tokens here"),
+      (2L, "short doc"), // < 8 tokens: no window can cover anything
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8") // fully contaminated -> empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((12L, 8L, "keep1 keep2 keep3 keep4")), s"got ${out(0L)}")
+    assert(out(1L)._2 == 0L && out(1L)._3 ==
+      "totally clean doc with eight plus distinct tokens here")
+    assert(out(2L) == ((2L, 0L, "short doc")))
+    assert(out(3L) == ((8L, 8L, "")))
+    // audit consistency: tokens removed iff the flags audit counts > 0
+    val flags = TextAnalysis.contaminationFlags(corpus, bs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, (_, rem, _)) => (rem > 0) == (flags(id) > 0) })
+  }
+
   // q101's tokenize-once equivalence (flattened per-doc token arrays ==
   // string_agg + re-split in the oracle) holds only when every base
   // text is non-empty with no leading/trailing whitespace — an empty
