@@ -189,6 +189,92 @@ object Pipeline7 {
                 CAST(len(toks) - len(kp) AS BIGINT) AS n_removed,
                 COALESCE(array_to_string(list_transform(kp, p -> toks[p]), ' '),
                   '') AS cleaned_text
-              FROM keptpos ORDER BY doc_id"""))
+              FROM keptpos ORDER BY doc_id""")),
+
+    // ANN recall@k — the index-quality eval: the q47 IVF search (seed
+    // centroids, nProbe=4) scored against the q36 exact brute-force
+    // top-5, per query. Both searches are already individually
+    // oracle-pinned; this pins the EVAL arithmetic (intersection count,
+    // integer basis points) on top of both replays.
+    QEntry("q116_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val ann = graft.pipeline.Similarity.cosineTopKIvf(
+          queries, emb, k = 5, nList = 16, nProbe = 4)
+        val exact = graft.pipeline.Similarity.cosineTopK(queries, emb, 5)
+        graft.pipeline.Similarity.annRecallAtK(ann, exact, 5)
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              cseeds AS (
+                SELECT vec_id AS cid_src, row_number() OVER (ORDER BY vec_id) AS rk
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+              cent AS (
+                SELECT cs.cid_src AS cid, qz.qe AS cente,
+                  CAST(list_sum(list_transform(qz.qe, x -> x*x)) AS BIGINT) AS nc
+                FROM cseeds cs JOIN qz ON qz.vec_id = cs.cid_src),
+              cfit AS (
+                SELECT qz.vec_id, cent.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       i -> qz.qe[i+1]*cent.cente[i+1])) AS BIGINT)
+                    / sqrt(cent.nc) AS cscore
+                FROM qz CROSS JOIN cent),
+              assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS arn
+                  FROM cfit) WHERE arn = 1),
+              probes AS (
+                SELECT vec_id AS q_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS prn
+                  FROM cfit WHERE vec_id % 100 = 0) WHERE prn <= 4),
+              scored AS (
+                SELECT p.q_id, a.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM probes p
+                JOIN assigned a ON a.cluster = p.cluster
+                JOIN qz q ON q.vec_id = p.q_id
+                JOIN qz c ON c.vec_id = a.vec_id),
+              annk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM scored) WHERE rn <= 5),
+              escored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM qz q CROSS JOIN qz c
+                WHERE q.vec_id % 100 = 0),
+              exactk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM escored) WHERE rn <= 5),
+              hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM annk JOIN exactk USING (q_id, vec_id) GROUP BY q_id)
+              SELECT e.q_id,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(h.n_hits, 0) * 10000 // 5 AS recall_bp
+              FROM (SELECT DISTINCT q_id FROM exactk) e
+              LEFT JOIN hits h USING (q_id)
+              ORDER BY e.q_id"""))
   )
 }

@@ -325,6 +325,19 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall $recall too low (untrained centroids)")
   }
+
+  test("annRecallAtK: identical inputs score 10000 bp; a missed query scores 0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2)).toDF("q_id", "vec_id", "rn")
+    // q1 perfect, q2 half right, q3 entirely missed by the index
+    val ann = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 99L, 2))
+      .toDF("q_id", "vec_id", "rn")
+    val got = Similarity.annRecallAtK(ann, exact, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((2L, 10000L)), 2L -> ((1L, 5000L)),
+      3L -> ((0L, 0L))), s"got $got")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
