@@ -130,4 +130,77 @@ object Retrieval {
         round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
           ((col("n_bi").cast("double") * col("c_x")) * col("c_y"))), 6).as("pmi"))
   }
+
+  /** Held-out Stupid-Backoff bigram scoring (Brants et al., EMNLP 2007 —
+    * the large-LM quality signal that replaced Kneser-Ney at web scale):
+    * train bigram/unigram counts on `trainDocs`, score every bigram
+    * position of `evalDocs` with
+    *   S(w|v) = c2(v,w)/c1(v)            if the bigram was seen,
+    *          = alpha * c1(w)/N          backing off to the unigram,
+    *          = alpha * 1/N              for out-of-vocabulary w.
+    * Scores are ln() in integer micro-nats rounded PER TYPE (the q92
+    * convention), so per-doc sums are order-independent exact integers
+    * in any engine. Output: (doc_id, n_scored, sb_sum_micro,
+    * mean_sb_micro) — every eval doc gets a row; docs with < 2 tokens
+    * score (0, 0, 0).
+    *
+    * Scale shape: train counts are hash aggs on term / (prev,cur) keys
+    * (map-side combined — shuffle carries distinct keys, not token
+    * instances); eval positions compress to per-doc DISTINCT (prev,cur)
+    * types with a tf before any join, then two shuffle joins against
+    * the type-keyed score tables (vocab² can exceed any broadcast cap —
+    * nothing corpus-sized is ever broadcast). The 1-row N frame rides
+    * along broadcast. uc is localCheckpoint'd (vocab-shaped, three
+    * consumers); token lineages are scan-shaped and recompute. */
+  def stupidBackoffScore(evalDocs: DataFrame, trainDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    val bigramsOf = (d: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =>
+      d.filter(size(col("toks")) >= 2)
+        .select(keep :+ explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"): _*)
+        .select(keep ++ Seq(col("p.prev").as("prev"), col("p.cur").as("cur")): _*)
+
+    val tt = trainDocs.select(split(lower(col(textCol)), "\\s+").as("toks"))
+    val uc = tt.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val n = uc.agg(sum(col("c1")).as("n_toks"))
+    val bc = bigramsOf(tt, Seq.empty)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val hitScore = bc
+      .join(uc.select(col("term").as("prev"), col("c1").as("cprev")), "prev")
+      .select(col("prev"), col("cur"),
+        round(log(col("c2").cast("double") / col("cprev")) * 1e6, 0)
+          .cast("long").as("s_hit"))
+    val backScore = uc.crossJoin(broadcast(n))
+      .select(col("term").as("cur"),
+        round(log(lit(alpha) * col("c1") / col("n_toks")) * 1e6, 0)
+          .cast("long").as("s_back"))
+
+    val ev = evalDocs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), "\\s+").as("toks"))
+    val epc = bigramsOf(ev, Seq(col("doc_id")))
+      .groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("tf2"))
+    val perDoc = epc
+      .join(hitScore, Seq("prev", "cur"), "left")
+      .join(backScore, Seq("cur"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("s", coalesce(col("s_hit"), col("s_back"),
+        round(log(lit(alpha) * lit(1L) / col("n_toks")) * 1e6, 0).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf2")).as("n_scored"),
+        sum(col("tf2") * col("s")).as("sb_sum_micro"))
+    ev.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("sb_sum_micro"), lit(0L)).as("sb_sum_micro"),
+        when(coalesce(col("n_scored"), lit(0L)) > 0,
+          floor(col("sb_sum_micro") / col("n_scored")).cast("long"))
+          .otherwise(lit(0L)).as("mean_sb_micro"))
+  }
 }

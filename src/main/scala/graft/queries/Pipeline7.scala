@@ -275,6 +275,76 @@ object Pipeline7 {
                 coalesce(h.n_hits, 0) * 10000 // 5 AS recall_bp
               FROM (SELECT DISTINCT q_id FROM exactk) e
               LEFT JOIN hits h USING (q_id)
-              ORDER BY e.q_id"""))
+              ORDER BY e.q_id""")),
+
+    // Held-out Stupid-Backoff bigram scoring (Brants et al. 2007):
+    // counts trained on the doc_id % 10 <> 0 split, every bigram
+    // position of the % 10 = 0 split scored with seen-bigram /
+    // unigram-backoff / OOV-floor branches. ln() in integer micro-nats
+    // rounded per TYPE (the q92 convention) so per-doc sums are
+    // order-independent; the oracle replays counts, all three score
+    // branches and the rollup exactly. Bigram index: static range +
+    // filter (the q112 note).
+    QEntry("q117_stupid_backoff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.pipeline.Retrieval.stupidBackoffScore(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tt AS (
+                SELECT string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id % 10 <> 0),
+              tu AS (SELECT unnest(toks) AS term FROM tt),
+              uc AS (SELECT term, count(*) AS c1 FROM tu GROUP BY term),
+              n AS (SELECT sum(c1) AS n_toks FROM uc),
+              tb AS (
+                SELECT toks[i] AS prev, toks[i+1] AS cur
+                FROM tt CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 1 <= len(toks)),
+              bc AS (SELECT prev, cur, count(*) AS c2 FROM tb GROUP BY prev, cur),
+              hit AS (
+                SELECT bc.prev, bc.cur,
+                  CAST(round(ln(CAST(bc.c2 AS DOUBLE) / uc.c1) * 1000000.0)
+                    AS BIGINT) AS s_hit
+                FROM bc JOIN uc ON uc.term = bc.prev),
+              back AS (
+                SELECT uc.term AS cur,
+                  CAST(round(ln(0.4 * uc.c1 / n.n_toks) * 1000000.0)
+                    AS BIGINT) AS s_back
+                FROM uc CROSS JOIN n),
+              te AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id % 10 = 0),
+              eb AS (
+                SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+                FROM te CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 1 <= len(toks)),
+              epc AS (
+                SELECT doc_id, prev, cur, count(*) AS tf2
+                FROM eb GROUP BY doc_id, prev, cur),
+              sp AS (
+                SELECT e.doc_id, e.tf2,
+                  COALESCE(h.s_hit, b.s_back,
+                    CAST(round(ln(0.4 * 1 / n.n_toks) * 1000000.0) AS BIGINT))
+                    AS s
+                FROM epc e
+                LEFT JOIN hit h ON h.prev = e.prev AND h.cur = e.cur
+                LEFT JOIN back b ON b.cur = e.cur
+                CROSS JOIN n),
+              agg AS (
+                SELECT doc_id, sum(tf2) AS n_scored, sum(tf2 * s) AS sb
+                FROM sp GROUP BY doc_id)
+              SELECT d.doc_id,
+                CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_sum_micro,
+                CASE WHEN coalesce(a.n_scored, 0) > 0
+                  THEN CAST(floor(a.sb / a.n_scored) AS BIGINT)
+                  ELSE 0 END AS mean_sb_micro
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              LEFT JOIN agg a USING (doc_id)
+              ORDER BY d.doc_id"""))
   )
 }

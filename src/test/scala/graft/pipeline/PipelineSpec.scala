@@ -413,6 +413,31 @@ class TextAnalysisSpec extends SparkSpec {
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
 
+  test("stupidBackoffScore hits all three branches with the right math") {
+    import spark.implicits._
+    // train corpus: "a b" twice, "a c" once -> c1(a)=3, c2(a,b)=2,
+    // c2(a,c)=1, c1(b)=2? no: tokens a b a b a c -> c1(a)=3, c1(b)=2,
+    // c1(c)=1, N=6
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b"),   // seen bigram: s = ln(2/3)
+      (20L, "c b"),   // unseen bigram, seen unigram b: s = ln(0.4*2/6)
+      (30L, "b zz"),  // unseen bigram, OOV zz: s = ln(0.4*1/6)
+      (40L, "solo")   // < 2 tokens: (0, 0, 0)
+    ).toDF("doc_id", "text")
+    val got = Retrieval.stupidBackoffScore(eval_, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def micro(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got(10L) == ((1L, micro(math.log(2.0 / 3)), micro(math.log(2.0 / 3)))))
+    val backB = micro(math.log(0.4 * 2 / 6.0))
+    val oov = micro(math.log(0.4 * 1 / 6.0))
+    assert(got(20L) == ((1L, backB, backB)), s"got ${got(20L)}")
+    assert(got(30L) == ((1L, oov, oov)), s"got ${got(30L)}")
+    assert(got(40L) == ((0L, 0L, 0L)))
+  }
+
   test("decontaminate removes exactly the covered spans, keeps the rest") {
     import spark.implicits._
     val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
