@@ -239,4 +239,45 @@ object Curation {
         .when(!okStop, "stopword").when(!okRep, "repetition")
         .otherwise("").as("reason"))
   }
+
+  /** Temperature-scaled mixture weights over the corpus' source domains
+    * (the GPT-3/LLaMA data-recipe primitive): with p_i the token share
+    * of source i, the sampling weight is w_i = p_i^alpha / Σ_j p_j^alpha
+    * — alpha < 1 flattens the mixture toward rare domains, alpha = 1 is
+    * natural sampling. Output per source: exact integer (n_docs,
+    * n_tokens), then p, w and the up/down-sampling factor w/p in
+    * round-half-up parts-per-million.
+    *
+    * Determinism: token counts and the total are exact integers; the
+    * only doubles are p, p^alpha and the two divisions. Σ_j p_j^alpha is
+    * folded in SOURCE-SORTED order via a HOF aggregate over a collected
+    * per-source array — NOT a parallel double sum — so the normalizer is
+    * the same IEEE value in any engine/partitioning (DuckDB replays it
+    * as list_sum(list(q ORDER BY source))).
+    *
+    * Scale shape: one map-side-combined hash agg over the corpus to
+    * dimension-sized per-source rows; everything after (the sorted fold,
+    * the broadcast of Z) is dimension-sized. The per-source frame is
+    * localCheckpoint'd — two consumers, and its lineage is the full
+    * corpus agg. */
+  def mixtureWeights(docs: DataFrame, srcCol: String, tokCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("n_tokens")).as("total"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("total"))
+      .withColumn("q", pow(col("p"), lit(alpha)))
+    val z = scored.agg(aggregate(
+      transform(sort_array(collect_list(struct(col("source"), col("q")))),
+        x => x.getField("q")),
+      lit(0.0), (acc, x) => acc + x).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p") * 1e6, 0).cast("long").as("p_ppm"),
+        round(col("q") / col("z") * 1e6, 0).cast("long").as("w_ppm"),
+        round(col("q") / col("z") / col("p") * 1e6, 0).cast("long").as("up_ppm"))
+  }
 }

@@ -345,6 +345,35 @@ object Pipeline7 {
                   ELSE 0 END AS mean_sb_micro
               FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
               LEFT JOIN agg a USING (doc_id)
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // Temperature-scaled mixture weights (alpha = 0.5) over the source
+    // domains — the data-recipe rebalancing primitive. Integer token
+    // counts; the alpha-scaled normalizer is folded in source-sorted
+    // order in BOTH engines (HOF aggregate vs list_sum(list ORDER BY)),
+    // so the doubles are the same IEEE values to the ppm rounding edge.
+    QEntry("q118_mixture_weights",
+      (s, d) => graft.pipeline.Curation.mixtureWeights(
+        Tables.documents(s, d).select(col("source"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok")),
+        "source", "n_tok", alpha = 0.5)
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+                SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split_regex(lower(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              tot AS (SELECT sum(n_tokens) AS total FROM t),
+              s AS (
+                SELECT source, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / total AS p,
+                  pow(CAST(n_tokens AS DOUBLE) / total, 0.5) AS q
+                FROM t CROSS JOIN tot),
+              z AS (SELECT list_sum(list(q ORDER BY source)) AS z FROM s)
+              SELECT source, n_docs, n_tokens,
+                CAST(round(p * 1000000.0) AS BIGINT) AS p_ppm,
+                CAST(round(q / z.z * 1000000.0) AS BIGINT) AS w_ppm,
+                CAST(round(q / z.z / p * 1000000.0) AS BIGINT) AS up_ppm
+              FROM s CROSS JOIN z ORDER BY source"""))
   )
 }

@@ -219,4 +219,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(out(("big", "data"))._2 - math.rint(exp * 1e6) / 1e6) < 1e-9)
     assert(out(("data", "big"))._1 == 3L)
   }
+
+  test("mixtureWeights flattens toward rare sources at alpha=0.5") {
+    // web 90 tokens, books 10: p = (0.9, 0.1); q = (sqrt .9, sqrt .1)
+    val df = Seq(("web", 50L), ("web", 40L), ("books", 10L))
+      .toDF("source", "n_tok")
+    val got = Curation.mixtureWeights(df, "source", "n_tok", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    def ppm(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (qb, qw) = (math.pow(0.1, 0.5), math.pow(0.9, 0.5))
+    val z = qb + qw // sorted by source: books before web
+    assert(got("web") == ((2L, 90L, ppm(0.9), ppm(qw / z), ppm(qw / z / 0.9))))
+    assert(got("books") == ((1L, 10L, ppm(0.1), ppm(qb / z), ppm(qb / z / 0.1))))
+    // the whole point: books upsampled (> 1e6), web downsampled
+    assert(got("books")._5 > 1000000L && got("web")._5 < 1000000L)
+  }
 }
