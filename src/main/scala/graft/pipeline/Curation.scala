@@ -260,6 +260,38 @@ object Curation {
     * the broadcast of Z) is dimension-sized. The per-source frame is
     * localCheckpoint'd — two consumers, and its lineage is the full
     * corpus agg. */
+  /** Equi-depth binning of a score column (feature bucketing / score
+    * calibration): nBins buckets of near-equal population, each reported
+    * as (bin, n_rows, score_lo, score_hi) — the bucket-boundary artifact
+    * a calibration or feature-quantization step consumes. Rows are
+    * totally ordered by (score, id), so bins are deterministic under
+    * ties; bin = floor((rank-1)·nBins / N) spreads any remainder evenly
+    * (sizes differ by at most 1).
+    *
+    * Scale shape: the [[graft.operators.GlobalRank]] two-pass rank
+    * (range partition + per-partition sequence + broadcast offsets) —
+    * never `row_number() OVER (ORDER BY …)`'s single-partition funnel —
+    * then one map-side-combined hash agg down to nBins rows. N rides
+    * along as a broadcast 1-row frame. */
+  def equiDepthBins(df: DataFrame, scoreCol: String, idCol: String,
+                    nBins: Int): DataFrame = {
+    require(nBins >= 1, s"need at least one bin, got $nBins")
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      df.select(col(scoreCol).as("score"), col(idCol).as("id")),
+      "rn", col("score"), col("id"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      // rn is int32 (GlobalRank's contract); widen BEFORE the ×nBins —
+      // ANSI mode would turn the int overflow past ~2³¹/nBins rows into
+      // a runtime error
+      .withColumn("bin",
+        floor((col("rn").cast("long") - 1) * nBins / col("n")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("score")).as("score_lo"),
+        max(col("score")).as("score_hi"))
+  }
+
   def mixtureWeights(docs: DataFrame, srcCol: String, tokCol: String,
                      alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")

@@ -374,6 +374,26 @@ object Pipeline7 {
                 CAST(round(p * 1000000.0) AS BIGINT) AS p_ppm,
                 CAST(round(q / z.z * 1000000.0) AS BIGINT) AS w_ppm,
                 CAST(round(q / z.z / p * 1000000.0) AS BIGINT) AS up_ppm
-              FROM s CROSS JOIN z ORDER BY source"""))
+              FROM s CROSS JOIN z ORDER BY source""")),
+
+    // Equi-depth binning of n_chars into 16 buckets — bucket-boundary
+    // artifact for feature quantization / score calibration. Production
+    // path: GlobalRank two-pass (range partition + broadcast offsets,
+    // plan-gated — no single-partition data window); the oracle's
+    // window rank IS the semantics being re-expressed.
+    QEntry("q119_equidepth_bins",
+      (s, d) => graft.pipeline.Curation.equiDepthBins(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", nBins = 16)
+        .orderBy(col("bin")),
+      Some("""WITH r AS (
+                SELECT n_chars AS score,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                  count(*) OVER () AS n
+                FROM documents)
+              SELECT CAST(floor((rn - 1) * 16 / n) AS BIGINT) AS bin,
+                count(*) AS n_rows,
+                min(score) AS score_lo, max(score) AS score_hi
+              FROM r GROUP BY 1 ORDER BY bin"""))
   )
 }

@@ -242,6 +242,20 @@ class PlanQualitySpec extends SparkSpec {
       s"no range partitioning for the two-pass rank:\n$plan")
   }
 
+  test("q119 equi-depth bins: two-pass rank, no single-partition data window") {
+    val plan = finalPlan(query("q119_equidepth_bins"))
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty, s"no window in q119 plan:\n$plan")
+    // only the GlobalRank offsets window (over per-partition counts,
+    // keyed on __pid) may appear — a window ordering row attributes
+    // would be the single-partition global sort this operator avoids
+    assert(windowSpecs.forall(_.contains("__pid")),
+      s"window over data rows (single-partition sort):\n$windowSpecs\n$plan")
+    assert(plan.contains("REPARTITION_BY_RANGE") || plan.contains("rangepartitioning"),
+      s"no range partitioning for the two-pass rank:\n$plan")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length

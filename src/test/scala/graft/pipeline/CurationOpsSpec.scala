@@ -220,6 +220,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(("data", "big"))._1 == 3L)
   }
 
+  test("equiDepthBins: near-equal populations, ordered boundaries, all rows binned") {
+    // 10 rows into 4 bins: floor((rn-1)*4/10) -> sizes 3,2,3,2
+    val df = (1L to 10L).map(i => (i, i * 100)).toDF("id", "score")
+    val got = Curation.equiDepthBins(df, "score", "id", 4)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).toSeq == Seq(3L, 2L, 3L, 2L), s"sizes ${got.map(_._2).toSeq}")
+    assert(got.map(_._2).sum == 10L)
+    // boundaries are disjoint and ascending
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"bin overlap: $a then $b")
+    }
+  }
+
   test("mixtureWeights flattens toward rare sources at alpha=0.5") {
     // web 90 tokens, books 10: p = (0.9, 0.1); q = (sqrt .9, sqrt .1)
     val df = Seq(("web", 50L), ("web", 40L), ("books", 10L))
