@@ -202,6 +202,38 @@ class EventsProfileSpec extends SparkSpec {
       s"verified cross pairs missed by the stream: ${(crossBoundary -- streamed).take(5)}")
   }
 
+  test("streaming decontamination equals the batch edit (pure projection)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.pipeline.TextAnalysis
+    val docs = graft.queries.Tables.documents(spark, sf)
+    // benchmark set built ONCE from the static split (the broadcast dim)
+    val bench = TextAnalysis.benchShingleHashSet(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+      .localCheckpoint()
+    val arriving = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("decon_stream")
+    arriving.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(arriving.schema).parquet(dir.toString)
+    val q = TextAnalysis.decontaminate(stream, bench, "doc_id", "text", 8)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decon_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decon_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val batch = TextAnalysis.decontaminate(arriving, bench, "doc_id", "text", 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(streamed == batch, s"diverges on ${
+      (batch.keySet ++ streamed.keySet)
+        .filter(k => batch.get(k) != streamed.get(k)).take(3)}")
+    assert(streamed.values.exists(_._2 > 0), "fixture planted no removals")
+  }
+
   test("stateful sessionization counts all events exactly once") {
     val ev = graft.queries.Tables.events(spark, sf)
     val sessions = EventsProfile.sessionize(spark, ev, gapUs = 60L * 1000 * 1000)
