@@ -580,4 +580,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Dedup impact report: the cluster-size histogram a curation run
+    * publishes after grouping near-dups. Input: a [[components]] output
+    * (id, component) and a per-id weight (bytes, tokens — whatever
+    * "saved" should be measured in). Per cluster the kept row is the
+    * MIN id (the [[components]] label convention), everything else is
+    * deduped away; the histogram rolls clusters up by size:
+    * (cluster_size, n_clusters, n_docs, w_saved), where w_saved sums
+    * the weights of the non-kept members.
+    *
+    * Scale shape: one shuffle join on id, one per-component hash agg,
+    * then a size-keyed agg over component-count rows — output is
+    * max-cluster-size rows. Nothing is collected or broadcast. */
+  def dedupReport(comp: DataFrame, weights: DataFrame): DataFrame = {
+    val per = comp.join(weights, "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("w")).as("w_total"),
+        min_by(col("w"), col("id")).as("w_kept"))
+    per.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("w_total") - col("w_kept")).as("w_saved"))
+  }
 }

@@ -394,6 +394,62 @@ object Pipeline7 {
               SELECT CAST(floor((rn - 1) * 16 / n) AS BIGINT) AS bin,
                 count(*) AS n_rows,
                 min(score) AS score_lo, max(score) AS score_hi
-              FROM r GROUP BY 1 ORDER BY bin"""))
+              FROM r GROUP BY 1 ORDER BY bin""")),
+
+    // Dedup impact report: the q55 components rolled up to the
+    // cluster-size histogram with bytes-saved (kept member = min id,
+    // the components label convention). The oracle re-runs q55's
+    // recursive-CTE components and rolls up identically.
+    QEntry("q120_dedup_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val adj = docs.select(col("doc_id").as("a_id"),
+          (col("doc_id") + 1).as("b_id"))
+        val edges = graft.pipeline.Dedup.verifyJaccard(adj,
+          graft.pipeline.Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+          .select(col("a_id"), col("b_id"))
+        val comp = graft.pipeline.Dedup.components(edges,
+          docs.select(col("doc_id").as("id")))
+        graft.pipeline.Dedup.dedupReport(comp,
+          docs.select(col("doc_id").as("id"),
+            col("n_chars").cast("long").as("w")))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+                FROM documents),
+              sizes AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+                GROUP BY a.doc_id, b.doc_id),
+              e AS (
+                SELECT i.a_id, i.b_id
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a_id
+                JOIN sizes sb ON sb.doc_id = i.b_id
+                WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM e
+                        UNION ALL SELECT b_id, a_id FROM e),
+              comp(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT edges.dst, comp.lbl
+                FROM comp JOIN edges ON edges.src = comp.id),
+              c AS (SELECT id, min(lbl) AS component FROM comp GROUP BY id),
+              per AS (
+                SELECT c.component, count(*) AS cluster_size,
+                  sum(CAST(d.n_chars AS BIGINT)) AS w_total,
+                  arg_min(CAST(d.n_chars AS BIGINT), c.id) AS w_kept
+                FROM c JOIN documents d ON d.doc_id = c.id
+                GROUP BY c.component)
+              SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                count(*) AS n_clusters,
+                CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+                CAST(sum(w_total - w_kept) AS BIGINT) AS w_saved
+              FROM per GROUP BY cluster_size ORDER BY cluster_size"""))
   )
 }

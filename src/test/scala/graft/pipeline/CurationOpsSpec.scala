@@ -220,6 +220,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(("data", "big"))._1 == 3L)
   }
 
+  test("dedupReport: histogram by cluster size, min-id member kept") {
+    // clusters: {1,2,3} (w 10,20,30), {4,5} (w 40,50), {6} (w 60)
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("id", "component")
+    val w = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L))
+      .toDF("id", "w")
+    val got = Dedup.dedupReport(comp, w).orderBy(col("cluster_size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 50L),
+      (3L, 1L, 3L, 50L)), s"got ${got.toSeq}")
+  }
+
   test("equiDepthBins: near-equal populations, ordered boundaries, all rows binned") {
     // 10 rows into 4 bins: floor((rn-1)*4/10) -> sizes 3,2,3,2
     val df = (1L to 10L).map(i => (i, i * 100)).toDF("id", "score")
