@@ -282,6 +282,66 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("boiler_bp"))
   }
 
+  /** Per-doc n-gram multiset stats without leaving the row: grams are
+    * adjacent n-token joins, the array is sorted, and ONE fold over the
+    * sorted array counts distinct grams (`nd`) and the longest equal run
+    * (`top` = the most frequent gram's instance count). O(g log g) per
+    * doc, no explode, no shuffle. Returns struct(n, nd, top). */
+  private def gramStats(t: Column, n: Int): Column = {
+    // sequence(1, 0) would step BACKWARDS ([1, 0]) — guard short docs.
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val st = aggregate(sort_array(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, x) => {
+        val same = acc.getField("prev").isNotNull && acc.getField("prev") === x
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
+      })
+    struct(size(grams).cast("long").as("n"),
+      st.getField("nd").as("nd"), st.getField("best").as("top"))
+  }
+
+  /** Gopher-style per-doc repetition signals (Rae et al. 2021, app. A —
+    * the "repetitious text" quality filters), re-expressed for Spark as
+    * a ZERO-SHUFFLE projection. For n ∈ {2, 3} over the whitespace
+    * tokens of lower(text):
+    *
+    *   - `dup{n}_bp`  — instances that repeat an n-gram already seen in
+    *     the SAME doc, as basis points of all n-gram instances:
+    *     floor((n_grams − n_distinct) · 10⁴ / n_grams);
+    *   - `top{n}_bp`  — the share held by the doc's most frequent
+    *     n-gram: floor(max_count · 10⁴ / n_grams).
+    *
+    * (Gopher's char-weighted variants need a char-attribution rule for
+    * overlapping grams; the instance-weighted form keeps the signal and
+    * stays integer-exact.) Docs with fewer than n tokens report 0 for
+    * that n. All counting happens inside the row via [[gramStats]]'s
+    * sorted fold — the operator is a pure map over any partitioning,
+    * costs no shuffle at any corpus size, and works unchanged as a
+    * streaming projection. The basis points are floor of an IEEE
+    * quotient both engines compute identically (the q112 convention). */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = toks(col(textCol))
+    def bp(x: Column, n: Column): Column =
+      when(n > 0, floor(x * 10000 / n).cast("long")).otherwise(lit(0L))
+    docs.select(col(idCol).as("doc_id"),
+        gramStats(t, 2).as("s2"), gramStats(t, 3).as("s3"))
+      .select(col("doc_id"),
+        col("s2.n").as("n2"),
+        bp(col("s2.n") - col("s2.nd"), col("s2.n")).as("dup2_bp"),
+        bp(col("s2.top"), col("s2.n")).as("top2_bp"),
+        col("s3.n").as("n3"),
+        bp(col("s3.n") - col("s3.nd"), col("s3.n")).as("dup3_bp"),
+        bp(col("s3.top"), col("s3.n")).as("top3_bp"))
+  }
+
   /** Reference formulation of [[fingerprint]]: explode each k-char
     * window position, md5 per window, min() aggregate — the standard
     * shingle fan-out (len×32-byte shuffle per doc). Differential-tested

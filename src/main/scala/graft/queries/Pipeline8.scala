@@ -80,6 +80,60 @@ object Pipeline8 {
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, event_type, epoch_us(ts) AS us
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    // Gopher-style repetition signals (Rae et al. 2021 app. A): per-doc
+    // duplicate-2/3-gram instance share and top-n-gram share, in basis
+    // points. The Spark side never explodes: a sorted fold inside the
+    // row (gramStats) counts distinct grams and the max run — a
+    // zero-shuffle projection at any corpus size. The oracle rebuilds
+    // the same counts the classical way (unnest → group by doc, gram),
+    // so the fold itself is what the hash match certifies. The oracle's
+    // gram index is the static range(4096) + filter (the q112 pattern).
+    QEntry("q123_repetition_signals",
+      (s, d) => graft.pipeline.TextAnalysis.repetitionSignals(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, nn.n,
+                  list_aggregate(toks[i+1 : i+nn.n], 'string_agg', ' ') AS gr
+                FROM t
+                CROSS JOIN (VALUES (2), (3)) nn(n)
+                CROSS JOIN range(4096) r(i)
+                WHERE i + nn.n <= len(toks)),
+              pc AS (
+                SELECT doc_id, n, gr, count(*) AS c
+                FROM g GROUP BY doc_id, n, gr),
+              st AS (
+                SELECT doc_id, n, sum(c) AS ng, count(*) AS nd, max(c) AS top
+                FROM pc GROUP BY doc_id, n),
+              w AS (
+                SELECT d.doc_id,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.ng END), 0) AS n2,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.nd END), 0) AS nd2,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.top END), 0) AS top2,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.ng END), 0) AS n3,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.nd END), 0) AS nd3,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.top END), 0) AS top3
+                FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+                GROUP BY d.doc_id)
+              SELECT doc_id, CAST(n2 AS BIGINT) AS n2,
+                CASE WHEN n2 > 0
+                  THEN CAST(floor((n2 - nd2) * 10000 / n2) AS BIGINT)
+                  ELSE 0 END AS dup2_bp,
+                CASE WHEN n2 > 0
+                  THEN CAST(floor(top2 * 10000 / n2) AS BIGINT)
+                  ELSE 0 END AS top2_bp,
+                CAST(n3 AS BIGINT) AS n3,
+                CASE WHEN n3 > 0
+                  THEN CAST(floor((n3 - nd3) * 10000 / n3) AS BIGINT)
+                  ELSE 0 END AS dup3_bp,
+                CASE WHEN n3 > 0
+                  THEN CAST(floor(top3 * 10000 / n3) AS BIGINT)
+                  ELSE 0 END AS top3_bp
+              FROM w ORDER BY doc_id"""))
   )
 }

@@ -182,6 +182,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("repetitionSignals: hand-computed grams, short docs, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a"),   // 2g: ab,ba,ab,ba -> n2=4 nd=2 top=2; 3g: aba,bab,aba
+      (1L, "x y z"),       // all distinct
+      (2L, "solo"),        // no grams at all
+      (3L, "A a b")        // lower() folds A -> a
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(m(0L) == ((4L, 5000L, 5000L, 3L, 3333L, 6666L)), s"got ${m(0L)}")
+    assert(m(1L) == ((2L, 0L, 5000L, 1L, 0L, 10000L)))
+    assert(m(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(m(3L) == ((2L, 0L, 5000L, 1L, 0L, 10000L)))
+    // the whole operator is a projection: no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetitionSignals shuffled:\n$plan")
+  }
+
   test("groupPercentileRank matches the window-rank reference, singleton -> 0") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
