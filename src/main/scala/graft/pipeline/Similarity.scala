@@ -996,6 +996,70 @@ object Similarity {
     * (q_id, vec_id) between two query-set-sized frames, partial-agg'd
     * count, then a left join on q_id. Nothing here touches the corpus;
     * cost is owned by the two search calls that feed it. */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then test
+    * cosine similarity ONLY within each cluster — the clustering bounds
+    * the pair fan-out to Σ cluster², which is the whole reason the
+    * method scales where all-pairs cosine cannot. A vector is a
+    * duplicate iff some SAME-CLUSTER vector with a smaller id clears
+    * the threshold (the deterministic "dedup against earlier items"
+    * rule; cross-cluster near-dups are missed by design — that is
+    * SemDeDup's documented approximation).
+    *
+    * Exactness: clusters come from [[ivfCentroidsTrainedExact]] (the
+    * oracle-replayable integer Lloyd convention) with the same
+    * integer-L2 assignment the training used (argmax 2·dot − |c|²,
+    * ties to the lowest cid — no sqrt anywhere in assignment). The
+    * threshold test cos(a,b) ≥ thrNum/thrDen is squared into exact
+    * integer arithmetic — dot > 0 ∧ dot²·thrDen² ≥ thrNum²·|a|²·|b|² —
+    * compared in decimal(38,0) (int64 overflows at dim·scale⁴; the
+    * q113 convention). Zero-norm vectors never match (cosine
+    * undefined).
+    *
+    * Scale shape: centroids broadcast (nList rows); assignment is one
+    * broadcast join + partial-agg'd argmax; the pair test is a
+    * self-join keyed on cluster — no collect_list buffer, so a
+    * degenerate cluster costs rows, not executor memory. nList must
+    * grow with the corpus (the paper's own contract) to keep Σ m²
+    * bounded; the assigned frame is checkpointed once and feeds both
+    * join sides. Output: (vec_id, cluster, is_dup), one row per input
+    * vector. */
+  def semanticDedup(
+      emb: DataFrame, // (vec_id, embedding)
+      nList: Int, dim: Int, iters: Int,
+      thrNum: Int, thrDen: Int): DataFrame = {
+    require(thrNum > 0 && thrDen > 0 && thrNum <= thrDen,
+      s"threshold must be a fraction in (0, 1]: $thrNum/$thrDen")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    val cent = ivfCentroidsTrainedExact(emb, nList, dim, iters)
+    val side = q.crossJoin(broadcast(cent))
+      .withColumn("fit",
+        lit(2) * dotQ(col("qe"), col("cente")) - dotQ(col("cente"), col("cente")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("qe")).as("qe"),
+        max_by(col("cid"), struct(col("fit"), -col("cid"))).as("cluster"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+      .localCheckpoint() // feeds BOTH sides of the pair join
+    val dups = side.as("a")
+      .join(side.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(col("a.nrm") > 0 && col("b.nrm") > 0)
+      .withColumn("dot", dotQ(col("a.qe"), col("b.qe")))
+      .where(col("dot") > 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) *
+          lit(thrDen.toLong * thrDen).cast(dec) >=
+          lit(thrNum.toLong * thrNum).cast(dec) *
+            col("a.nrm").cast(dec) * col("b.nrm").cast(dec))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    side.select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   def annRecallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"recall@k needs k >= 1, got $k")
     val hits = ann.select(col("q_id"), col("vec_id"))

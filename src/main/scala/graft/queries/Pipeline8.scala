@@ -134,6 +134,95 @@ object Pipeline8 {
                 CASE WHEN n3 > 0
                   THEN CAST(floor(top3 * 10000 / n3) AS BIGINT)
                   ELSE 0 END AS top3_bp
-              FROM w ORDER BY doc_id"""))
+              FROM w ORDER BY doc_id""")),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-dedup-within-cluster.
+    // The oracle replays EVERYTHING — centroid seed, one exact Lloyd
+    // step (the q108 CTE chain), integer-L2 assignment, the
+    // within-cluster pair join and the squared HUGEINT threshold test —
+    // so clustering AND the dedup decision are hash-pinned together.
+    // Threshold 42/100 is chosen for fixture liveness (the synthetic
+    // embeddings top out at cos ≈ 0.51); production near-dup thresholds
+    // run 0.9+ on real embeddings.
+    QEntry("q124_semantic_dedup",
+      (s, d) => graft.pipeline.Similarity.semanticDedup(
+        Tables.embeddings(s, d), nList = 16, dim = 64, iters = 1,
+        thrNum = 42, thrDen = 100)
+        .orderBy(col("vec_id")),
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              seeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+              cb0 AS (
+                SELECT seeds.cid, qz.qe AS cv FROM seeds JOIN qz USING (vec_id)),
+              tdots AS (
+                SELECT qz.vec_id, cb0.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1] * cb0.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb0.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM qz CROSS JOIN cb0),
+              tassign AS (
+                SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM tdots) WHERE arn = 1),
+              tmeans AS (
+                SELECT a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(qz.qe[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM tassign a
+                JOIN qz ON qz.vec_id = a.vec_id
+                CROSS JOIN range(64) t(i)
+                GROUP BY a.cid, t.i),
+              seedc AS (
+                SELECT cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb0 CROSS JOIN range(64) t(i)),
+              cent AS (
+                SELECT sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cente
+                FROM seedc sc
+                LEFT JOIN tmeans m ON m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.cid),
+              nca AS (
+                SELECT cid, cente,
+                  CAST(list_sum(list_transform(cente, x -> x*x)) AS BIGINT) AS ncv
+                FROM cent),
+              afit AS (
+                SELECT qz.vec_id, nca.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1]*nca.cente[j+1])) AS BIGINT) AS dotc,
+                  nca.ncv AS ncv
+                FROM qz CROSS JOIN nca),
+              assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY 2*dotc - ncv DESC, cid) AS arn
+                  FROM afit) WHERE arn = 1),
+              side AS (
+                SELECT a.vec_id, a.cluster, qz.qe,
+                  CAST(list_sum(list_transform(qz.qe, x -> x*x)) AS BIGINT) AS nrm
+                FROM assigned a JOIN qz USING (vec_id)),
+              prs AS (
+                SELECT b.vec_id,
+                  CAST(list_sum(list_transform(range(len(a.qe)),
+                       j -> a.qe[j+1]*b.qe[j+1])) AS BIGINT) AS dot,
+                  a.nrm AS na, b.nrm AS nb
+                FROM side a JOIN side b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE a.nrm > 0 AND b.nrm > 0),
+              dups AS (
+                SELECT DISTINCT vec_id FROM prs
+                WHERE dot > 0
+                  AND CAST(dot AS HUGEINT)*dot*10000 >= CAST(1764 AS HUGEINT)*na*nb)
+              SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+                (d.vec_id IS NOT NULL) AS is_dup
+              FROM side s LEFT JOIN dups d USING (vec_id)
+              ORDER BY s.vec_id"""))
   )
 }

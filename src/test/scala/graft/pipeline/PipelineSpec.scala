@@ -238,6 +238,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 3)
   }
 
+  test("semanticDedup flags planted near-dups, keeps firsts and zero vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // kept: no smaller id
+      (1L, Array(1f, 0f, 0f, 0f)),     // exact dup of 0
+      (2L, Array(0.99f, 0.01f, 0f, 0f)), // cos vs 0 ~ 0.99995
+      (3L, Array(0f, 1f, 0f, 0f)),     // orthogonal: kept
+      (4L, Array(0f, 0f, 0f, 0f))      // zero norm: cosine undefined, kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, nList = 2, dim = 4, iters = 1,
+        thrNum = 95, thrDen = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> false, 1L -> true, 2L -> true,
+      3L -> false, 4L -> false), s"got $out")
+  }
+
   test("fused lsh_bucket agrees with the HOF reference on every corpus vector") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
     for (nBits <- Seq(4, 8)) {
