@@ -152,6 +152,70 @@ object Retrieval {
     * nothing corpus-sized is ever broadcast). The 1-row N frame rides
     * along broadcast. uc is localCheckpoint'd (vocab-shaped, three
     * consumers); token lineages are scan-shaped and recompute. */
+  /** Multinomial Naive Bayes document classifier, trained and applied
+    * in one dataflow — the classic quality/domain-classifier primitive
+    * (the GPT-3 data-curation recipe trains a linear classifier to
+    * score candidate documents; NB over token counts is its
+    * count-exact, oracle-replayable form). Trains on the
+    * `id % holdMod != holdRem` split, predicts the class column for the
+    * held-out split.
+    *
+    * Add-one smoothing: s(t, c) = ln((c_tc + 1)/(n_toks_c + V)); a
+    * term unseen for class c (including fully-OOV terms) coalesces to
+    * the same formula at c_tc = 0, so there is no separate OOV branch.
+    * Every ln is rounded to integer micro-nats per (term, class) —
+    * the q92/q117 convention — so the per-doc totals are
+    * order-independent integer sums; prediction is argmax score with
+    * ties to the lexicographically smallest class.
+    *
+    * Scale shape: class stats and priors are nClass-sized broadcasts;
+    * the (term, class) likelihood table joins the exploded eval tokens
+    * on a (class, term)-keyed SHUFFLE join — vocab × nClass never
+    * broadcasts. Training-token lineage is checkpointed once and feeds
+    * the three count aggregates. Output: (doc_id, pred, best_micro),
+    * one row per held-out doc. */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+                         classCol: String, holdMod: Int = 10,
+                         holdRem: Int = 0): DataFrame = {
+    require(holdMod >= 2, s"holdMod must leave a training split, got $holdMod")
+    val base = docs.select(col(idCol).as("doc_id"), col(classCol).as("cls"),
+      split(lower(col(textCol)), "\\s+").as("toks"))
+    val tr = base.filter(col("doc_id") % holdMod =!= holdRem)
+    val trt = tr.select(col("cls"), explode(col("toks")).as("term"))
+      .localCheckpoint() // feeds per-(class,term), per-class and vocab counts
+    val tc = trt.groupBy(col("cls"), col("term")).agg(count(lit(1)).as("c"))
+    val cst = trt.groupBy(col("cls")).agg(count(lit(1)).as("ntk"))
+    val csd = tr.groupBy(col("cls")).agg(count(lit(1)).as("nd"))
+    val tot = tr.agg(count(lit(1)).as("ndocs"))
+    val voc = trt.agg(count_distinct(col("term")).as("v"))
+    val cs = csd.join(cst, "cls")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+      .select(col("cls"), col("ntk"), col("v"),
+        round(log(col("nd").cast("double") / col("ndocs")) * 1e6, 0)
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("ntk") + col("v"))) * 1e6, 0)
+          .cast("long").as("miss_micro"))
+    val hit = tc.join(broadcast(cs.select(col("cls"), col("ntk"), col("v"))), "cls")
+      .select(col("cls"), col("term"),
+        round(log((col("c") + lit(1.0)) / (col("ntk") + col("v"))) * 1e6, 0)
+          .cast("long").as("s_micro"))
+    val ev = base.filter(col("doc_id") % holdMod === holdRem)
+    val etf = ev.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = etf
+      .crossJoin(broadcast(cs.select(col("cls"), col("prior_micro"),
+        col("miss_micro"))))
+      .join(hit, Seq("cls", "term"), "left")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg((first(col("prior_micro")) +
+        sum(col("tf") * coalesce(col("s_micro"), col("miss_micro"))))
+        .as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(min_by(col("cls"), struct((-col("score")).as("ns"), col("cls")))
+        .as("pred"),
+        max(col("score")).as("best_micro"))
+  }
+
   def stupidBackoffScore(evalDocs: DataFrame, trainDocs: DataFrame,
                          idCol: String, textCol: String,
                          alpha: Double = 0.4): DataFrame = {

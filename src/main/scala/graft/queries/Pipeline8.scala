@@ -223,6 +223,64 @@ object Pipeline8 {
               SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
                 (d.vec_id IS NOT NULL) AS is_dup
               FROM side s LEFT JOIN dups d USING (vec_id)
-              ORDER BY s.vec_id"""))
+              ORDER BY s.vec_id""")),
+
+    // Multinomial Naive Bayes source classifier, trained on the
+    // doc_id%10!=0 split and predicting `source` for the held-out
+    // docs. Add-one smoothing; every ln rounded to integer micro-nats
+    // per (term, class) BEFORE the doc sum (the q92/q117 convention),
+    // so scores are order-independent integer sums and the argmax is
+    // exact. The oracle replays counts, smoothing, priors, the
+    // unseen-term coalesce and the (score desc, class asc) argmax.
+    QEntry("q125_naive_bayes",
+      (s, d) => graft.pipeline.Retrieval.naiveBayesClassify(
+        Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy(col("doc_id")),
+      Some("""WITH tr AS (
+                SELECT doc_id, source,
+                  string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id % 10 != 0),
+              ev AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id % 10 = 0),
+              trt AS (SELECT source, unnest(toks) AS term FROM tr),
+              cst AS (SELECT source, count(*) AS ntk FROM trt GROUP BY source),
+              csd AS (SELECT source, count(*) AS nd FROM tr GROUP BY source),
+              tot AS (SELECT count(*) AS ndocs FROM tr),
+              voc AS (SELECT count(DISTINCT term) AS v FROM trt),
+              cs AS (
+                SELECT csd.source, cst.ntk, voc.v,
+                  CAST(round(ln(CAST(csd.nd AS DOUBLE) / tot.ndocs)
+                       * 1000000.0) AS BIGINT) AS prior_micro,
+                  CAST(round(ln(1.0 / (cst.ntk + voc.v))
+                       * 1000000.0) AS BIGINT) AS miss_micro
+                FROM csd JOIN cst USING (source)
+                CROSS JOIN tot CROSS JOIN voc),
+              tc AS (
+                SELECT source, term, count(*) AS c
+                FROM trt GROUP BY source, term),
+              hit AS (
+                SELECT tc.source, tc.term,
+                  CAST(round(ln((tc.c + 1.0) / (cs.ntk + cs.v))
+                       * 1000000.0) AS BIGINT) AS s_micro
+                FROM tc JOIN cs USING (source)),
+              etf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM ev)
+                GROUP BY doc_id, term),
+              sc AS (
+                SELECT e.doc_id, cs.source,
+                  cs.prior_micro +
+                    sum(e.tf * COALESCE(h.s_micro, cs.miss_micro)) AS score
+                FROM etf e CROSS JOIN cs
+                LEFT JOIN hit h ON h.source = cs.source AND h.term = e.term
+                GROUP BY e.doc_id, cs.source, cs.prior_micro),
+              rk AS (
+                SELECT doc_id, source, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, source) AS rn
+                FROM sc)
+              SELECT doc_id, source AS pred, CAST(score AS BIGINT) AS best_micro
+              FROM rk WHERE rn = 1 ORDER BY doc_id"""))
   )
 }

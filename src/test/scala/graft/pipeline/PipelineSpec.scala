@@ -429,6 +429,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
 
+  test("naiveBayesClassify separates planted classes; OOV falls to priors+smoothing") {
+    import spark.implicits._
+    // train (id % 10 != 0): A talks apples, B talks bananas
+    val docs = Seq(
+      (1L, "apple apple apple", "A"), (2L, "apple fruit", "A"),
+      (11L, "banana banana", "B"), (12L, "banana split", "B"),
+      // held-out (id % 10 == 0); class column ignored for eval rows
+      (10L, "apple apple", "B"), (20L, "banana", "A"), (30L, "zzz", "A")
+    ).toDF("doc_id", "text", "source")
+    val out = Retrieval.naiveBayesClassify(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "A", s"apple doc got ${out(10L)}")
+    assert(out(20L) == "B", s"banana doc got ${out(20L)}")
+    // OOV doc: equal priors, decision by smoothing mass ln(1/(ntk_c+V)):
+    // ntk_A=5, ntk_B=4, V=4 -> B's 1/8 beats A's 1/9
+    assert(out(30L) == "B", s"oov doc got ${out(30L)}")
+    assert(out.size == 3)
+  }
+
   test("stupidBackoffScore hits all three branches with the right math") {
     import spark.implicits._
     // train corpus: "a b" twice, "a c" once -> c1(a)=3, c2(a,b)=2,
