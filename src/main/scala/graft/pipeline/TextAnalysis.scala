@@ -342,6 +342,59 @@ object TextAnalysis {
         bp(col("s3.top"), col("s3.n")).as("top3_bp"))
   }
 
+  /** One BPE merge step over the corpus — the tokenizer-training
+    * primitive (Sennrich et al. 2016) at corpus scale: count adjacent
+    * symbol pairs weighted by WORD frequency (the standard compression:
+    * pair statistics run over the distinct-word table, never over raw
+    * token instances), pick the top pair (count desc, pair asc), apply
+    * the merge, and return the post-merge pair counts.
+    *
+    * Symbols start as single characters space-joined per word; the
+    * merge is a literal string `replace` on that sequence — both
+    * engines replace left-to-right, non-overlapping, continuing AFTER
+    * each replacement ("a a a" + merge "a a" → "aa a"), which is
+    * exactly the greedy BPE application for single-char symbols. (A
+    * multi-step trainer must switch to symbol-array merges — after one
+    * merge, multichar symbols make string-level matching ambiguous;
+    * one step is what this operator contracts.)
+    *
+    * Scale shape: the word-frequency table is the only corpus-sized
+    * aggregate (one shuffle on the word); everything after runs on the
+    * distinct-word frame, checkpointed once for the two pair counts.
+    * Pair cardinality is bounded by charset² regardless of corpus
+    * size; the chosen merge is a 1-row broadcast. Output: topN rows of
+    * (pair, cnt, merged), ordered (cnt desc, pair) — a total order, no
+    * global window needed. */
+  def bpeMergeStep(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    def pairsOf(cs: Column): Column = zip_with(
+      slice(cs, lit(1), size(cs) - 1), slice(cs, lit(2), size(cs) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val chars = transform(sequence(lit(1), length(col("wd"))),
+      i => col("wd").substr(i, lit(1)))
+    // empty words (leading-whitespace split artifacts) would make
+    // sequence(1, 0) step BACKWARDS — drop them; they carry no pairs.
+    val seqd = docs.select(explode(toks(col(textCol))).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy(col("wd")).agg(count(lit(1)).as("n"))
+      .select(col("wd"), col("n"),
+        array_join(chars, " ").as("sq"), chars.as("cs"))
+      .localCheckpoint() // feeds the pre-merge count AND the re-count
+    val pc0 = seqd.select(explode(pairsOf(col("cs"))).as("pr"), col("n"))
+      .groupBy(col("pr")).agg(sum(col("n")).as("c"))
+    val top1 = pc0.orderBy(col("c").desc, col("pr")).limit(1)
+      .select(col("pr").as("mpair"),
+        translate(col("pr"), " ", "").as("msym"))
+    val merged = seqd.crossJoin(broadcast(top1))
+      .select(split(expr("replace(sq, mpair, msym)"), " ").as("ms"),
+        col("n"), col("mpair"))
+    merged.select(explode(pairsOf(col("ms"))).as("pair"), col("n"),
+        col("mpair").as("merged"))
+      .groupBy(col("pair"), col("merged")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topN)
+      .select(col("pair"), col("cnt"), col("merged"))
+  }
+
   /** Reference formulation of [[fingerprint]]: explode each k-char
     * window position, md5 per window, min() aggregate — the standard
     * shingle fan-out (len×32-byte shuffle per doc). Differential-tested

@@ -281,6 +281,53 @@ object Pipeline8 {
                     ORDER BY score DESC, source) AS rn
                 FROM sc)
               SELECT doc_id, source AS pred, CAST(score AS BIGINT) AS best_micro
-              FROM rk WHERE rn = 1 ORDER BY doc_id"""))
+              FROM rk WHERE rn = 1 ORDER BY doc_id""")),
+
+    // One BPE merge step (Sennrich 2016) at corpus scale: char-pair
+    // counts weighted by word frequency, top pair chosen (count desc,
+    // pair asc), merge applied by literal left-to-right replace —
+    // verified identical in both engines, incl. the overlapping-run
+    // case ("a a a" -> "aa a") — then the post-merge pair counts. The
+    // oracle rebuilds chars via substr over the static range(64) (max
+    // fixture word is 8 chars) and replays count -> pick -> merge ->
+    // recount, so the merge DECISION and its application are pinned.
+    QEntry("q126_bpe_merge_step",
+      (s, d) => graft.pipeline.TextAnalysis.bpeMergeStep(
+        Tables.documents(s, d), "text", topN = 20)
+        .orderBy(col("cnt").desc, col("pair")),
+      Some("""WITH wc AS (
+                SELECT w AS wd, count(*) AS n FROM (
+                  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents)
+                WHERE length(w) > 0 GROUP BY w),
+              p0 AS (
+                SELECT substr(wd, CAST(i+1 AS INT), 1) || ' ' ||
+                       substr(wd, CAST(i+2 AS INT), 1) AS pr, n
+                FROM wc CROSS JOIN range(64) r(i)
+                WHERE i + 2 <= length(wd)),
+              pc0 AS (SELECT pr, sum(n) AS c FROM p0 GROUP BY pr),
+              top1 AS (
+                SELECT pr AS mpair, replace(pr, ' ', '') AS msym
+                FROM pc0 ORDER BY c DESC, pr LIMIT 1),
+              sq AS (
+                SELECT wd, n,
+                  string_agg(substr(wd, CAST(i+1 AS INT), 1), ' '
+                    ORDER BY i) AS sq
+                FROM wc CROSS JOIN range(64) r(i)
+                WHERE i < length(wd) GROUP BY wd, n),
+              m AS (
+                SELECT string_split(replace(sq.sq, t.mpair, t.msym), ' ') AS ts,
+                       sq.n, t.mpair
+                FROM sq CROSS JOIN top1 t),
+              p1 AS (
+                SELECT ts[CAST(i+1 AS INT)] || ' ' ||
+                       ts[CAST(i+2 AS INT)] AS pair, n, mpair
+                FROM m CROSS JOIN range(64) r(i)
+                WHERE i + 2 <= len(ts)),
+              pc1 AS (
+                SELECT pair, mpair AS merged, sum(n) AS cnt
+                FROM p1 GROUP BY pair, mpair)
+              SELECT pair, CAST(cnt AS BIGINT) AS cnt, merged
+              FROM pc1 ORDER BY cnt DESC, pair LIMIT 20"""))
   )
 }

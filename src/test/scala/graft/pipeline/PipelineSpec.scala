@@ -429,6 +429,18 @@ class TextAnalysisSpec extends SparkSpec {
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
 
+  test("bpeMergeStep picks the top pair and applies it greedily left-to-right") {
+    import spark.implicits._
+    // words: aaa x2, bb x1 -> pre-merge pairs: "a a" 4, "b b" 1.
+    // merge "a a" on "a a a" must continue AFTER the replacement
+    // ("aa a", NOT "aaa") -> post-merge pairs: "aa a" 2, "b b" 1.
+    val docs = Seq((1L, "aaa bb"), (2L, "aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(docs, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(("aa a", 2L, "a a"), ("b b", 1L, "a a")),
+      s"got ${out.toSeq}")
+  }
+
   test("naiveBayesClassify separates planted classes; OOV falls to priors+smoothing") {
     import spark.implicits._
     // train (id % 10 != 0): A talks apples, B talks bananas
