@@ -292,6 +292,47 @@ object Curation {
         max(col("score")).as("score_hi"))
   }
 
+  /** Per-source domain-shift metric: KL(P_source ‖ P_corpus) over the
+    * unigram distributions, in integer micro-nats per token — the
+    * mixture-design signal for "how far does this source sit from the
+    * blend" (domain-weighting recipes threshold exactly this).
+    *
+    * Exactness: each term's log-ratio ln(c_st/n_s) − ln(c_t/N) is an
+    * IEEE-deterministic double in both engines (two exact-integer
+    * divisions, two lns, one subtract), rounded to integer micro-nats
+    * per (source, term) BEFORE the weighted sum — so the rollup is an
+    * order-independent integer sum (the q92 convention). `kl_micro` is
+    * floor of the shared IEEE quotient sum/n_toks. Contributions are
+    * c_st · (≤ ~3·10⁷), so the int64 sum holds past 10¹⁰ tokens per
+    * (source, term) pair — wider corpora should scale the rounding.
+    *
+    * Scale shape: the token stream collapses to (source, term) counts
+    * in the first map-side-combined agg; the corpus-term rollup derives
+    * from that same checkpointed frame; one term-keyed shuffle join;
+    * per-source totals broadcast (nSources rows). */
+  def sourceKlDivergence(docs: DataFrame, srcCol: String,
+                         textCol: String): DataFrame = {
+    val st = docs.select(col(srcCol).as("source"),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val cst = st.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the term rollup, source totals AND the score
+    val ct = cst.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val n = cst.agg(sum(col("c")).as("n"))
+    cst.join(ct, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("ns"),
+        (col("c") * round((log(col("c").cast("double") / col("ns")) -
+          log(col("ct").cast("double") / col("n"))) * 1e6, 0).cast("long"))
+          .as("cm"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_toks"), sum(col("cm")).as("kl_sum_micro"))
+      .select(col("source"), col("n_toks"), col("kl_sum_micro"),
+        floor(col("kl_sum_micro") / col("n_toks")).cast("long").as("kl_micro"))
+  }
+
   def mixtureWeights(docs: DataFrame, srcCol: String, tokCol: String,
                      alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")

@@ -328,6 +328,43 @@ object Pipeline8 {
                 SELECT pair, mpair AS merged, sum(n) AS cnt
                 FROM p1 GROUP BY pair, mpair)
               SELECT pair, CAST(cnt AS BIGINT) AS cnt, merged
-              FROM pc1 ORDER BY cnt DESC, pair LIMIT 20"""))
+              FROM pc1 ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // Per-source KL(P_source || P_corpus) over unigram distributions —
+    // the domain-shift / mixture-design metric, in integer micro-nats
+    // per token. Each term's log-ratio is rounded per (source, term)
+    // BEFORE the weighted sum (order-independent integer rollup, the
+    // q92 convention); both lns run on exact-integer double quotients.
+    QEntry("q127_source_kl",
+      (s, d) => graft.pipeline.Curation.sourceKlDivergence(
+        Tables.documents(s, d), "source", "text")
+        .orderBy(col("source")),
+      Some("""WITH st AS (
+                SELECT source,
+                  unnest(string_split_regex(lower(text), '\s+')) AS term
+                FROM documents),
+              cst AS (
+                SELECT source, term, count(*) AS c
+                FROM st GROUP BY source, term),
+              ct AS (
+                SELECT term, CAST(sum(c) AS BIGINT) AS ct
+                FROM cst GROUP BY term),
+              ns AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS ns
+                FROM cst GROUP BY source),
+              n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cst),
+              contrib AS (
+                SELECT cst.source, ns.ns,
+                  cst.c * CAST(round(
+                    (ln(CAST(cst.c AS DOUBLE) / ns.ns) -
+                     ln(CAST(ct.ct AS DOUBLE) / n.n)) * 1000000.0)
+                    AS BIGINT) AS cm
+                FROM cst JOIN ct USING (term)
+                JOIN ns USING (source) CROSS JOIN n)
+              SELECT source, max(ns) AS n_toks,
+                CAST(sum(cm) AS BIGINT) AS kl_sum_micro,
+                CAST(floor(CAST(sum(cm) AS BIGINT) / max(ns)) AS BIGINT)
+                  AS kl_micro
+              FROM contrib GROUP BY source ORDER BY source"""))
   )
 }

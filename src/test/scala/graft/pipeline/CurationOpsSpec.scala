@@ -182,6 +182,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("sourceKlDivergence: zero for corpus-identical sources, ln2 for disjoint halves") {
+    import spark.implicits._
+    // identical distributions: every source == corpus -> KL 0
+    val same = Seq((1L, "x y", "A"), (2L, "x y", "B")).toDF("doc_id", "text", "source")
+    val m0 = Curation.sourceKlDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m0 == Map("A" -> 0L, "B" -> 0L), s"got $m0")
+    // disjoint halves: each term has p_s = 1/2 vs p = 1/4 -> KL = ln 2
+    // per token = 693147 micro-nats exactly (single rounded log-ratio)
+    val disj = Seq((1L, "x y", "A"), (2L, "z w", "B")).toDF("doc_id", "text", "source")
+    val m1 = Curation.sourceKlDivergence(disj, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m1 == Map("A" -> 693147L, "B" -> 693147L), s"got $m1")
+  }
+
   test("repetitionSignals: hand-computed grams, short docs, zero shuffle") {
     import spark.implicits._
     val docs = Seq(
