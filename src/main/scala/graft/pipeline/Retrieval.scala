@@ -152,6 +152,43 @@ object Retrieval {
     * nothing corpus-sized is ever broadcast). The 1-row N frame rides
     * along broadcast. uc is localCheckpoint'd (vocab-shaped, three
     * consumers); token lineages are scan-shaped and recompute. */
+  /** BM25 ranked retrieval: top-k documents per query — the search
+    * operator the per-(doc, term) [[bm25]] weights exist to feed
+    * (more-like-this curation, retrieval-based decontamination, eval-set
+    * construction all run exactly this). Queries are bags of DISTINCT
+    * terms (query term frequency deliberately ignored — the classic
+    * probabilistic-retrieval form for short queries).
+    *
+    * Exactness: each (doc, term) weight is [[bm25]]'s 6-dp rounded
+    * double, scaled to an integer micro score per contribution; the
+    * per-(query, doc) total is then an order-independent integer sum
+    * and the top-k rank (score desc, doc_id asc) is exact.
+    *
+    * Scale shape: the weight table is corpus-sized but joins the
+    * exploded query terms on a TERM-keyed shuffle join — the posting
+    * fan-out per term is |queries containing t| × df(t), the inverted-
+    * index reality (a stopword-laden query touches its full posting
+    * list; cap query length upstream, not here — dropping postings
+    * would change scores). Top-k is a per-query window, partitioned on
+    * q_id. Output: (q_id, doc_id, score_micro, rn ≤ k). */
+  def bm25Search(queries: DataFrame, // (q_id, qtext)
+                 docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val contrib = bm25(docs, idCol, textCol, k1, b)
+      .select(col("term"), col("doc_id"),
+        round(col("bm25") * 1e6, 0).cast("long").as("c_micro"))
+    val qt = queries.select(col("q_id"),
+      explode(array_distinct(split(lower(col("qtext")), "\\s+"))).as("term"))
+    val scored = qt.join(contrib, "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Multinomial Naive Bayes document classifier, trained and applied
     * in one dataflow — the classic quality/domain-classifier primitive
     * (the GPT-3 data-curation recipe trains a linear classifier to

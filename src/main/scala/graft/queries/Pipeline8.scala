@@ -365,6 +365,58 @@ object Pipeline8 {
                 CAST(sum(cm) AS BIGINT) AS kl_sum_micro,
                 CAST(floor(CAST(sum(cm) AS BIGINT) / max(ns)) AS BIGINT)
                   AS kl_micro
-              FROM contrib GROUP BY source ORDER BY source"""))
+              FROM contrib GROUP BY source ORDER BY source""")),
+
+    // BM25 ranked retrieval: every doc_id%100==0 doc's first 6 tokens
+    // become a query; top-5 docs per query by summed integer-micro BM25
+    // contributions (per-contribution rounding makes the sum
+    // order-independent; rank ties break on doc_id). The oracle replays
+    // the full q85 BM25 derivation, the distinct-term query join and
+    // the windowed top-k.
+    QEntry("q128_bm25_search",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val qs = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(split(lower(col("text")), "\\s+"), 1, 6), " ")
+              .as("qtext"))
+        graft.pipeline.Retrieval.bm25Search(qs, docs, "doc_id", "text", k = 5)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                         FROM documents),
+              dlen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+              tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tm
+                     GROUP BY doc_id, term),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                     FROM dlen),
+              contrib AS (
+                SELECT tf.term, tf.doc_id,
+                  CAST(round(round(
+                    ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5)
+                       / (df.df + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 *
+                        (dlen.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))),
+                    6) * 1000000.0) AS BIGINT) AS c_micro
+                FROM tf JOIN dlen USING (doc_id) JOIN df USING (term)
+                CROSS JOIN st),
+              q AS (
+                SELECT doc_id AS q_id,
+                  unnest(list_distinct(toks[1:6])) AS term
+                FROM t WHERE doc_id % 100 = 0),
+              scored AS (
+                SELECT q.q_id, c.doc_id, sum(c.c_micro) AS score_micro
+                FROM q JOIN contrib c USING (term)
+                GROUP BY q.q_id, c.doc_id),
+              rk AS (
+                SELECT q_id, doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score_micro DESC, doc_id) AS INT) AS rn
+                FROM scored)
+              SELECT q_id, doc_id, score_micro, rn FROM rk
+              WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
 }

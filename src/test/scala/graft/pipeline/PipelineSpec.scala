@@ -429,6 +429,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
 
+  test("bm25Search ranks tf-dense short docs first; query term repeats collapse") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana"), (2L, "apple apple apple"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    // doc2: tf=3, dl=3 -> 6.6/4.65; doc1: tf=1, dl=2 -> 2.2/2.2; doc3 absent
+    val q1 = Seq((10L, "apple")).toDF("q_id", "qtext")
+    val r1 = Retrieval.bm25Search(q1, docs, "doc_id", "text", k = 5)
+      .orderBy(col("rn")).collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(r1.toSeq == Seq((2L, 1), (1L, 2)), s"got ${r1.toSeq}")
+    // duplicate query terms are distinct-collapsed: identical scores
+    val q2 = Seq((10L, "apple apple")).toDF("q_id", "qtext")
+    val s1 = Retrieval.bm25Search(q1, docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val s2 = Retrieval.bm25Search(q2, docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(s1 == s2, s"$s1 vs $s2")
+  }
+
   test("bpeMergeStep picks the top pair and applies it greedily left-to-right") {
     import spark.implicits._
     // words: aaa x2, bb x1 -> pre-merge pairs: "a a" 4, "b b" 1.
