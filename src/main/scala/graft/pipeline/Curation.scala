@@ -292,6 +292,30 @@ object Curation {
         max(col("score")).as("score_hi"))
   }
 
+  /** PII scrub — the pattern-based redaction baseline every
+    * training-data pipeline runs before release (email / phone /
+    * SSN-shaped ids → typed placeholder tokens, plus per-doc match
+    * counts for the audit trail). A pure zero-shuffle projection that
+    * works unchanged as a streaming map. Patterns deliberately stay in
+    * the dialect intersection of Java regex and RE2 (char classes,
+    * bounded quantifiers, \b, \d) so any engine replays them
+    * byte-identically; entity-level PII (names, addresses) needs NER
+    * upstream — this is the regex tier. Replacement order: email, then
+    * SSN-shaped, then phone (the shapes cannot overlap — the middle
+    * groups differ). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(ssn)).cast("long").as("n_ids"),
+      regexp_count(col(textCol), lit(phone)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        lit(email), lit("<EMAIL>")), lit(ssn), lit("<ID>")),
+        lit(phone), lit("<PHONE>")).as("redacted"))
+  }
+
   /** Per-source domain-shift metric: KL(P_source ‖ P_corpus) over the
     * unigram distributions, in integer micro-nats per token — the
     * mixture-design signal for "how far does this source sit from the

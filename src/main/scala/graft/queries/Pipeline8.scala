@@ -417,6 +417,44 @@ object Pipeline8 {
                     ORDER BY score_micro DESC, doc_id) AS INT) AS rn
                 FROM scored)
               SELECT q_id, doc_id, score_micro, rn FROM rk
-              WHERE rn <= 5 ORDER BY q_id, rn"""))
+              WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // PII redaction over a deterministically PII-augmented corpus (the
+    // synthetic fixture carries no natural PII, so every doc_id%5==0
+    // doc gets a derived email + phone + SSN-shaped id appended — the
+    // q101 derivation trick; both engines build the identical string
+    // from doc_id). Patterns live in the Java-regex ∩ RE2 dialect;
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all.
+    QEntry("q129_pii_redact",
+      (s, d) => {
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" u"), col("doc_id"),
+              lit("@ex.com 555-123-4567 999-88-7777")))
+            .otherwise(col("text")).as("text"))
+        graft.pipeline.Curation.redactPii(aug, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+                SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                  THEN text || ' u' || CAST(doc_id AS VARCHAR) ||
+                       '@ex.com 555-123-4567 999-88-7777'
+                  ELSE text END AS text
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text,
+                  '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+                CAST(len(regexp_extract_all(text,
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+              FROM aug ORDER BY doc_id"""))
   )
 }

@@ -182,6 +182,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("redactPii counts and replaces every shape, leaves near-misses alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@x-y.org now or 555.123.4567 and 987-65-4321 end"),
+      (2L, "bad shapes: 12-34-5678 a@b @x.com 555-12-34567"),
+      (3L, "two@mails.de and second@mail.fr")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 1L, 1L,
+      "mail <EMAIL> now or <PHONE> and <ID> end")), s"got ${out(1L)}")
+    // "555-12-34567": the ID pattern's \b\d{3}-\d{2}-\d{4}\b needs a
+    // word boundary after 4 digits — the trailing 5th digit kills it;
+    // "a@b" has no dot-TLD; "@x.com" has no local part.
+    assert(out(2L)._4 == "bad shapes: 12-34-5678 a@b @x.com 555-12-34567",
+      s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, 0L, "<EMAIL> and <EMAIL>")))
+  }
+
   test("sourceKlDivergence: zero for corpus-identical sources, ln2 for disjoint halves") {
     import spark.implicits._
     // identical distributions: every source == corpus -> KL 0
