@@ -292,6 +292,27 @@ object Curation {
         max(col("score")).as("score_hi"))
   }
 
+  /** Balanced training-shard assignment: round-robin over the
+    * weight-descending global order — shard((rank−1) mod S) — the
+    * deterministic writer-side primitive for emitting S output shards
+    * with near-equal token mass (max−min shard sum ≤ the single
+    * heaviest doc, the classic bound for sorted round-robin; LPT would
+    * be marginally tighter but is inherently sequential). The global
+    * order comes from the [[graft.operators.GlobalRank]] two-pass —
+    * per-partition counts + broadcast offsets, NO single-partition
+    * window, so the rank scales to any corpus. Output: one row per doc
+    * (id, w, rn, shard); feed `shard` to repartition()/partitionBy for
+    * the actual write. */
+  def balancedShards(docs: DataFrame, idCol: String, weightCol: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need at least one shard, got $nShards")
+    graft.operators.GlobalRank.rowNumber(
+        docs.select(col(idCol).as("id"), col(weightCol).cast("long").as("w")),
+        "rn", -col("w"), col("id"))
+      .withColumn("shard", ((col("rn").cast("long") - 1) % nShards).cast("int"))
+      .select(col("id"), col("w"), col("rn"), col("shard"))
+  }
+
   /** PII scrub — the pattern-based redaction baseline every
     * training-data pipeline runs before release (email / phone /
     * SSN-shaped ids → typed placeholder tokens, plus per-doc match

@@ -455,6 +455,23 @@ object Pipeline8 {
                   '<EMAIL>', 'g'),
                   '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
-              FROM aug ORDER BY doc_id"""))
+              FROM aug ORDER BY doc_id""")),
+
+    // Balanced shard assignment: round-robin over the char-count-
+    // descending global order, S=8 — near-equal shard mass (max−min ≤
+    // heaviest doc) with a fully deterministic per-doc assignment. The
+    // rank is the GlobalRank two-pass (no single-partition window);
+    // the oracle replays the DESC order and the mod-S fold.
+    QEntry("q130_balanced_shards",
+      (s, d) => graft.pipeline.Curation.balancedShards(
+        Tables.documents(s, d), "doc_id", "n_chars", nShards = 8)
+        .orderBy(col("id")),
+      Some("""WITH r AS (
+                SELECT doc_id AS id, n_chars AS w,
+                  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                    AS INT) AS rn
+                FROM documents)
+              SELECT id, w, rn, CAST((rn - 1) % 8 AS INT) AS shard
+              FROM r ORDER BY id"""))
   )
 }

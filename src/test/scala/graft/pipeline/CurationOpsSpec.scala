@@ -182,6 +182,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("balancedShards: deterministic assignment, shard mass within one max doc") {
+    import spark.implicits._
+    // weights 9..1, S=3: desc order = ids 1..9, shard = (rank-1)%3
+    val docs = (1L to 9L).map(i => (i, 10L - i)).toDF("doc_id", "n_chars")
+    val out = Curation.balancedShards(docs, "doc_id", "n_chars", nShards = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 1,
+      6L -> 2, 7L -> 0, 8L -> 1, 9L -> 2), s"got $out")
+    // balance bound on the real fixture: max-min shard sum <= max weight
+    val fx = graft.queries.Tables.documents(spark, sf)
+    val sums = Curation.balancedShards(fx, "doc_id", "n_chars", nShards = 8)
+      .groupBy(col("shard")).agg(sum(col("w")).as("s"))
+      .collect().map(_.getLong(1))
+    val wMax = fx.agg(max(col("n_chars"))).collect()(0).getLong(0)
+    assert(sums.max - sums.min <= wMax,
+      s"imbalance ${sums.max - sums.min} > max doc $wMax")
+  }
+
   test("redactPii counts and replaces every shape, leaves near-misses alone") {
     import spark.implicits._
     val docs = Seq(
