@@ -292,6 +292,26 @@ object Curation {
         max(col("score")).as("score_hi"))
   }
 
+  /** Corpus snapshot delta: per-doc added / removed / changed /
+    * unchanged status between two crawls — the incremental-ingestion
+    * audit that decides what re-enters the dedup/curation pipeline
+    * (re-processing only `added ∪ changed` is the difference between an
+    * incremental run and a full recompute at 100 TB). Contents compare
+    * by md5 digest, so the shuffle carries (id, 32-char hex) — never
+    * the documents themselves; the id-keyed full-outer join co-locates
+    * with bucketed-by-id snapshot layouts. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val a = oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+    val b = newSnap.select(col(idCol).as("id"), md5(col(textCol)).as("h_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Balanced training-shard assignment: round-robin over the
     * weight-descending global order — shard((rank−1) mod S) — the
     * deterministic writer-side primitive for emitting S output shards

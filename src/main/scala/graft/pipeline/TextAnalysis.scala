@@ -287,13 +287,18 @@ object TextAnalysis {
     * sorted array counts distinct grams (`nd`) and the longest equal run
     * (`top` = the most frequent gram's instance count). O(g log g) per
     * doc, no explode, no shuffle. Returns struct(n, nd, top). */
-  private def gramStats(t: Column, n: Int): Column = {
-    // sequence(1, 0) would step BACKWARDS ([1, 0]) — guard short docs.
-    val grams = when(size(t) >= n,
+  /** Adjacent n-token grams of a token array (empty for short docs —
+    * sequence(1, 0) would step BACKWARDS). */
+  private def gramsOf(t: Column, n: Int): Column =
+    when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    val st = aggregate(sort_array(grams),
+
+  /** Distinct count + longest equal run of a SORTED string array, via
+    * one fold. Returns the full fold state; read `nd` and `best`. */
+  private def runFold(sorted: Column): Column =
+    aggregate(sorted,
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
         lit(0L).as("best"), lit(0L).as("nd")),
       (acc, x) => {
@@ -303,9 +308,6 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"),
           (acc.getField("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
       })
-    struct(size(grams).cast("long").as("n"),
-      st.getField("nd").as("nd"), st.getField("best").as("top"))
-  }
 
   /** Gopher-style per-doc repetition signals (Rae et al. 2021, app. A —
     * the "repetitious text" quality filters), re-expressed for Spark as
@@ -321,25 +323,44 @@ object TextAnalysis {
     * (Gopher's char-weighted variants need a char-attribution rule for
     * overlapping grams; the instance-weighted form keeps the signal and
     * stays integer-exact.) Docs with fewer than n tokens report 0 for
-    * that n. All counting happens inside the row via [[gramStats]]'s
+    * that n. All counting happens inside the row via [[runFold]]'s
     * sorted fold — the operator is a pure map over any partitioning,
     * costs no shuffle at any corpus size, and works unchanged as a
     * streaming projection. The basis points are floor of an IEEE
-    * quotient both engines compute identically (the q112 convention). */
+    * quotient both engines compute identically (the q112 convention).
+    *
+    * The stage structure is deliberate: gram build, sort+fold, and
+    * field extraction live in SEPARATE selects so each non-cheap
+    * expression is referenced exactly once per project —
+    * CollapseProject then keeps the boundaries and nothing re-evaluates
+    * (inlining the fold into its three consumers cost 6× wall on the
+    * first cut: 16.4 s → 2.5 s at sf0.1). */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = toks(col(textCol))
     def bp(x: Column, n: Column): Column =
       when(n > 0, floor(x * 10000 / n).cast("long")).otherwise(lit(0L))
-    docs.select(col(idCol).as("doc_id"),
-        gramStats(t, 2).as("s2"), gramStats(t, 3).as("s3"))
+    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
+      // t MUST be an attribute before it enters the transform lambdas:
+      // expressions captured inside a lambda body re-evaluate PER
+      // ELEMENT (no hoisting), so slice(split(...), i, n) would re-split
+      // the text once per gram.
       .select(col("doc_id"),
-        col("s2.n").as("n2"),
-        bp(col("s2.n") - col("s2.nd"), col("s2.n")).as("dup2_bp"),
-        bp(col("s2.top"), col("s2.n")).as("top2_bp"),
-        col("s3.n").as("n3"),
-        bp(col("s3.n") - col("s3.nd"), col("s3.n")).as("dup3_bp"),
-        bp(col("s3.top"), col("s3.n")).as("top3_bp"))
+        gramsOf(col("t"), 2).as("g2"), gramsOf(col("t"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n2"),
+        size(col("g3")).cast("long").as("n3"),
+        runFold(sort_array(col("g2"))).as("st2"),
+        runFold(sort_array(col("g3"))).as("st3"))
+      .select(col("doc_id"), col("n2"), col("n3"),
+        col("st2.nd").as("nd2"), col("st2.best").as("top2"),
+        col("st3.nd").as("nd3"), col("st3.best").as("top3"))
+      .select(col("doc_id"),
+        col("n2"),
+        bp(col("n2") - col("nd2"), col("n2")).as("dup2_bp"),
+        bp(col("top2"), col("n2")).as("top2_bp"),
+        col("n3"),
+        bp(col("n3") - col("nd3"), col("n3")).as("dup3_bp"),
+        bp(col("top3"), col("n3")).as("top3_bp"))
   }
 
   /** One BPE merge step over the corpus — the tokenizer-training

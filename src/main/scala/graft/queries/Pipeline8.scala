@@ -472,6 +472,37 @@ object Pipeline8 {
                     AS INT) AS rn
                 FROM documents)
               SELECT id, w, rn, CAST((rn - 1) % 8 AS INT) AS shard
-              FROM r ORDER BY id"""))
+              FROM r ORDER BY id""")),
+
+    // Snapshot delta audit between two derived crawls: old = doc_id%7
+    // != 0 (original text), new = doc_id%5 != 0 (text mutated for
+    // doc_id%11 == 0) — yielding live rows in all four statuses.
+    // Digest-only full-outer join; both engines md5 the same bytes.
+    QEntry("q131_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldS = docs.filter(col("doc_id") % 7 =!= 0)
+        val newS = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        graft.pipeline.Curation.snapshotDiff(oldS, newS, "doc_id", "text")
+          .orderBy(col("id"))
+      },
+      Some("""WITH olds AS (
+                SELECT doc_id AS id, md5(text) AS h_old
+                FROM documents WHERE doc_id % 7 != 0),
+              news AS (
+                SELECT doc_id AS id,
+                  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                      ELSE text END) AS h_new
+                FROM documents WHERE doc_id % 5 != 0)
+              SELECT COALESCE(o.id, n.id) AS id,
+                CASE WHEN o.id IS NULL THEN 'added'
+                     WHEN n.id IS NULL THEN 'removed'
+                     WHEN o.h_old = n.h_new THEN 'unchanged'
+                     ELSE 'changed' END AS status
+              FROM olds o FULL OUTER JOIN news n ON o.id = n.id
+              ORDER BY id"""))
   )
 }

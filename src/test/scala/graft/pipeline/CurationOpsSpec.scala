@@ -182,6 +182,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("snapshotDiff labels all four statuses") {
+    import spark.implicits._
+    val oldS = Seq((1L, "same"), (2L, "will change"), (3L, "gone")).toDF("doc_id", "text")
+    val newS = Seq((1L, "same"), (2L, "changed!"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(oldS, newS, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $out")
+  }
+
   test("balancedShards: deterministic assignment, shard mass within one max doc") {
     import spark.implicits._
     // weights 9..1, S=3: desc order = ids 1..9, shard = (rank-1)%3
