@@ -292,6 +292,62 @@ object Curation {
         max(col("score")).as("score_hi"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): the
+    * training-sample generator — masked token runs collapse to
+    * `<Xk>` sentinels in the input, and the target lists each sentinel
+    * followed by the tokens it hides. Mask draws are the portable md5
+    * bucket per (doc, position, salt) — never rand() — so the same
+    * samples regenerate on any engine, any retry (the q87 sampling
+    * contract applied to positions). Adjacent masked positions merge
+    * into ONE span (that is what makes it span corruption rather than
+    * token masking); no terminal sentinel is appended.
+    *
+    * Shape: tokens and the (token, mask) zip materialize as attributes
+    * BEFORE the fold (lambda-captured expressions re-evaluate per
+    * element — the q123 lesson), then one O(n) fold per row builds
+    * input and target arrays together. Zero shuffle; streams
+    * unchanged. Output: (doc_id, n_tok, n_masked, n_spans, input,
+    * target). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  maskPct: Int, salt: String): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 99, s"maskPct in [1,99], got $maskPct")
+    val zipped = zip_with(col("t"), sequence(lit(1), size(col("t"))),
+      (tok, i) => struct(tok.as("tok"),
+        (md5Bucket(concat(col("doc_id").cast("string"), lit("#"),
+          i.cast("string")), salt) < maskPct).as("m")))
+    val folded = aggregate(col("z"),
+      struct(array().cast("array<string>").as("inp"),
+        array().cast("array<string>").as("tgt"),
+        lit(0L).as("runs"), lit(false).as("prev")),
+      (acc, x) => {
+        val tok = x.getField("tok")
+        val m = x.getField("m")
+        val isStart = m && !acc.getField("prev")
+        val runs2 = acc.getField("runs") + when(isStart, 1L).otherwise(0L)
+        val sent = concat(lit("<X"), (runs2 - 1).cast("string"), lit(">"))
+        struct(
+          when(!m, concat(acc.getField("inp"), array(tok)))
+            .when(isStart, concat(acc.getField("inp"), array(sent)))
+            .otherwise(acc.getField("inp")).as("inp"),
+          when(isStart, concat(acc.getField("tgt"), array(sent, tok)))
+            .when(m, concat(acc.getField("tgt"), array(tok)))
+            .otherwise(acc.getField("tgt")).as("tgt"),
+          runs2.as("runs"), m.as("prev"))
+      })
+    docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        zipped.as("z"))
+      .select(col("doc_id"), col("n_tok"),
+        size(filter(col("z"), x => x.getField("m"))).cast("long")
+          .as("n_masked"),
+        folded.as("st"))
+      .select(col("doc_id"), col("n_tok"), col("n_masked"),
+        col("st.runs").as("n_spans"),
+        array_join(col("st.inp"), " ").as("input"),
+        array_join(col("st.tgt"), " ").as("target"))
+  }
+
   /** Corpus snapshot delta: per-doc added / removed / changed /
     * unchanged status between two crawls — the incremental-ingestion
     * audit that decides what re-enters the dedup/curation pipeline

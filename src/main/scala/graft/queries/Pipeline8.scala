@@ -503,6 +503,67 @@ object Pipeline8 {
                      WHEN o.h_old = n.h_new THEN 'unchanged'
                      ELSE 'changed' END AS status
               FROM olds o FULL OUTER JOIN news n ON o.id = n.id
-              ORDER BY id"""))
+              ORDER BY id""")),
+
+    // T5 span corruption at 15%: mask draws are md5 buckets per
+    // (doc, position) — the q87 portable-sampling contract — so both
+    // engines regenerate identical samples. The oracle rebuilds runs
+    // with lag()+cumulative-sum windows and string_aggs the
+    // input/target pieces; the Spark side is one O(n) fold per row.
+    QEntry("q132_span_corrupt",
+      (s, d) => graft.pipeline.Curation.spanCorrupt(
+        Tables.documents(s, d), "doc_id", "text", maskPct = 15, salt = "t5")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              pos AS (
+                SELECT doc_id, CAST(i+1 AS BIGINT) AS p,
+                       toks[CAST(i+1 AS INT)] AS tok
+                FROM t CROSS JOIN range(4096) r(i) WHERE i < len(toks)),
+              fl AS (
+                SELECT doc_id, p, tok,
+                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                      CAST(p AS VARCHAR) || ':t5'), 1, 8))::BIGINT % 100) < 15
+                    AS m
+                FROM pos),
+              runs AS (
+                SELECT *, CASE WHEN m AND NOT coalesce(
+                    lag(m) OVER (PARTITION BY doc_id ORDER BY p), false)
+                  THEN 1 ELSE 0 END AS st
+                FROM fl),
+              num AS (
+                SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS rid
+                FROM runs),
+              inp AS (
+                SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS input
+                FROM (
+                  SELECT doc_id, p,
+                    CASE WHEN NOT m THEN tok
+                         WHEN st = 1 THEN '<X' || CAST(rid-1 AS VARCHAR) || '>'
+                    END AS piece
+                  FROM num) WHERE piece IS NOT NULL GROUP BY doc_id),
+              tgt AS (
+                SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS target
+                FROM (
+                  SELECT doc_id, p,
+                    CASE WHEN m AND st = 1
+                           THEN '<X' || CAST(rid-1 AS VARCHAR) || '> ' || tok
+                         WHEN m THEN tok
+                    END AS piece
+                  FROM num) WHERE piece IS NOT NULL GROUP BY doc_id),
+              agg AS (
+                SELECT doc_id, count(*) AS n_tok,
+                  count(*) FILTER (m) AS n_masked,
+                  coalesce(max(rid), 0) AS n_spans
+                FROM num GROUP BY doc_id)
+              SELECT a.doc_id, CAST(a.n_tok AS BIGINT) AS n_tok,
+                CAST(a.n_masked AS BIGINT) AS n_masked,
+                CAST(a.n_spans AS BIGINT) AS n_spans,
+                coalesce(i.input, '') AS input,
+                coalesce(g.target, '') AS target
+              FROM agg a LEFT JOIN inp i USING (doc_id)
+              LEFT JOIN tgt g USING (doc_id)
+              ORDER BY a.doc_id"""))
   )
 }

@@ -182,6 +182,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("spanCorrupt: input+target reconstruct the original tokens on every fixture doc") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val out = Curation.spanCorrupt(docs, "doc_id", "text", maskPct = 15, salt = "t5")
+      .join(docs.select(col("doc_id"), lower(col("text")).as("lt")), "doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    var masked = 0L
+    out.foreach { r =>
+      val orig = r.getAs[String]("lt").split("\\s+").toSeq
+      val input = r.getAs[String]("input")
+      val target = r.getAs[String]("target")
+      // parse target into span map: <Xk> tok tok ...
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      if (target.nonEmpty) target.split(" ").foreach { t =>
+        if (t.matches("<X\\d+>")) { cur = t; spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = (if (input.isEmpty) Seq.empty[String] else input.split(" ").toSeq)
+        .flatMap(t => if (t.matches("<X\\d+>")) spans(t) else Seq(t))
+      assert(rebuilt == orig,
+        s"doc ${r.getLong(0)}: reconstruction diverges\n$rebuilt\n$orig")
+      assert(r.getAs[Long]("n_spans") == spans.size.toLong)
+      masked += r.getAs[Long]("n_masked")
+    }
+    assert(masked > 0, "mask rate produced no masked tokens on the fixture")
+  }
+
   test("snapshotDiff labels all four statuses") {
     import spark.implicits._
     val oldS = Seq((1L, "same"), (2L, "will change"), (3L, "gone")).toDF("doc_id", "text")
