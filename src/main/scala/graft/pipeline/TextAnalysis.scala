@@ -249,18 +249,24 @@ object TextAnalysis {
       idCol: String, textCol: String, minDf: Int,
       chunkTokens: Int = 0): org.apache.spark.sql.DataFrame = {
     require(minDf >= 2, s"minDf below 2 would flag every segment, got $minDf")
-    val segs =
-      if (chunkTokens == 0)
-        filter(transform(split(lower(col(textCol)), "[.!?]+"), x => trim(x)),
-          x => length(x) > 0)
-      else {
-        val t = toks(col(textCol))
-        transform(
-          sequence(lit(0), floor((size(t) - 1) / chunkTokens).cast("int")),
-          i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " "))
-      }
-    val sents = docs.select(col(idCol).as("doc_id"), explode(segs).as("sent"))
-      .select(col("doc_id"), xxhash64(col("sent")).as("h"))
+    // chunk mode tokenizes into an ATTRIBUTE before the transform —
+    // slice(t, …) with a captured split() would re-split the text once
+    // per chunk element (the q123 lambda-capture lesson).
+    val sents =
+      (if (chunkTokens == 0)
+        docs.select(col(idCol).as("doc_id"),
+          filter(transform(split(lower(col(textCol)), "[.!?]+"), x => trim(x)),
+            x => length(x) > 0).as("segs"))
+      else
+        docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("t"))
+          .select(col("doc_id"), transform(
+            sequence(lit(0),
+              floor((size(col("t")) - 1) / chunkTokens).cast("int")),
+            i => array_join(
+              slice(col("t"), i * chunkTokens + 1, lit(chunkTokens)), " "))
+            .as("segs")))
+        .select(col("doc_id"), explode(col("segs")).as("sent"))
+        .select(col("doc_id"), xxhash64(col("sent")).as("h"))
     // perDoc feeds BOTH the frequency dim and the score join — without a
     // checkpoint each consumer re-runs the tokenize+hash explode lineage
     // (the bm25 tf convention; persist()/checkpoint() on a real cluster).
