@@ -50,7 +50,12 @@ object DumpPlans {
     "q101_contamination_13g" -> "13-gram audit over flattened per-window token arrays (tokenize once); hashed shingles broadcast",
     "q102_ivf_pq_residual" -> "IVFADC: broadcast centroids/codebook/probes/dtables; corpus scanned for assign+encode and score, never shuffled pre-top-k",
     "q104_pooled_ann" -> "pooled-vector ANN: integer lsh_bucket_long, query side broadcast, corpus never sort-merged",
-    "q105_late_data_audit" -> "two-pass running max over arrival order: range partition + broadcast per-partition maxima, no single-partition window over events")
+    "q105_late_data_audit" -> "two-pass running max over arrival order: range partition + broadcast per-partition maxima, no single-partition window over events",
+    "q123_repetition_signals" -> "per-doc n-gram stats by sorted fold INSIDE the row: staged projections (gram build / fold / extract), no explode, no Exchange before the output sort",
+    "q124_semantic_dedup" -> "SemDeDup: nList-row centroid broadcast, argmax assignment, cluster-keyed pair JOIN (no collect_list buffer), decimal threshold",
+    "q128_bm25_search" -> "BM25 search: term-keyed shuffle join of query terms vs the checkpointed weight table; q_id-partitioned top-k window",
+    "q130_balanced_shards" -> "balanced shards: GlobalRank two-pass (per-partition counts + broadcast offsets) + mod-S projection — no single-partition window",
+    "q132_span_corrupt" -> "span corruption: tokens/zip/fold staged as attributes (per-element lambda capture avoided); zero shuffle before the output sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
