@@ -240,6 +240,51 @@ object Curation {
         .otherwise("").as("reason"))
   }
 
+  /** The composed quality-filter stack: the [[qualityFlags]] gates plus
+    * [[TextAnalysis.repetitionSignals]] thresholds, evaluated in ONE
+    * projection chain over one scan — the full Gopher-style keep/drop
+    * decision with a first-failing-rule reason, as production filters
+    * run it (signals are only useful gated). Everything is integer
+    * (facet counts, basis points, threshold compares), so the whole
+    * decision replays exactly in any engine. Stage structure follows
+    * the q123 rule: tokens, grams and folds materialize as attributes
+    * between selects; `qf`/fold references in later stages are cheap
+    * attribute reads. Zero shuffle; streams unchanged. */
+  def qualityFilterStack(docs: DataFrame, idCol: String, textCol: String,
+      dup2MaxBp: Int, top2MaxBp: Int, dup3MaxBp: Int): DataFrame = {
+    def bp(x: Column, n: Column): Column =
+      when(n > 0, floor(x * 10000 / n).cast("long")).otherwise(lit(0L))
+    val okD2 = col("dup2_bp") <= dup2MaxBp
+    val okT2 = col("top2_bp") <= top2MaxBp
+    val okD3 = col("dup3_bp") <= dup3MaxBp
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.toks(col(textCol)).as("t"),
+        qualityFlags(col(textCol)).as("qf"))
+      .select(col("doc_id"), col("qf"),
+        TextAnalysis.gramsOf(col("t"), 2).as("g2"),
+        TextAnalysis.gramsOf(col("t"), 3).as("g3"))
+      .select(col("doc_id"), col("qf"),
+        size(col("g2")).cast("long").as("n2"),
+        size(col("g3")).cast("long").as("n3"),
+        TextAnalysis.runFold(sort_array(col("g2"))).as("st2"),
+        TextAnalysis.runFold(sort_array(col("g3"))).as("st3"))
+      .select(col("doc_id"), col("qf"), col("n2"), col("n3"),
+        col("st2.nd").as("nd2"), col("st2.best").as("top2"),
+        col("st3.nd").as("nd3"))
+      .select(col("doc_id"), col("qf"),
+        bp(col("n2") - col("nd2"), col("n2")).as("dup2_bp"),
+        bp(col("top2"), col("n2")).as("top2_bp"),
+        bp(col("n3") - col("nd3"), col("n3")).as("dup3_bp"))
+      .select(col("doc_id"),
+        col("dup2_bp"), col("top2_bp"), col("dup3_bp"),
+        (col("qf.keep") && okD2 && okT2 && okD3).as("keep"),
+        when(!col("qf.keep"), col("qf.reason"))
+          .when(!okD2, "dup_2gram")
+          .when(!okT2, "top_2gram")
+          .when(!okD3, "dup_3gram")
+          .otherwise("").as("reason"))
+  }
+
   /** Temperature-scaled mixture weights over the corpus' source domains
     * (the GPT-3/LLaMA data-recipe primitive): with p_i the token share
     * of source i, the sampling weight is w_i = p_i^alpha / Σ_j p_j^alpha

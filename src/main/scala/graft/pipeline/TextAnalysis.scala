@@ -295,7 +295,7 @@ object TextAnalysis {
     * doc, no explode, no shuffle. Returns struct(n, nd, top). */
   /** Adjacent n-token grams of a token array (empty for short docs —
     * sequence(1, 0) would step BACKWARDS). */
-  private def gramsOf(t: Column, n: Int): Column =
+  private[pipeline] def gramsOf(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => array_join(slice(t, i, lit(n)), " ")))
@@ -303,7 +303,7 @@ object TextAnalysis {
 
   /** Distinct count + longest equal run of a SORTED string array, via
     * one fold. Returns the full fold state; read `nd` and `best`. */
-  private def runFold(sorted: Column): Column =
+  private[pipeline] def runFold(sorted: Column): Column =
     aggregate(sorted,
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
         lit(0L).as("best"), lit(0L).as("nd")),

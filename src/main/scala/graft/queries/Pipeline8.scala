@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline8 {
 
+  private val stopList =
+    graft.pipeline.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
   val entries: Seq[QEntry] = Seq(
 
     // Stream-stream interval join, batch-twin gate row. The operator is
@@ -564,6 +567,84 @@ object Pipeline8 {
                 coalesce(g.target, '') AS target
               FROM agg a LEFT JOIN inp i USING (doc_id)
               LEFT JOIN tgt g USING (doc_id)
-              ORDER BY a.doc_id"""))
+              ORDER BY a.doc_id""")),
+
+    // The composed quality-filter stack: q89's Gopher gates + q123's
+    // repetition thresholds in ONE projection chain — the full
+    // keep/drop decision with a first-failing-rule reason, all
+    // integer. Thresholds (1000/1500/100 bp) chosen for fixture
+    // liveness across the repetition rules too.
+    QEntry("q133_quality_stack",
+      (s, d) => graft.pipeline.Curation.qualityFilterStack(
+        Tables.documents(s, d), "doc_id", "text",
+        dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(toks, x -> x IN ($stopList)))
+                    AS BIGINT) AS n_stop,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                FROM t),
+              g AS (
+                SELECT doc_id,
+                  (n_tok >= 10 AND n_tok <= 90) AS ok_len,
+                  (sum_tok_len >= n_tok * 3 AND sum_tok_len <= n_tok * 10)
+                    AS ok_wl,
+                  (n_stop * 100 >= n_tok) AS ok_stop,
+                  (n_distinct * 10 >= n_tok * 4) AS ok_rep
+                FROM f),
+              gr AS (
+                SELECT doc_id, nn.n,
+                  list_aggregate(toks[i+1 : i+nn.n], 'string_agg', ' ') AS grm
+                FROM t
+                CROSS JOIN (VALUES (2), (3)) nn(n)
+                CROSS JOIN range(4096) r(i)
+                WHERE i + nn.n <= len(toks)),
+              pc AS (
+                SELECT doc_id, n, grm, count(*) AS c
+                FROM gr GROUP BY doc_id, n, grm),
+              st AS (
+                SELECT doc_id, n, sum(c) AS ng, count(*) AS nd, max(c) AS top
+                FROM pc GROUP BY doc_id, n),
+              w AS (
+                SELECT d.doc_id,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.ng END), 0) AS n2,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.nd END), 0) AS nd2,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.top END), 0) AS top2,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.ng END), 0) AS n3,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.nd END), 0) AS nd3
+                FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+                GROUP BY d.doc_id),
+              b AS (
+                SELECT doc_id,
+                  CASE WHEN n2 > 0
+                    THEN CAST(floor((n2 - nd2) * 10000 / n2) AS BIGINT)
+                    ELSE 0 END AS dup2_bp,
+                  CASE WHEN n2 > 0
+                    THEN CAST(floor(top2 * 10000 / n2) AS BIGINT)
+                    ELSE 0 END AS top2_bp,
+                  CASE WHEN n3 > 0
+                    THEN CAST(floor((n3 - nd3) * 10000 / n3) AS BIGINT)
+                    ELSE 0 END AS dup3_bp
+                FROM w)
+              SELECT b.doc_id, b.dup2_bp, b.top2_bp, b.dup3_bp,
+                (g.ok_len AND g.ok_wl AND g.ok_stop AND g.ok_rep
+                  AND b.dup2_bp <= 1000 AND b.top2_bp <= 1500
+                  AND b.dup3_bp <= 100) AS keep,
+                CASE WHEN NOT g.ok_len THEN 'len'
+                     WHEN NOT g.ok_wl THEN 'word_len'
+                     WHEN NOT g.ok_stop THEN 'stopword'
+                     WHEN NOT g.ok_rep THEN 'repetition'
+                     WHEN b.dup2_bp > 1000 THEN 'dup_2gram'
+                     WHEN b.top2_bp > 1500 THEN 'top_2gram'
+                     WHEN b.dup3_bp > 100 THEN 'dup_3gram'
+                     ELSE '' END AS reason
+              FROM b JOIN g USING (doc_id) ORDER BY b.doc_id"""))
   )
 }

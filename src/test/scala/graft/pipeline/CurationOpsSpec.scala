@@ -182,6 +182,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L) == ((2L, 0L, 0L)))
   }
 
+  test("qualityFilterStack: gate reasons precede repetition reasons, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean: 11 tokens, distinct, stopword 'the', avg word len ~4.6
+      (1L, "the quick brown fox jumps over lazy dogs near riverbank today"),
+      // "the red" x3 -> dup2_bp 1666 > 1000, gates all pass
+      (2L, "the red fox sees the red dog and the red cow here"),
+      // 5 tokens -> gate 'len' wins over any repetition reason
+      (3L, "a a a a a")
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityFilterStack(docs, "doc_id", "text",
+      dup2MaxBp = 1000, top2MaxBp = 10000, dup3MaxBp = 10000)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getString(5))).toMap
+    assert(m(1L) == ((true, "")), s"got ${m(1L)}")
+    assert(m(2L) == ((false, "dup_2gram")), s"got ${m(2L)}")
+    assert(m(3L) == ((false, "len")), s"got ${m(3L)}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stack shuffled:\n$plan")
+  }
+
   test("spanCorrupt: input+target reconstruct the original tokens on every fixture doc") {
     val docs = graft.queries.Tables.documents(spark, sf)
     val out = Curation.spanCorrupt(docs, "doc_id", "text", maskPct = 15, salt = "t5")
