@@ -369,6 +369,46 @@ object TextAnalysis {
         bp(col("top3"), col("n3")).as("top3_bp"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): the windowed upgrade of [[fingerprint]]'s whole-doc
+    * min. Every w-window of consecutive k-char shingle hashes
+    * contributes its minimum; the distinct mins are the doc's
+    * fingerprint set, guaranteeing any shared substring of length
+    * ≥ w+k−1 yields a shared fingerprint (the detection guarantee the
+    * whole-doc min cannot give). md5 keeps the hashes
+    * engine-portable; min is lexical.
+    *
+    * Zero shuffle — hashes and window mins stay inside the row (staged
+    * as attributes per the q123 lambda rule). The in-row window scan is
+    * O(n·w) via array_min-over-slice; a monotonic-queue fused
+    * expression would be O(n) if profiles show w dominating. Docs
+    * shorter than k hash their whole text once; fewer than w hashes →
+    * one clipped window. Output: (doc_id, n_fp, fp_min, fp_max). */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 8, w: Int = 16): org.apache.spark.sql.DataFrame =
+    winnowSets(docs, idCol, textCol, k, w)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+
+  /** The distinct winnowed-fingerprint SET per doc — the frame a
+    * fingerprint-index join would consume; [[winnowFingerprints]] is
+    * its gate-friendly rollup. */
+  private[pipeline] def winnowSets(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+          i => md5(col("text").substr(i, lit(k)))).as("h"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(size(col("h")) - (w - 1), lit(1))),
+          j => array_min(slice(col("h"), j, lit(w)))).as("fps"))
+      .select(col("doc_id"), array_distinct(col("fps")).as("fps"))
+
   /** One BPE merge step over the corpus — the tokenizer-training
     * primitive (Sennrich et al. 2016) at corpus scale: count adjacent
     * symbol pairs weighted by WORD frequency (the standard compression:

@@ -645,6 +645,37 @@ object Pipeline8 {
                      WHEN b.top2_bp > 1500 THEN 'top_2gram'
                      WHEN b.dup3_bp > 100 THEN 'dup_3gram'
                      ELSE '' END AS reason
-              FROM b JOIN g USING (doc_id) ORDER BY b.doc_id"""))
+              FROM b JOIN g USING (doc_id) ORDER BY b.doc_id""")),
+
+    // Winnowing fingerprints (MOSS): every 16-window of consecutive
+    // 8-char shingle md5s contributes its min; distinct mins = the
+    // fingerprint set. The oracle rebuilds the window mins with a
+    // ROWS-following window function and clips the window index list
+    // exactly as the Spark side's sequence guard does.
+    QEntry("q134_winnow_fingerprints",
+      (s, d) => graft.pipeline.TextAnalysis.winnowFingerprints(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH pos AS (
+                SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                    AS i
+                FROM documents),
+              h AS (
+                SELECT doc_id, i,
+                  md5(substr(text, CAST(i AS INT), 8)) AS hv,
+                  greatest(length(text) - 7, 1) AS nh
+                FROM pos),
+              wmin AS (
+                SELECT doc_id, i, nh,
+                  min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+                FROM h),
+              fps AS (
+                SELECT DISTINCT doc_id, fp
+                FROM wmin WHERE i <= greatest(nh - 15, 1))
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                min(fp) AS fp_min, max(fp) AS fp_max
+              FROM fps GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

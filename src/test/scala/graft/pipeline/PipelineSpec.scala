@@ -429,6 +429,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"diverges on ${fused.keySet.filter(k => fused(k) != ref.getOrElse(k, null)).take(3)}")
   }
 
+  test("winnowing guarantee: docs sharing >= w+k-1 chars share a fingerprint") {
+    import spark.implicits._
+    // shared run of 30 chars (> 16+8-1 = 23) embedded in different contexts
+    val p = "zqxwvutsrqponmlkjihgfedcbazyxw"
+    val docs = Seq(
+      (1L, s"left padding text $p and a tail"),
+      (2L, s"completely other prefix $p distinct suffix here"),
+      (3L, "no overlap with anything else at all in this one")
+    ).toDF("doc_id", "text")
+    val sets = TextAnalysis.winnowSets(docs, "doc_id", "text", k = 8, w = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((sets(1L) & sets(2L)).nonEmpty, "shared substring missed")
+    assert((sets(1L) & sets(3L)).isEmpty, "false sharing with disjoint doc")
+    // rollup agrees with the set
+    val roll = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roll(1L) == sets(1L).size.toLong)
+  }
+
   test("bm25Search ranks tf-dense short docs first; query term repeats collapse") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana"), (2L, "apple apple apple"),
