@@ -395,8 +395,18 @@ object TextAnalysis {
 
   /** The distinct winnowed-fingerprint SET per doc — the frame a
     * fingerprint-index join would consume; [[winnowFingerprints]] is
-    * its gate-friendly rollup. */
+    * its gate-friendly rollup. Production path is the fused O(n)
+    * monotonic-deque expression; [[winnowSetsHof]] is the
+    * differential-spec'd HOF reference (O(n·w) with a slice allocation
+    * per window — 6.4 s vs fused at sf0.1). */
   private[pipeline] def winnowSets(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.expressions.functions.winnow_mins(col(textCol), k, w).as("fps"))
+
+  /** HOF reference formulation of [[winnowSets]] (spec twin, not the
+    * production path). */
+  private[pipeline] def winnowSetsHof(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .select(col("doc_id"),

@@ -448,6 +448,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(roll(1L) == sets(1L).size.toLong)
   }
 
+  test("fused winnow_mins agrees with the HOF reference on every fixture doc") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    for ((k, w) <- Seq((8, 16), (5, 4))) {
+      val fused = TextAnalysis.winnowSets(docs, "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val ref = TextAnalysis.winnowSetsHof(docs, "doc_id", "text", k, w)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val bad = fused.keySet.filter(id => fused(id) != ref(id))
+      assert(bad.isEmpty, s"k=$k w=$w diverges on ${bad.take(3)}: " +
+        s"${bad.headOption.map(id => (fused(id).take(3), ref(id).take(3)))}")
+    }
+  }
+
   test("bm25Search ranks tf-dense short docs first; query term repeats collapse") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana"), (2L, "apple apple apple"),
