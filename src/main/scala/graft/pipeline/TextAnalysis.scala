@@ -404,6 +404,35 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       graft.expressions.functions.winnow_mins(col(textCol), k, w).as("fps"))
 
+  /** Cross-doc overlap pairs from winnowed fingerprints — what MOSS
+    * actually reports: doc pairs sharing ≥ minShared fingerprints,
+    * i.e. ≥ minShared distinct (w+k−1)-char-or-longer shared regions.
+    * Fingerprints in more than maxDf docs are dropped FIRST (boilerplate
+    * removal — the MOSS "ignore too-common" rule, and the same two-pass
+    * count→filter discipline as the LSH bucket caps: the df aggregate's
+    * buffers are constant-size, and no posting ever fans out past
+    * maxDf²). The exploded fingerprint frame is checkpointed once and
+    * feeds the df dim and both join sides. Output: (doc_a, doc_b,
+    * n_shared), doc_a < doc_b. */
+  def winnowPairs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 16,
+      minShared: Int = 2, maxDf: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
+    val fp = winnowSets(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint() // feeds the df dim AND both join sides
+    val keep = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("fp")), "fp")
+    keep.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(keep.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** HOF reference formulation of [[winnowSets]] (spec twin, not the
     * production path). */
   private[pipeline] def winnowSetsHof(docs: org.apache.spark.sql.DataFrame,

@@ -676,6 +676,44 @@ object Pipeline8 {
                 FROM wmin WHERE i <= greatest(nh - 15, 1))
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
                 min(fp) AS fp_min, max(fp) AS fp_max
-              FROM fps GROUP BY doc_id ORDER BY doc_id"""))
+              FROM fps GROUP BY doc_id ORDER BY doc_id""")),
+
+    // MOSS overlap report: doc pairs sharing >= 2 winnowed fingerprints
+    // after dropping fingerprints in > 10 docs (boilerplate removal,
+    // replayed by the oracle's df filter). Fan-out bounded by maxDf²
+    // per fingerprint by construction.
+    QEntry("q135_winnow_pairs",
+      (s, d) => graft.pipeline.TextAnalysis.winnowPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxDf = 10)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH pos AS (
+                SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                    AS i
+                FROM documents),
+              h AS (
+                SELECT doc_id, i,
+                  md5(substr(text, CAST(i AS INT), 8)) AS hv,
+                  greatest(length(text) - 7, 1) AS nh
+                FROM pos),
+              wmin AS (
+                SELECT doc_id, i, nh,
+                  min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+                FROM h),
+              fps AS (
+                SELECT DISTINCT doc_id, fp
+                FROM wmin WHERE i <= greatest(nh - 15, 1)),
+              dfreq AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10),
+              keep AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfreq USING (fp))
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+              FROM keep a JOIN keep b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2
+              ORDER BY doc_a, doc_b"""))
   )
 }

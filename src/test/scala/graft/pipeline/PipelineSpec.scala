@@ -448,6 +448,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(roll(1L) == sets(1L).size.toLong)
   }
 
+  test("winnowPairs finds the planted pair, drops boilerplate fingerprints") {
+    import spark.implicits._
+    val boiler = "this boilerplate footer appears everywhere"
+    val p = "qwertzuiopasdfghjklyxcvbnm0192837465qazwsxedcrfvtgbyhnujmikolp" +
+      "plokmijnuhbygvtfcrdxeszwaq1234567890"
+    val docs = (
+      Seq((1L, s"first unique lead-in $p $boiler"),
+        (2L, s"second distinct opener $p $boiler")) ++
+      (3L to 12L).map(i => (i, s"${i.toString * 30} $boiler"))
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate footer is in all 12 docs (df 12 > 10) -> its
+    // fingerprints are dropped; only the planted 98-char shared region
+    // links docs 1 and 2
+    assert(pairs.contains((1L, 2L)), s"planted pair missed: $pairs")
+    assert(pairs.forall(_ == ((1L, 2L))), s"boilerplate leaked pairs: $pairs")
+  }
+
   test("fused winnow_mins agrees with the HOF reference on every fixture doc") {
     val docs = graft.queries.Tables.documents(spark, sf)
     for ((k, w) <- Seq((8, 16), (5, 4))) {
