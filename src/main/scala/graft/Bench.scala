@@ -105,7 +105,22 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // diagnostics only — never fail the bench
+    // The metric line must be the process's LAST stdout write: the driver
+    // keeps only a ~2000-char tail, and in rounds 6–7 a StateStore
+    // maintenance thread (left running by the streaming gate queries)
+    // hit the stopped RpcEnv during JVM shutdown and dumped a stack
+    // trace AFTER the line, evicting it from the captured tail. So:
+    // quiesce streaming state stores and stop Spark FIRST, with logging
+    // off so shutdown races print nothing, and only then emit the line.
+    try spark.streams.active.foreach(q =>
+      try q.stop() catch { case _: Throwable => () })
+    catch { case _: Throwable => () }
+    try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    Thread.sleep(500) // let any straggler shutdown thread flush before us
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n":${results.size},"cpu_total_s":${f"$cpuTotal%.1f"},"jvm":$jvm,"queries":$qs}""")
-    spark.stop()
+    System.out.flush()
   }
 }

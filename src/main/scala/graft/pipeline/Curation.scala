@@ -347,50 +347,59 @@ object Curation {
     * into ONE span (that is what makes it span corruption rather than
     * token masking); no terminal sentinel is appended.
     *
-    * Shape: tokens and the (token, mask) zip materialize as attributes
-    * BEFORE the fold (lambda-captured expressions re-evaluate per
-    * element — the q123 lesson), then one O(n) fold per row builds
-    * input and target arrays together. Zero shuffle; streams
-    * unchanged. Output: (doc_id, n_tok, n_masked, n_spans, input,
-    * target). */
+    * Shape: strictly O(n) per doc. The mask array, then the span START
+    * and END position arrays, materialize as attributes before reuse
+    * (lambda-captured expressions re-evaluate per element — the q123
+    * lesson); start/end detection is an O(1) `get` against the
+    * neighbouring mask, and input/target assemble by `slice`-ing token
+    * RUNS between consecutive boundaries — total sliced length = n, so
+    * no step ever copies a growing accumulator (the previous
+    * `aggregate`-fold did `concat(acc, array(tok))` per token: O(n²)
+    * per doc, invisible at 540 tokens, fatal at 100k). Zero shuffle;
+    * streams unchanged. Output: (doc_id, n_tok, n_masked, n_spans,
+    * input, target). */
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
                   maskPct: Int, salt: String): DataFrame = {
     require(maskPct >= 1 && maskPct <= 99, s"maskPct in [1,99], got $maskPct")
-    val zipped = zip_with(col("t"), sequence(lit(1), size(col("t"))),
-      (tok, i) => struct(tok.as("tok"),
-        (md5Bucket(concat(col("doc_id").cast("string"), lit("#"),
-          i.cast("string")), salt) < maskPct).as("m")))
-    val folded = aggregate(col("z"),
-      struct(array().cast("array<string>").as("inp"),
-        array().cast("array<string>").as("tgt"),
-        lit(0L).as("runs"), lit(false).as("prev")),
-      (acc, x) => {
-        val tok = x.getField("tok")
-        val m = x.getField("m")
-        val isStart = m && !acc.getField("prev")
-        val runs2 = acc.getField("runs") + when(isStart, 1L).otherwise(0L)
-        val sent = concat(lit("<X"), (runs2 - 1).cast("string"), lit(">"))
-        struct(
-          when(!m, concat(acc.getField("inp"), array(tok)))
-            .when(isStart, concat(acc.getField("inp"), array(sent)))
-            .otherwise(acc.getField("inp")).as("inp"),
-          when(isStart, concat(acc.getField("tgt"), array(sent, tok)))
-            .when(m, concat(acc.getField("tgt"), array(tok)))
-            .otherwise(acc.getField("tgt")).as("tgt"),
-          runs2.as("runs"), m.as("prev"))
-      })
+    val mask = transform(sequence(lit(1), size(col("t"))),
+      i => md5Bucket(concat(col("doc_id").cast("string"), lit("#"),
+        i.cast("string")), salt) < maskPct)
+    // 1-based positions where a masked run begins / ends; `get` is the
+    // 0-based null-safe indexer, so neighbours off either edge coalesce
+    // to unmasked rather than tripping ANSI bounds checks.
+    val starts = filter(sequence(lit(1), size(col("t"))),
+      i => element_at(col("m"), i) &&
+        !coalesce(get(col("m"), i - 2), lit(false)))
+    val ends = filter(sequence(lit(1), size(col("t"))),
+      i => element_at(col("m"), i) &&
+        !coalesce(get(col("m"), i), lit(false)))
+    def sentinel(k: Column): Column =
+      concat(lit("<X"), k.cast("string"), lit(">"))
+    // input: for span k, the unmasked run since the previous span's end
+    // (0 for k=0) followed by <Xk>; then the unmasked tail after the
+    // last span. slice(length=0) when spans touch is an empty array.
+    val inputArr = when(size(col("s")) === 0, col("t")).otherwise(concat(
+      flatten(transform(col("s"), (p, k) => {
+        val prevEnd = coalesce(get(col("e"), k - 1), lit(0))
+        concat(slice(col("t"), prevEnd + 1, p - prevEnd - 1),
+          array(sentinel(k)))
+      })),
+      slice(col("t"), element_at(col("e"), -1) + 1,
+        size(col("t")) - element_at(col("e"), -1))))
+    // target: <Xk> followed by span k's masked run, spans in order.
+    val targetArr = flatten(transform(col("s"), (p, k) =>
+      concat(array(sentinel(k)),
+        slice(col("t"), p, element_at(col("e"), k + 1) - p + 1))))
     docs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), "\\s+").as("t"))
+      .withColumn("m", mask)
+      .withColumn("s", starts)
+      .withColumn("e", ends)
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
-        zipped.as("z"))
-      .select(col("doc_id"), col("n_tok"),
-        size(filter(col("z"), x => x.getField("m"))).cast("long")
-          .as("n_masked"),
-        folded.as("st"))
-      .select(col("doc_id"), col("n_tok"), col("n_masked"),
-        col("st.runs").as("n_spans"),
-        array_join(col("st.inp"), " ").as("input"),
-        array_join(col("st.tgt"), " ").as("target"))
+        size(filter(col("m"), x => x)).cast("long").as("n_masked"),
+        size(col("s")).cast("long").as("n_spans"),
+        array_join(inputArr, " ").as("input"),
+        array_join(targetArr, " ").as("target"))
   }
 
   /** Corpus snapshot delta: per-doc added / removed / changed /
