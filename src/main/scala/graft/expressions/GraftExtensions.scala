@@ -37,6 +37,15 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case x if x.foldable => x.eval() match {
+      case b: java.lang.Boolean => b.booleanValue
+      case other => throw new IllegalArgumentException(s"$what must be a boolean, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   val builtins: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> { args =>
       require(args.length == 3, "minhash_signature(tokens, k, numHashes)")
@@ -70,15 +79,23 @@ object GraftExtensions {
     },
     "ngram_shingles" -> { args =>
       require(args.length == 3, "ngram_shingles(toks, n, distinct)")
-      val distinct = args(2) match {
-        case x if x.foldable => x.eval() match {
-          case b: java.lang.Boolean => b.booleanValue
-          case other => throw new IllegalArgumentException(s"distinct must be a boolean, got $other")
-        }
-        case other => throw new IllegalArgumentException(
-          s"distinct must be a boolean literal, got $other")
-      }
-      NgramShingles(args.head, intArg(args(1), "n"), distinct)
+      NgramShingles(args.head, intArg(args(1), "n"), boolArg(args(2), "distinct"))
+    },
+    "ngram_shingle_hashes" -> { args =>
+      require(args.length == 3, "ngram_shingle_hashes(toks, n, distinct)")
+      NgramShingleHashes(args.head, intArg(args(1), "n"), boolArg(args(2), "distinct"))
+    },
+    "count_in_sorted" -> { args =>
+      require(args.length == 2, "count_in_sorted(needles, sortedHaystack)")
+      CountInSorted(args.head, args(1))
+    },
+    "pq_adc_score" -> { args =>
+      require(args.length == 3, "pq_adc_score(codes, dtable, ksub)")
+      PqAdcScore(args.head, args(1), intArg(args(2), "ksub"))
+    },
+    "winnow_mins" -> { args =>
+      require(args.length == 3, "winnow_mins(text, k, w)")
+      WinnowMins(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
     },
     "lsh_bucket_long" -> { args =>
       require(args.length == 2, "lsh_bucket_long(arr, nBits)")

@@ -285,26 +285,6 @@ object Curation {
           .otherwise("").as("reason"))
   }
 
-  /** Temperature-scaled mixture weights over the corpus' source domains
-    * (the GPT-3/LLaMA data-recipe primitive): with p_i the token share
-    * of source i, the sampling weight is w_i = p_i^alpha / Σ_j p_j^alpha
-    * — alpha < 1 flattens the mixture toward rare domains, alpha = 1 is
-    * natural sampling. Output per source: exact integer (n_docs,
-    * n_tokens), then p, w and the up/down-sampling factor w/p in
-    * round-half-up parts-per-million.
-    *
-    * Determinism: token counts and the total are exact integers; the
-    * only doubles are p, p^alpha and the two divisions. Σ_j p_j^alpha is
-    * folded in SOURCE-SORTED order via a HOF aggregate over a collected
-    * per-source array — NOT a parallel double sum — so the normalizer is
-    * the same IEEE value in any engine/partitioning (DuckDB replays it
-    * as list_sum(list(q ORDER BY source))).
-    *
-    * Scale shape: one map-side-combined hash agg over the corpus to
-    * dimension-sized per-source rows; everything after (the sorted fold,
-    * the broadcast of Z) is dimension-sized. The per-source frame is
-    * localCheckpoint'd — two consumers, and its lineage is the full
-    * corpus agg. */
   /** Equi-depth binning of a score column (feature bucketing / score
     * calibration): nBins buckets of near-equal population, each reported
     * as (bin, n_rows, score_lo, score_hi) — the bucket-boundary artifact
@@ -508,6 +488,26 @@ object Curation {
         floor(col("kl_sum_micro") / col("n_toks")).cast("long").as("kl_micro"))
   }
 
+  /** Temperature-scaled mixture weights over the corpus' source domains
+    * (the GPT-3/LLaMA data-recipe primitive): with p_i the token share
+    * of source i, the sampling weight is w_i = p_i^alpha / Σ_j p_j^alpha
+    * — alpha < 1 flattens the mixture toward rare domains, alpha = 1 is
+    * natural sampling. Output per source: exact integer (n_docs,
+    * n_tokens), then p, w and the up/down-sampling factor w/p in
+    * round-half-up parts-per-million.
+    *
+    * Determinism: token counts and the total are exact integers; the
+    * only doubles are p, p^alpha and the two divisions. Σ_j p_j^alpha is
+    * folded in SOURCE-SORTED order via a HOF aggregate over a collected
+    * per-source array — NOT a parallel double sum — so the normalizer is
+    * the same IEEE value in any engine/partitioning (DuckDB replays it
+    * as list_sum(list(q ORDER BY source))).
+    *
+    * Scale shape: one map-side-combined hash agg over the corpus to
+    * dimension-sized per-source rows; everything after (the sorted fold,
+    * the broadcast of Z) is dimension-sized. The per-source frame is
+    * localCheckpoint'd — two consumers, and its lineage is the full
+    * corpus agg. */
   def mixtureWeights(docs: DataFrame, srcCol: String, tokCol: String,
                      alpha: Double): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")

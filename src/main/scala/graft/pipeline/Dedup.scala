@@ -326,7 +326,9 @@ object Dedup {
         }
         sc.getCheckpointDir match {
           case None => sc.setCheckpointDir(dir)
-          case Some(existing) if existing.startsWith(qualified) => ()
+          case Some(existing)
+            if existing == qualified ||
+              existing.startsWith(qualified.stripSuffix("/") + "/") => ()
           case Some(existing) => throw new IllegalArgumentException(
             s"components(checkpointDir=$dir): session checkpoint dir is already " +
               s"$existing — refusing to redirect session-global state; pass that " +

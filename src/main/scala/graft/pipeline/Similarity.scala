@@ -982,20 +982,6 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("dot"), col("rn"))
   }
 
-  /** ANN quality eval: per-query recall@k of an approximate top-k
-    * result against the exact top-k — the metric that decides whether
-    * an index's nProbe/nBits settings are good enough to ship. Both
-    * inputs are (q_id, vec_id, …) frames with ≤ k rows per query (the
-    * [[cosineTopK]]/[[cosineTopKIvf]]/[[ivfPqTopKDot]] output shape).
-    * Output: (q_id, n_hits, recall_bp) — hits = |ann ∩ exact| per
-    * query, recall in integer basis points (n_hits·10000 div k, exact
-    * in both engines). Every query in `exact` gets a row (an ANN miss
-    * of the whole query scores 0, it doesn't vanish).
-    *
-    * Scale shape: both sides are k·|Q| rows — a shuffle join on
-    * (q_id, vec_id) between two query-set-sized frames, partial-agg'd
-    * count, then a left join on q_id. Nothing here touches the corpus;
-    * cost is owned by the two search calls that feed it. */
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings, then test
     * cosine similarity ONLY within each cluster — the clustering bounds
@@ -1060,6 +1046,20 @@ object Similarity {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** ANN quality eval: per-query recall@k of an approximate top-k
+    * result against the exact top-k — the metric that decides whether
+    * an index's nProbe/nBits settings are good enough to ship. Both
+    * inputs are (q_id, vec_id, …) frames with ≤ k rows per query (the
+    * [[cosineTopK]]/[[cosineTopKIvf]]/[[ivfPqTopKDot]] output shape).
+    * Output: (q_id, n_hits, recall_bp) — hits = |ann ∩ exact| per
+    * query, recall in integer basis points (n_hits·10000 div k, exact
+    * in both engines). Every query in `exact` gets a row (an ANN miss
+    * of the whole query scores 0, it doesn't vanish).
+    *
+    * Scale shape: both sides are k·|Q| rows — a shuffle join on
+    * (q_id, vec_id) between two query-set-sized frames, partial-agg'd
+    * count, then a left join on q_id. Nothing here touches the corpus;
+    * cost is owned by the two search calls that feed it. */
   def annRecallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"recall@k needs k >= 1, got $k")
     val hits = ann.select(col("q_id"), col("vec_id"))

@@ -53,4 +53,44 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(viaSql == viaColumn)
   }
+
+  test("round-4+ expressions callable from SQL: ngram_shingle_hashes, count_in_sorted, pq_adc_score, winnow_mins") {
+    GraftExtensions.registerAll(spark)
+
+    val nshSql = spark.sql(
+      "SELECT ngram_shingle_hashes(split('a b c d e', ' '), 3, true) AS h")
+      .collect().head.getAs[scala.collection.Seq[Long]]("h")
+    val nshCol = spark.range(1)
+      .select(functions.ngram_shingle_hashes(
+        split(lit("a b c d e"), " "), 3, distinct = true).as("h"))
+      .collect().head.getAs[scala.collection.Seq[Long]]("h")
+    assert(nshSql == nshCol && nshSql.length == 3)
+
+    val cisSql = spark.sql(
+      "SELECT count_in_sorted(array(3L, 7L, 11L), array(1L, 3L, 5L, 7L, 9L)) AS c")
+      .collect().head.getLong(0)
+    val cisCol = spark.range(1)
+      .select(functions.count_in_sorted(
+        array(lit(3L), lit(7L), lit(11L)),
+        array(lit(1L), lit(3L), lit(5L), lit(7L), lit(9L))))
+      .collect().head.getLong(0)
+    assert(cisSql == cisCol && cisSql == 2L)
+
+    val adcSql = spark.sql(
+      "SELECT pq_adc_score(array(1, 0), array(10L, 20L, 30L, 40L), 2) AS s")
+      .collect().head.getLong(0)
+    val adcCol = spark.range(1)
+      .select(functions.pq_adc_score(
+        array(lit(1), lit(0)), array(lit(10L), lit(20L), lit(30L), lit(40L)), 2))
+      .collect().head.getLong(0)
+    assert(adcSql == adcCol)
+
+    val winSql = spark.sql(
+      "SELECT winnow_mins('abcdefghijklmnopqrst', 5, 4) AS w")
+      .collect().head.getAs[scala.collection.Seq[String]]("w")
+    val winCol = spark.range(1)
+      .select(functions.winnow_mins(lit("abcdefghijklmnopqrst"), 5, 4).as("w"))
+      .collect().head.getAs[scala.collection.Seq[String]]("w")
+    assert(winSql == winCol && winSql.nonEmpty)
+  }
 }
