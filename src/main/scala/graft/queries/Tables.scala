@@ -24,13 +24,30 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 only reads as
-    * long via the legacy conf (runtime-settable). `ts` arrives as
-    * nanos-since-epoch int64; `ts div 1000` == DuckDB `epoch_us(ts)` for
-    * exact cross-engine time arithmetic. */
+  /** events table — `ts` is ALWAYS presented as nanos-since-epoch int64
+    * (`ts div 1000` == DuckDB `epoch_us(ts)` for exact cross-engine time
+    * arithmetic), whatever the fixture's physical type:
+    *  - TIMESTAMP(NANOS) parquet + a Spark build honoring the legacy
+    *    `nanosAsLong` conf → already long, pass through;
+    *  - TIMESTAMP_NTZ (micros) — the current fixture/build combination —
+    *    → micros since the epoch via timestampdiff against the epoch NTZ
+    *    literal (NO session-timezone dependence; a cast through
+    *    TimestampType would shift with the session zone), then ×1000.
+    *    Sub-microsecond digits are zero, exactly like DuckDB's read of
+    *    the same file;
+    *  - TIMESTAMP (instant) → unix_micros ×1000. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000L"))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -7,11 +7,14 @@ import graft.SparkSpec
 class EventsProfileSpec extends SparkSpec {
 
   test("streaming windowed profile matches the batch twin") {
-    // file-source streaming needs a directory; the fixture is one file
+    // file-source streaming needs a directory; write the NORMALIZED
+    // events frame (ts as int64 nanos — Tables.events' contract) rather
+    // than copying the raw fixture file, whose physical timestamp type
+    // varies by fixture generation (TIMESTAMP(NANOS) vs TIMESTAMP_NTZ)
+    // and must never leak into eventsSchema-typed streaming reads.
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
+    graft.queries.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(dir.toString)
     val q = EventsProfile.start(spark, dir.toString, "ep_test")
     q.processAllAvailable()
     q.stop()
