@@ -19,7 +19,8 @@ object SparkEntry {
     Relational.entries ++ Relational2.entries ++ Relational3.entries ++
       Profiling.entries ++ Pipeline.entries ++ Pipeline2.entries ++
       Pipeline3.entries ++ Pipeline4.entries ++ Pipeline5.entries ++
-      Pipeline6.entries ++ Pipeline7.entries ++ Pipeline8.entries
+      Pipeline6.entries ++ Pipeline7.entries ++ Pipeline8.entries ++
+      Pipeline9.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

@@ -433,6 +433,45 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[winnowPairs]] with matched-region EVIDENCE — the per-pair
+    * offsets a MOSS report actually shows: for each overlapping pair,
+    * alongside the shared-fingerprint count, the first and last
+    * window-start position of any shared fingerprint on EACH side
+    * (1-based; a window starting at position p witnesses the char
+    * range [p, p+w+k-2], so (first, last+w+k-2) brackets the matched
+    * material). Same boilerplate discipline as [[winnowPairs]]:
+    * fingerprints in more than maxDf docs are dropped BEFORE the join,
+    * so no posting fans out past maxDf². The positional frame comes
+    * from the fused [[graft.expressions.functions.winnow_spans]] scan
+    * (one O(n) pass per doc — not the O(n·w) HOF window rebuild).
+    * Output: (doc_a, doc_b, n_shared, a_first, a_last, b_first,
+    * b_last), doc_a < doc_b. */
+  def winnowSpanPairs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 16,
+      minShared: Int = 2, maxDf: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
+    val fp = docs.select(col(idCol).as("doc_id"),
+        explode(graft.expressions.functions.winnow_spans(
+          col(textCol), k, w)).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"),
+        col("s.lo").as("lo"), col("s.hi").as("hi"))
+      .localCheckpoint() // feeds the df dim AND both join sides
+    val keep = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("fp")), "fp")
+    keep.select(col("fp"), col("doc_id").as("doc_a"),
+        col("lo").as("a_lo"), col("hi").as("a_hi"))
+      .join(keep.select(col("fp"), col("doc_id").as("doc_b"),
+        col("lo").as("b_lo"), col("hi").as("b_hi")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a_lo")).as("a_first"), max(col("a_hi")).as("a_last"),
+        min(col("b_lo")).as("b_first"), max(col("b_hi")).as("b_last"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** HOF reference formulation of [[winnowSets]] (spec twin, not the
     * production path). */
   private[pipeline] def winnowSetsHof(docs: org.apache.spark.sql.DataFrame,
@@ -499,6 +538,106 @@ object TextAnalysis {
       .groupBy(col("pair"), col("merged")).agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(topN)
       .select(col("pair"), col("cnt"), col("merged"))
+  }
+
+  /** Multi-step BPE TRAINING — [[bpeMergeStep]] iterated `nMerges`
+    * times over a SYMBOL-ARRAY representation (after one merge,
+    * multichar symbols make string-level replace ambiguous — a pair
+    * pattern can false-match across symbol boundaries — so the trainer
+    * works on exploded (word, position, symbol) rows instead). Per
+    * step: count adjacent symbol pairs weighted by word frequency,
+    * pick the top pair (count desc, pair asc — one total order), apply
+    * the merge greedily left-to-right, and continue on the merged
+    * state. Greedy non-overlapping application is exact: consecutive
+    * overlapping matches only arise in runs of one repeated symbol
+    * (match at i and i+1 forces pa = pb), so "kept" matches are the
+    * even offsets within each maximal run of consecutive matches —
+    * the gaps-and-islands window formulation below, which any engine
+    * replays with lead/sum/min windows (no lookbehind regex, which
+    * RE2-based engines lack).
+    *
+    * Output: one row per merge step — (step, pair, merged, cnt,
+    * vocab_size) where cnt is the pre-merge weighted pair count and
+    * vocab_size the corpus-wide distinct symbol count AFTER applying
+    * the merge (direct evidence each application cascaded correctly).
+    *
+    * Scale shape: the word-frequency aggregate is the only
+    * corpus-sized shuffle; every step after runs over the exploded
+    * distinct-word symbol frame (vocabulary-sized, shrinking as merges
+    * apply). Per-word windows partition on the word — millions of tiny
+    * sort groups, never a single-partition window. EAGER and
+    * iterative like the k-means trainers (q106–q110): each step
+    * collects the 1-row top pair and the scalar vocab size (bounded
+    * driver materializations) and localCheckpoints the symbol frame so
+    * lineage stays flat across steps. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges in [1,64] (each step is a Spark job round), got $nMerges")
+    val spark = docs.sparkSession
+    val byWord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wd")).orderBy(col("i"))
+    val chars = transform(sequence(lit(1), length(col("wd"))),
+      i => col("wd").substr(i, lit(1)))
+    // empty words (leading-whitespace split artifacts) would make
+    // sequence(1, 0) step BACKWARDS — drop them; they carry no pairs.
+    var syms = docs.select(explode(toks(col(textCol))).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy(col("wd")).agg(count(lit(1)).as("n"))
+      .select(col("wd"), col("n"), posexplode(chars))
+      .select(col("wd"), col("n"), (col("pos") + 1).as("i"),
+        col("col").as("sym"))
+      .localCheckpoint()
+    val steps = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= nMerges && !exhausted) {
+      val top = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(byWord))
+        .filter(col("nxt").isNotNull)
+        .groupBy(concat(col("sym"), lit(" "), col("nxt")).as("pr"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("pr")).limit(1)
+        .collect() // 1 row per step — bounded driver materialization
+      if (top.isEmpty) exhausted = true
+      else {
+        val pr = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        // symbols never contain whitespace (they come from \s+ tokens),
+        // so the pair string has exactly one space.
+        val Array(pa, pb) = pr.split(" ", 2)
+        val ms = pa + pb
+        val matched = syms.withColumn("mm",
+          col("sym") === lit(pa) &&
+            coalesce(lead(col("sym"), 1).over(byWord) === lit(pb),
+              lit(false)))
+        // gaps-and-islands: grp is constant within each maximal run of
+        // consecutive matches; greedy keeps the even offsets in a run.
+        val grouped = matched.withColumn("grp",
+          col("i") - sum(when(col("mm"), 1).otherwise(0)).over(byWord))
+        val kept = grouped.withColumn("keep",
+          col("mm") &&
+            (col("i") - min(when(col("mm"), col("i")))
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("wd"), col("grp")))) % 2 === 0)
+        syms = kept
+          .withColumn("consumed",
+            coalesce(lag(col("keep"), 1).over(byWord), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("wd"), col("n"),
+            row_number().over(byWord).cast("long").as("i"),
+            when(col("keep"), lit(ms)).otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+        val vocab = syms.agg(countDistinct(col("sym"))).head.getLong(0)
+        steps += ((t, pr, ms, cnt, vocab))
+        t += 1
+      }
+    }
+    import spark.implicits._
+    steps.toSeq
+      .toDF("step", "pair", "merged", "cnt", "vocab_size")
+      .withColumn("step", col("step").cast("long"))
   }
 
   /** Reference formulation of [[fingerprint]]: explode each k-char

@@ -511,6 +511,48 @@ class TextAnalysisSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("bpeTrain chains merges on symbol arrays (runs, ties, multichar symbols)") {
+    import spark.implicits._
+    // words: aaab n=2, aab n=1.
+    // step1 pairs: "a a" 2·2+1=5, "a b" 2+1=3 -> merge "a a"->aa;
+    //   greedy on the a-run: [a a a b] -> [aa a b]; [a a b] -> [aa b].
+    // step2 pairs: "aa a" 2, "a b" 2, "aa b" 1 -> tie breaks pair-asc
+    //   ("a b" < "aa a") -> merge ab; [aa a b] -> [aa ab].
+    // step3 pairs: "aa ab" 2, "aa b" 1 -> merge multichar pair -> aaab.
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a a", "aa", 5L, 3L),
+      (2L, "a b", "ab", 2L, 3L),
+      (3L, "aa ab", "aaab", 2L, 3L)), s"got ${out.toSeq}")
+  }
+
+  test("bpeTrain greedy run semantics: aaaa -> [aa aa] -> [aaaa]") {
+    import spark.implicits._
+    // one word of 4 a's: step1 match positions 1,2,3 are ONE run ->
+    // keep odd offsets 1,3 (both merge), NOT "aaa"+"a"; step2 merges
+    // the two aa symbols.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a a", "aa", 3L, 1L),
+      (2L, "aa aa", "aaaa", 1L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // step1 merges "a b" -> every word is one symbol; steps 2+ no-op.
+    val out = TextAnalysis.bpeTrain(docs, "text", nMerges = 5).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+  }
+
   test("naiveBayesClassify separates planted classes; OOV falls to priors+smoothing") {
     import spark.implicits._
     // train (id % 10 != 0): A talks apples, B talks bananas
