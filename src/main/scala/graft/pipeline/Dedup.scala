@@ -427,7 +427,16 @@ object Dedup {
     * fixture's 31-word vocabulary: n=2 gives 6M candidate pairs at 5000
     * docs — half of all pairs — n=3 gives 122k). At 100 TB, `grams` is
     * consumed by three stages (frequency dim, prefix ranking, verify) —
-    * persist it instead of recomputing the tokenize+shingle lineage. */
+    * persist it instead of recomputing the tokenize+shingle lineage.
+    *
+    * EAGER: unlike most builders here, calling this method RUNS Spark
+    * jobs before returning — the gram frame is localCheckpoint'd (it
+    * feeds three stages) and, when `maxPosting > 0`, the max posting
+    * size is measured and the call FAILS FAST with the observed fan-out
+    * if the vocabulary is too degenerate for prefix filtering. Callers
+    * that only want to inspect or compose the plan (never execute it)
+    * should pass `maxPosting = 0` knowing the checkpoint still runs, or
+    * defer construction until execution time. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
