@@ -97,6 +97,10 @@ object GraftExtensions {
       require(args.length == 3, "winnow_mins(text, k, w)")
       WinnowMins(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
     },
+    "winnow_spans" -> { args =>
+      require(args.length == 3, "winnow_spans(text, k, w)")
+      WinnowSpans(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
+    },
     "lsh_bucket_long" -> { args =>
       require(args.length == 2, "lsh_bucket_long(arr, nBits)")
       LshBucketLong(args.head, intArg(args(1), "nBits"))

@@ -329,6 +329,64 @@ object HashSig {
     new GenericArrayData(arr.toArray)
   }
 
+  /** [[winnowMins]] with positional evidence: per distinct fingerprint,
+    * the FIRST and LAST 1-based window-start index at which it was the
+    * window min — the per-doc offsets a MOSS-style overlap report
+    * shows. Same O(n) monotonic-deque scan; window starts arrive in
+    * increasing order, so the span update is a constant-time overwrite
+    * of `hi`. Returns array<struct<fp string, lo int, hi int>> in
+    * first-emission order (matching winnowMins' element order). */
+  def winnowSpans(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nh = math.max(s.length - (k - 1), 1)
+    val hex = new Array[String](nh)
+    var i = 0
+    while (i < nh) {
+      md.reset()
+      val end = math.min(i + k, s.length)
+      md.update(s.substring(i, end).getBytes("UTF-8"))
+      val d = md.digest()
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < d.length) {
+        sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(j) & 0xf, 16))
+        j += 1
+      }
+      hex(i) = sb.toString
+      i += 1
+    }
+    val spans = new java.util.LinkedHashMap[String, Array[Int]]()
+    def emit(fp: String, start1: Int): Unit = {
+      val cur = spans.get(fp)
+      if (cur == null) spans.put(fp, Array(start1, start1))
+      else cur(1) = start1 // starts are scanned in increasing order
+    }
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0 // exclusive
+    var p = 0
+    while (p < nh) {
+      while (tail > head && hex(dq(tail - 1)) >= hex(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      while (dq(head) <= p - w) head += 1
+      if (p >= w - 1) emit(hex(dq(head)), p - w + 2)
+      p += 1
+    }
+    if (nh < w) emit(hex(dq(head)), 1) // one clipped window: global min
+    val arr = new Array[Any](spans.size)
+    val it = spans.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      arr(n) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue()(0), e.getValue()(1))
+      n += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length && i < b.length) {
@@ -454,6 +512,12 @@ object functions {
   def winnow_mins(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowMins(Bridge.expression(text), k, w))
 
+  /** Winnowing fingerprints with positional evidence: per distinct
+    * fingerprint its first/last 1-based window-start index — feeds the
+    * MOSS-style matched-region report (q139). */
+  def winnow_spans(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowSpans(Bridge.expression(text), k, w))
+
   /** Word n-gram shingles of a token array (optionally distinct,
     * first-occurrence order) — fused loop, no HOF lambdas. */
   def ngram_shingles(toks: Column, n: Int, distinct: Boolean): Column =
@@ -499,6 +563,23 @@ case class WinnowMins(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.winnowMins($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+/** `winnow_spans(text, k, w)`: string → array<struct<fp,lo,hi>> —
+  * [[WinnowMins]] with first/last window-start evidence per distinct
+  * fingerprint (see HashSig.winnowSpans). */
+case class WinnowSpans(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", StringType, nullable = false),
+    StructField("lo", IntegerType, nullable = false),
+    StructField("hi", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.winnowSpans(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.winnowSpans($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSpans =
     copy(child = newChild)
 }
 

@@ -87,6 +87,55 @@ object Pipeline9 {
       (s, d) => graft.pipeline.TextAnalysis.bpeTrain(
         Tables.documents(s, d), "text", nMerges = 4)
         .orderBy(col("step")),
-      Some(bpeTrainSql(4)))
+      Some(bpeTrainSql(4))),
+
+    // MOSS overlap report WITH matched-region evidence — the q135 pair
+    // report extended with the first/last shared-fingerprint window
+    // start on each side (what MOSS actually displays per pair). The
+    // positional frame comes from the fused winnow_spans scan; the
+    // oracle rebuilds per-(doc, fp) min/max window positions from the
+    // same ROWS-following window mins as q134/q135 and aggregates them
+    // through the identical df<=10 boilerplate filter and pair join.
+    QEntry("q139_winnow_span_pairs",
+      (s, d) => graft.pipeline.TextAnalysis.winnowSpanPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxDf = 10)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH pos AS (
+                SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                    AS i
+                FROM documents),
+              h AS (
+                SELECT doc_id, i,
+                  md5(substr(text, CAST(i AS INT), 8)) AS hv,
+                  greatest(length(text) - 7, 1) AS nh
+                FROM pos),
+              wmin AS (
+                SELECT doc_id, i, nh,
+                  min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+                FROM h),
+              fps AS (
+                SELECT doc_id, fp,
+                  CAST(min(i) AS INT) AS lo, CAST(max(i) AS INT) AS hi
+                FROM wmin WHERE i <= greatest(nh - 15, 1)
+                GROUP BY doc_id, fp),
+              dfreq AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10),
+              keep AS (
+                SELECT fps.doc_id, fps.fp, fps.lo, fps.hi
+                FROM fps JOIN dfreq USING (fp))
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS n_shared,
+                CAST(min(a.lo) AS INT) AS a_first,
+                CAST(max(a.hi) AS INT) AS a_last,
+                CAST(min(b.lo) AS INT) AS b_first,
+                CAST(max(b.hi) AS INT) AS b_last
+              FROM keep a JOIN keep b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2
+              ORDER BY doc_a, doc_b"""))
   )
 }

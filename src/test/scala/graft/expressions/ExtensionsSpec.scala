@@ -93,4 +93,20 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[String]]("w")
     assert(winSql == winCol && winSql.nonEmpty)
   }
+
+  test("winnow_spans callable from SQL, matches the Column builder") {
+    GraftExtensions.registerAll(spark)
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getInt(2))
+    val viaSql = spark.sql(
+      "SELECT winnow_spans('abcdefghijklmnopqrst', 5, 4) AS s")
+      .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("s")
+      .map(tup)
+    val viaColumn = spark.range(1)
+      .select(functions.winnow_spans(lit("abcdefghijklmnopqrst"), 5, 4).as("s"))
+      .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("s")
+      .map(tup)
+    assert(viaSql == viaColumn && viaSql.nonEmpty)
+    assert(viaSql.forall { case (_, lo, hi) => lo >= 1 && hi >= lo })
+  }
 }

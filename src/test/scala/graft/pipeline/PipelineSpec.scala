@@ -481,6 +481,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnow_spans positions match a per-window HOF reconstruction") {
+    val docs = graft.queries.Tables.documents(spark, sf).limit(80)
+    val (k, w) = (8, 16)
+    val fused = docs.select(col("doc_id"),
+        explode(graft.expressions.functions.winnow_spans(col("text"), k, w))
+          .as("s"))
+      .select(col("doc_id"), col("s.fp"), col("s.lo"), col("s.hi"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    // reference: materialize every window's min with its 1-based start,
+    // then min/max start per (doc, fp) — the q139 oracle's shape.
+    val ref = docs.select(col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+          i => md5(col("text").substr(i, lit(k)))).as("h"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("h")) - (w - 1), lit(1))),
+          j => array_min(slice(col("h"), j, lit(w))))))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("fp"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("j")).as("lo"), max(col("j")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    assert(fused == ref,
+      s"diverges on ${(fused.keySet ++ ref.keySet).filter(x =>
+        fused.get(x) != ref.get(x)).take(3)}")
+  }
+
+  test("winnow_spans fingerprint set equals winnow_mins, order included") {
+    val docs = graft.queries.Tables.documents(spark, sf).limit(80)
+    val a = docs.select(col("doc_id"),
+        graft.expressions.functions.winnow_mins(col("text"), 8, 16).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = docs.select(col("doc_id"),
+        graft.expressions.functions.winnow_spans(col("text"), 8, 16).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))).toMap
+    assert(a == b)
+  }
+
   test("bm25Search ranks tf-dense short docs first; query term repeats collapse") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana"), (2L, "apple apple apple"),
