@@ -89,6 +89,178 @@ object Pipeline9 {
         .orderBy(col("step")),
       Some(bpeTrainSql(4))),
 
+    // Recall@k over the TRAINED index family — closing the loop q116
+    // opened: the SAME eval (intersection with the exact top-5, integer
+    // basis points) scored for BOTH the seed-centroid IVF (q47) and the
+    // exact-trained-centroid IVF (q108), per query in one row. The
+    // oracle replays the exact search, both IVF searches (including the
+    // full Lloyd training chain) and both evals — so the index-quality
+    // COMPARISON itself is hash-pinned, not just its ingredients.
+    QEntry("q138_recall_trained_vs_seed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        // one exact search, checkpointed — it feeds both evals
+        val exact = graft.pipeline.Similarity.cosineTopK(queries, emb, 5)
+          .localCheckpoint()
+        val untrained = graft.pipeline.Similarity.cosineTopKIvf(
+          queries, emb, k = 5, nList = 16, nProbe = 4)
+        val cent = graft.pipeline.Similarity
+          .ivfCentroidsTrainedExact(emb, nList = 16, dim = 64, iters = 1)
+        val trained = graft.pipeline.Similarity.cosineTopKIvf(
+          queries, emb, k = 5, nList = 16, nProbe = 4,
+          centroids = Some(cent))
+        val ru = graft.pipeline.Similarity.annRecallAtK(untrained, exact, 5)
+          .select(col("q_id"), col("recall_bp").as("untrained_bp"))
+        val rt = graft.pipeline.Similarity.annRecallAtK(trained, exact, 5)
+          .select(col("q_id"), col("recall_bp").as("trained_bp"))
+        ru.join(rt, Seq("q_id")).orderBy(col("q_id"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              escored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM qz q CROSS JOIN qz c
+                WHERE q.vec_id % 100 = 0),
+              exactk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM escored) WHERE rn <= 5),
+              u_cent AS (
+                SELECT cs.vec_id AS cid, qz.qe AS cente,
+                  CAST(list_sum(list_transform(qz.qe, x -> x*x)) AS BIGINT) AS nc
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16) cs
+                JOIN qz ON qz.vec_id = cs.vec_id),
+              u_cfit AS (
+                SELECT qz.vec_id, u_cent.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       i -> qz.qe[i+1]*u_cent.cente[i+1])) AS BIGINT)
+                    / sqrt(u_cent.nc) AS cscore
+                FROM qz CROSS JOIN u_cent),
+              u_assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS arn
+                  FROM u_cfit) WHERE arn = 1),
+              u_probes AS (
+                SELECT vec_id AS q_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS prn
+                  FROM u_cfit WHERE vec_id % 100 = 0) WHERE prn <= 4),
+              u_scored AS (
+                SELECT p.q_id, a.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM u_probes p
+                JOIN u_assigned a ON a.cluster = p.cluster
+                JOIN qz q ON q.vec_id = p.q_id
+                JOIN qz c ON c.vec_id = a.vec_id),
+              u_annk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM u_scored) WHERE rn <= 5),
+              seeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+              cb0 AS (
+                SELECT seeds.cid, qz.qe AS cv FROM seeds JOIN qz USING (vec_id)),
+              tdots AS (
+                SELECT qz.vec_id, cb0.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1] * cb0.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb0.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM qz CROSS JOIN cb0),
+              tassign AS (
+                SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM tdots) WHERE arn = 1),
+              tmeans AS (
+                SELECT a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(qz.qe[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM tassign a
+                JOIN qz ON qz.vec_id = a.vec_id
+                CROSS JOIN range(64) t(i)
+                GROUP BY a.cid, t.i),
+              seedc AS (
+                SELECT cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb0 CROSS JOIN range(64) t(i)),
+              tcent AS (
+                SELECT sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cente
+                FROM seedc sc
+                LEFT JOIN tmeans m ON m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.cid),
+              tcentn AS (
+                SELECT cid, cente,
+                  CAST(list_sum(list_transform(cente, x -> x*x)) AS BIGINT) AS nc
+                FROM tcent),
+              t_cfit AS (
+                SELECT qz.vec_id, tcentn.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1]*tcentn.cente[j+1])) AS BIGINT)
+                    / sqrt(tcentn.nc) AS cscore
+                FROM qz CROSS JOIN tcentn),
+              t_assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS arn
+                  FROM t_cfit) WHERE arn = 1),
+              t_probes AS (
+                SELECT vec_id AS q_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS prn
+                  FROM t_cfit WHERE vec_id % 100 = 0) WHERE prn <= 4),
+              t_scored AS (
+                SELECT p.q_id, a.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       j -> q.qe[j+1]*c.qe[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM t_probes p
+                JOIN t_assigned a ON a.cluster = p.cluster
+                JOIN qz q ON q.vec_id = p.q_id
+                JOIN qz c ON c.vec_id = a.vec_id),
+              t_annk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM t_scored) WHERE rn <= 5),
+              u_hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM u_annk JOIN exactk USING (q_id, vec_id) GROUP BY q_id),
+              t_hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM t_annk JOIN exactk USING (q_id, vec_id) GROUP BY q_id)
+              SELECT e.q_id,
+                coalesce(u.n_hits, 0) * 10000 // 5 AS untrained_bp,
+                coalesce(t.n_hits, 0) * 10000 // 5 AS trained_bp
+              FROM (SELECT DISTINCT q_id FROM exactk) e
+              LEFT JOIN u_hits u USING (q_id)
+              LEFT JOIN t_hits t USING (q_id)
+              ORDER BY e.q_id""")),
+
     // MOSS overlap report WITH matched-region evidence — the q135 pair
     // report extended with the first/last shared-fingerprint window
     // start on each side (what MOSS actually displays per pair). The

@@ -229,6 +229,25 @@ class DedupSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
 
+  test("trained IVF recall@k >= seed-centroid recall on aggregate (q138 claim)") {
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val exact = Similarity.cosineTopK(queries, emb, 5).localCheckpoint()
+    val seed = Similarity.cosineTopKIvf(queries, emb, k = 5,
+      nList = 16, nProbe = 4)
+    val cent = Similarity.ivfCentroidsTrainedExact(emb, 16, 64, iters = 1)
+    val trained = Similarity.cosineTopKIvf(queries, emb, k = 5,
+      nList = 16, nProbe = 4, centroids = Some(cent))
+    def total(ann: org.apache.spark.sql.DataFrame): Long =
+      Similarity.annRecallAtK(ann, exact, 5)
+        .agg(sum(col("recall_bp"))).head.getLong(0)
+    val (ts, us) = (total(trained), total(seed))
+    // not a pointwise guarantee (a Lloyd step can hurt one query);
+    // the index-quality claim is the aggregate
+    assert(ts >= us, s"trained total $ts < seed total $us")
+  }
+
   test("cosine top-1 of a corpus vector is itself") {
     val emb = graft.queries.Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") === 7)
