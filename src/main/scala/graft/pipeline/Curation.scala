@@ -528,4 +528,90 @@ object Curation {
         round(col("q") / col("z") * 1e6, 0).cast("long").as("w_ppm"),
         round(col("q") / col("z") / col("p") * 1e6, 0).cast("long").as("up_ppm"))
   }
+
+  /** The composed end-to-end curation pipeline — what a real 100 TB
+    * ingestion round runs as ONE dataflow, with no driver-side glue
+    * between stages:
+    *
+    *   1. [[snapshotDiff]]: keep only docs `added` or `changed` vs the
+    *      previous crawl (the incremental batch);
+    *   2. exact dedup keep-best: min id per md5(text) digest;
+    *   3. near dedup keep-best: [[Dedup.ngramJaccardPairs]] (exact
+    *      PPJoin n-gram Jaccard) → [[Dedup.components]] → keep each
+    *      cluster's min id (= its component label);
+    *   4. [[qualityFilterStack]]: Gopher gates + repetition thresholds,
+    *      keep=true survivors only;
+    *   5. [[TextAnalysis.decontaminate]]: remove benchmark n-gram
+    *      spans; the post-edit token count becomes the doc's weight;
+    *   6. [[prioritySample]]: deterministic weighted top-k;
+    *   7. [[packSequences]]: per-source token-budget bins;
+    *   8. [[balancedShards]]: round-robin shard over the weight-DESC
+    *      global rank.
+    *
+    * Output: one row per sampled doc — (id, source, w, cum_tok,
+    * bin_id, rn, shard) — the writer-side artifact (bin for packing,
+    * shard for the physical write split).
+    *
+    * Scale shape: every stage is the already-audited operator — the
+    * corpus-sized shuffles are the digest agg (2), the gram joins (3)
+    * and the quality/decontaminate projections' input scans; stages 6–8
+    * run on sample-sized frames. The batch and exact-survivor frames
+    * localCheckpoint once each (each feeds 2–3 consumers — without the
+    * checkpoint every consumer would re-run the snapshot join). EAGER
+    * like its constituents (3's posting guard + components iterate).
+    *
+    * Determinism: each stage is individually engine-exact (integer
+    * thresholds, md5 draws, total orders); the q136 oracle replays the
+    * whole chain. */
+  def curationPipeline(
+      oldSnap: DataFrame, newSnap: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, srcCol: String,
+      jacN: Int, jacTNum: Int, jacTDen: Int,
+      dup2MaxBp: Int, top2MaxBp: Int, dup3MaxBp: Int,
+      decontN: Int, sampleK: Int, salt: String,
+      packBudget: Int, nShards: Int): DataFrame = {
+    // 1. incremental batch
+    val diff = snapshotDiff(oldSnap, newSnap, idCol, textCol)
+    val batch = newSnap
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        col(srcCol).as("source"))
+      .join(diff.filter(col("status").isin("added", "changed"))
+        .select(col("id")), "id")
+      .localCheckpoint()
+    // 2. exact dedup keep-best
+    val exKeep = batch.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("id")).as("id")).select(col("id"))
+    val ex = batch.join(exKeep, "id").localCheckpoint()
+    // 3. near dedup keep-best (exact Jaccard pairs → components)
+    val pairs = Dedup.ngramJaccardPairs(ex, "id", "text",
+        n = jacN, tNum = jacTNum, tDen = jacTDen)
+      .select(col("a_id"), col("b_id"))
+    val comp = Dedup.components(pairs, ex.select(col("id")))
+    val surv = ex.join(
+      comp.filter(col("id") === col("component")).select(col("id")), "id")
+    // 4. quality gates
+    val qual = qualityFilterStack(surv, "id", "text",
+        dup2MaxBp, top2MaxBp, dup3MaxBp)
+      .filter(col("keep")).select(col("doc_id").as("id"))
+    val qs = surv.join(qual, "id").localCheckpoint()
+    // 5. decontaminate; post-edit token count = sampling weight
+    val weighted = TextAnalysis.decontaminate(qs, bench, "id", "text", decontN)
+      .select(col("doc_id").as("id"),
+        (col("n_tok") - col("n_removed")).as("w"))
+    // 6. weighted sample (key, w, priority)
+    val samp = prioritySample(weighted, "id", "w", sampleK, salt)
+      .localCheckpoint() // feeds pack AND shards
+    // 7. pack per source
+    val packed = packSequences(
+      samp.join(qs.select(col("id").as("key"), col("source")), "key"),
+      "key", "source", "w", packBudget)
+    // 8. balanced shards over the same sample
+    val sh = balancedShards(samp, "key", "w", nShards)
+    packed
+      .select(col("key").as("id"), col("source"), col("w"),
+        col("cum_tok"), col("bin_id"))
+      .join(sh.select(col("id"), col("rn"), col("shard")), "id")
+      .select(col("id"), col("source"), col("w"), col("cum_tok"),
+        col("bin_id"), col("rn"), col("shard"))
+  }
 }

@@ -352,7 +352,13 @@ object Dedup {
     //    lineage.
     val e0 = ckpt(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
-    val bigGraph = e0.count() > 1000000L // past any broadcastable label frame
+    val nEdges = e0.count()
+    // Edgeless graph (a clean corpus — every doc its own component):
+    // the label loop's sum-fixpoint probe would read sum(empty) = NULL,
+    // and there is nothing to iterate anyway.
+    if (nEdges == 0)
+      return nodes.select(col("id"), col("id").as("component"))
+    val bigGraph = nEdges > 1000000L // past any broadcastable label frame
     val edges = if (bigGraph) e0.repartition(col("src")).persist() else e0
     // Only edge-touched nodes can ever change label — iterate over that
     // subgraph (O(E) per round) and re-attach the isolated majority at

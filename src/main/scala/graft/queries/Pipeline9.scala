@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline9 {
 
+  private val stopList =
+    graft.pipeline.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
   /** Chained-CTE oracle for [[graft.pipeline.TextAnalysis.bpeTrain]]:
     * one block per merge step — pair counts via lead(), top-1 pick,
     * greedy application via the gaps-and-islands windows (grp constant
@@ -88,6 +91,220 @@ object Pipeline9 {
         Tables.documents(s, d), "text", nMerges = 4)
         .orderBy(col("step")),
       Some(bpeTrainSql(4))),
+
+    // The composed end-to-end curation pipeline as ONE dataflow:
+    // snapshotDiff (derived crawls: old = the %3==1 slice, new = all
+    // non-benchmark docs minus %17==3 removals, %11==0 texts mutated,
+    // plus %50==7 docs re-crawled as exact-text URL aliases under
+    // id+10000 — so added/changed/removed AND exact dups are all live)
+    // → exact dedup keep-best (q30) → exact n-gram-Jaccard near-dup +
+    // components keep-best (q61+q55, 8-9 live pairs) → quality stack
+    // (q133 thresholds) → benchmark decontamination (q115, post-edit
+    // token count = weight) → priority sample (q111, k=50) →
+    // per-source packing (q88, budget 256) → balanced shards (q130,
+    // S=4). The oracle replays the ENTIRE chain — every stage's
+    // individual oracle composed with its doc set rescoped to the
+    // previous stage's survivors.
+    QEntry("q136_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldS = docs.filter(col("doc_id") % 3 === 1 &&
+          col("doc_id") % 10 =!= 0)
+        val base = docs.filter(col("doc_id") % 10 =!= 0 &&
+            col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"),
+            col("source"))
+        val newS = base.union(
+          base.filter(col("doc_id") % 50 === 7)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              col("text"), col("source")))
+        val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+        graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
+          "doc_id", "text", "source",
+          jacN = 3, jacTNum = 4, jacTDen = 5,
+          dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
+          decontN = 8, sampleK = 50, salt = "q136",
+          packBudget = 256, nShards = 4)
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE olds AS (
+                SELECT doc_id AS id, text FROM documents
+                WHERE doc_id % 3 = 1 AND doc_id % 10 != 0),
+              news0 AS (
+                SELECT doc_id AS id,
+                  CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                       ELSE text END AS text,
+                  source
+                FROM documents WHERE doc_id % 10 != 0 AND doc_id % 17 != 3),
+              news AS (
+                SELECT id, text, source FROM news0
+                UNION ALL
+                SELECT id + 10000, text, source FROM news0
+                WHERE id % 50 = 7),
+              batch AS (
+                SELECT n.id, n.text, n.source
+                FROM news n LEFT JOIN olds o ON o.id = n.id
+                WHERE o.id IS NULL OR md5(o.text) != md5(n.text)),
+              exk AS (SELECT min(id) AS id FROM batch GROUP BY md5(text)),
+              ex AS (SELECT b.id, b.text, b.source
+                     FROM batch b JOIN exk USING (id)),
+              t3 AS (
+                SELECT id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM ex),
+              g3 AS (
+                SELECT id, list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
+                FROM t3 WHERE len(toks) >= 3),
+              e3 AS (SELECT id, unnest(gs) AS tok FROM g3),
+              sz3 AS (SELECT id, len(gs) AS ntok FROM g3),
+              inter3 AS (
+                SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+                FROM e3 a JOIN e3 b ON a.tok = b.tok AND a.id < b.id
+                GROUP BY 1, 2),
+              prs AS (
+                SELECT i.a_id, i.b_id FROM inter3 i
+                JOIN sz3 sa ON sa.id = i.a_id
+                JOIN sz3 sb ON sb.id = i.b_id
+                WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+              edges AS (
+                SELECT a_id AS src, b_id AS dst FROM prs
+                UNION ALL SELECT b_id, a_id FROM prs),
+              comp(id, lbl) AS (
+                SELECT id, id FROM ex
+                UNION
+                SELECT edges.dst, comp.lbl
+                FROM comp JOIN edges ON edges.src = comp.id),
+              cmin AS (SELECT id, min(lbl) AS component FROM comp GROUP BY id),
+              surv AS (
+                SELECT ex.id, ex.text, ex.source FROM ex
+                JOIN cmin ON cmin.id = ex.id AND cmin.component = ex.id),
+              tq AS (
+                SELECT id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM surv),
+              qf AS (
+                SELECT id,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(toks, x -> x IN ($stopList)))
+                    AS BIGINT) AS n_stop,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                FROM tq),
+              qg AS (
+                SELECT id,
+                  (n_tok >= 10 AND n_tok <= 90) AS ok_len,
+                  (sum_tok_len >= n_tok * 3 AND sum_tok_len <= n_tok * 10)
+                    AS ok_wl,
+                  (n_stop * 100 >= n_tok) AS ok_stop,
+                  (n_distinct * 10 >= n_tok * 4) AS ok_rep
+                FROM qf),
+              qgr AS (
+                SELECT id, nn.n,
+                  list_aggregate(toks[i+1 : i+nn.n], 'string_agg', ' ') AS grm
+                FROM tq
+                CROSS JOIN (VALUES (2), (3)) nn(n)
+                CROSS JOIN range(4096) r(i)
+                WHERE i + nn.n <= len(toks)),
+              qpc AS (
+                SELECT id, n, grm, count(*) AS c
+                FROM qgr GROUP BY id, n, grm),
+              qst AS (
+                SELECT id, n, sum(c) AS ng, count(*) AS nd, max(c) AS top
+                FROM qpc GROUP BY id, n),
+              qw AS (
+                SELECT s.id,
+                  coalesce(max(CASE WHEN qst.n = 2 THEN qst.ng END), 0) AS n2,
+                  coalesce(max(CASE WHEN qst.n = 2 THEN qst.nd END), 0) AS nd2,
+                  coalesce(max(CASE WHEN qst.n = 2 THEN qst.top END), 0) AS top2,
+                  coalesce(max(CASE WHEN qst.n = 3 THEN qst.ng END), 0) AS n3,
+                  coalesce(max(CASE WHEN qst.n = 3 THEN qst.nd END), 0) AS nd3
+                FROM surv s LEFT JOIN qst ON s.id = qst.id
+                GROUP BY s.id),
+              qb AS (
+                SELECT id,
+                  CASE WHEN n2 > 0
+                    THEN CAST(floor((n2 - nd2) * 10000 / n2) AS BIGINT)
+                    ELSE 0 END AS dup2_bp,
+                  CASE WHEN n2 > 0
+                    THEN CAST(floor(top2 * 10000 / n2) AS BIGINT)
+                    ELSE 0 END AS top2_bp,
+                  CASE WHEN n3 > 0
+                    THEN CAST(floor((n3 - nd3) * 10000 / n3) AS BIGINT)
+                    ELSE 0 END AS dup3_bp
+                FROM qw),
+              qs AS (
+                SELECT surv.id, surv.text, surv.source
+                FROM surv
+                JOIN qg USING (id) JOIN qb USING (id)
+                WHERE qg.ok_len AND qg.ok_wl AND qg.ok_stop AND qg.ok_rep
+                  AND qb.dup2_bp <= 1000 AND qb.top2_bp <= 1500
+                  AND qb.dup3_bp <= 100),
+              tk AS (
+                SELECT id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM qs),
+              shq AS (
+                SELECT id, CAST(r.i AS BIGINT) AS s,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                  toks[i+6] || ' ' || toks[i+7] AS g
+                FROM tk CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 7 <= len(toks)),
+              bsh AS (
+                SELECT bt.toks[i] || ' ' || bt.toks[i+1] || ' ' ||
+                  bt.toks[i+2] || ' ' || bt.toks[i+3] || ' ' ||
+                  bt.toks[i+4] || ' ' || bt.toks[i+5] || ' ' ||
+                  bt.toks[i+6] || ' ' || bt.toks[i+7] AS g
+                FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents WHERE doc_id % 10 = 0) bt
+                CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 7 <= len(bt.toks)),
+              benchg AS (SELECT DISTINCT g FROM bsh),
+              fs AS (SELECT shq.id, shq.s FROM shq JOIN benchg USING (g)),
+              fa AS (SELECT id, list(s ORDER BY s) AS ss FROM fs GROUP BY id),
+              basek AS (
+                SELECT t.id, t.toks, COALESCE(fa.ss, []) AS ss
+                FROM tk t LEFT JOIN fa USING (id)),
+              keptpos AS (
+                SELECT id,
+                  list_filter(range(1, len(toks) + 1),
+                    p -> len(list_filter(ss, s -> s <= p AND s + 7 >= p)) = 0)
+                    AS kp
+                FROM basek),
+              wgt AS (SELECT id, CAST(len(kp) AS BIGINT) AS w FROM keptpos),
+              pri AS (
+                SELECT id AS key, w,
+                  (w * 4294967296)
+                    // (('0x' || substr(md5(CAST(id AS VARCHAR) || ':q136'),
+                        1, 8))::BIGINT + 1) AS priority
+                FROM wgt),
+              samp AS (
+                SELECT key, w FROM pri
+                ORDER BY priority DESC, key LIMIT 50),
+              ss2 AS (
+                SELECT s.key, s.w, q.source
+                FROM samp s JOIN qs q ON q.id = s.key),
+              c2 AS (
+                SELECT source, key, w,
+                  sum(w) OVER (PARTITION BY source ORDER BY key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tok
+                FROM ss2),
+              packed AS (
+                SELECT source, key, w,
+                  CAST(cum_tok AS BIGINT) AS cum_tok,
+                  CAST(floor((cum_tok - w) / 256.0) AS BIGINT) AS bin_id
+                FROM c2),
+              shr AS (
+                SELECT key,
+                  CAST(row_number() OVER (ORDER BY w DESC, key) AS INT) AS rn
+                FROM samp)
+              SELECT p.key AS id, p.source, p.w, p.cum_tok, p.bin_id,
+                s.rn, CAST((s.rn - 1) % 4 AS INT) AS shard
+              FROM packed p JOIN shr s USING (key)
+              ORDER BY id""")),
 
     // Recall@k over the TRAINED index family — closing the loop q116
     // opened: the SAME eval (intersection with the exact top-5, integer

@@ -256,6 +256,23 @@ class PlanQualitySpec extends SparkSpec {
       s"no range partitioning for the two-pass rank:\n$plan")
   }
 
+  test("q136 composed pipeline: sample stages never rescan the corpus, no cartesian, partitioned windows") {
+    val plan = finalPlan(query("q136_curation_pipeline"))
+    // Stages 6-8 (sample -> pack -> shard) must run on the checkpointed
+    // sample-sized frames: the final plan reads checkpoint RDDs only —
+    // zero parquet re-scans after the corpus-sized stages finish.
+    assert(!plan.contains("Scan parquet"),
+      s"sample/pack/shard stages rescanned the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the composed plan:\n$plan")
+    // Only the per-source packing window and GlobalRank's __pid offsets
+    // window may appear — anything else is a single-partition funnel.
+    val specs = "windowspecdefinition\\([^\n]{0,40}".r.findAllIn(plan).toList
+    assert(specs.nonEmpty, s"no windows in the composed plan:\n$plan")
+    assert(specs.forall(s => s.contains("source") || s.contains("__pid")),
+      s"window not partitioned by source/__pid:\n$specs")
+  }
+
   test("fused-kernel profile summary: one scan, one explode, agg combined") {
     val plan = finalPlan(query("q28_profile_summary"))
     val scans = "Scan parquet".r.findAllIn(plan).length

@@ -96,4 +96,52 @@ class CurationPipelineSpec extends SparkSpec {
         assert(lo == 0L && n == hi + 1, s"$lang bins not contiguous: [$lo,$hi] n=$n")
       }
   }
+
+  test("curationPipeline (q136): invariants hold across the whole chain") {
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val oldS = docs.filter(col("doc_id") % 3 === 1 &&
+      col("doc_id") % 10 =!= 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val newS = base.union(
+      base.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          col("text"), col("source")))
+    val bench = TextAnalysis.benchShingleHashSet(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+    val out = Curation.curationPipeline(oldS, newS, bench,
+      "doc_id", "text", "source",
+      jacN = 3, jacTNum = 4, jacTDen = 5,
+      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
+      decontN = 8, sampleK = 50, salt = "q136",
+      packBudget = 256, nShards = 4).collect()
+    // sample hits its k exactly (enough survivors on the fixture)
+    assert(out.length == 50, s"expected 50 sampled docs, got ${out.length}")
+    val ids = out.map(_.getAs[Long]("id"))
+    assert(ids.distinct.length == ids.length, "duplicate ids in output")
+    // rn is a permutation of 1..k
+    assert(out.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 50),
+      "rn is not the 1..k ranking")
+    // round-robin balance bound: max-min shard token mass <= heaviest doc
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("w")).sum).toMap
+    assert(byShard.size == 4, s"expected 4 shards, got ${byShard.keySet}")
+    val maxW = out.map(_.getAs[Long]("w")).max
+    assert(byShard.values.max - byShard.values.min <= maxW,
+      s"shard imbalance ${byShard.values.max - byShard.values.min} > heaviest doc $maxW")
+    // packing: a doc's bin is its start offset div budget within (source, key asc)
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      rows.sortBy(_.getAs[Long]("id")).foldLeft(0L) { (cum, r) =>
+        assert(r.getAs[Long]("bin_id") == cum / 256,
+          s"bin mismatch for id ${r.getAs[Long]("id")}")
+        val c2 = cum + r.getAs[Long]("w")
+        assert(r.getAs[Long]("cum_tok") == c2, "cum_tok mismatch")
+        c2
+      }
+    }
+  }
 }

@@ -146,6 +146,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("components of an edgeless graph: every node is its own component") {
+    import spark.implicits._
+    // a clean corpus produces ZERO near-dup pairs — the label loop must
+    // not run (its sum-fixpoint probe would read sum(empty) = NULL)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = Dedup.components(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $out")
+  }
+
   test("components: the per-round prop join re-exchanges neither side") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
