@@ -587,11 +587,23 @@ object Curation {
         n = jacN, tNum = jacTNum, tDen = jacTDen)
       .select(col("a_id"), col("b_id"))
     val comp = Dedup.components(pairs, ex.select(col("id")))
+    // checkpoint: surv feeds the quality derivation AND the keep join,
+    // and a join lineage above qualityFilterStack's staged projections
+    // lets CollapseProject re-inline the hoisted gram/fold attributes
+    // (the q123 lambda-capture lesson) — measured 7.2 s -> ~2 s at
+    // sf0.1 with the checkpoint.
     val surv = ex.join(
       comp.filter(col("id") === col("component")).select(col("id")), "id")
-    // 4. quality gates
+      .localCheckpoint()
+    // 4. quality gates. The checkpoint before .filter(keep) is a
+    // pushdown BARRIER, not just reuse: Catalyst would push the keep
+    // predicate through qualityFilterStack's staged projections,
+    // re-inlining the tokenize/gram/runFold chain many times into one
+    // Filter (the q123 CollapseProject lesson, filter-pushdown
+    // edition) — measured 11 s vs 0.3 s at sf0.1 for the same rows.
     val qual = qualityFilterStack(surv, "id", "text",
         dup2MaxBp, top2MaxBp, dup3MaxBp)
+      .localCheckpoint()
       .filter(col("keep")).select(col("doc_id").as("id"))
     val qs = surv.join(qual, "id").localCheckpoint()
     // 5. decontaminate; post-edit token count = sampling weight
