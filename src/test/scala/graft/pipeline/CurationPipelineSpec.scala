@@ -97,6 +97,19 @@ class CurationPipelineSpec extends SparkSpec {
       }
   }
 
+  test("curationPipeline: an empty incremental batch (old == new) flows through to zero rows") {
+    // the COMMON production case: an ingestion round where nothing
+    // changed — every stage (exact dedup, pair join, components,
+    // quality, decontaminate, sample, pack, shard) must accept an
+    // empty frame rather than tripping on empty aggregates
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val bench = TextAnalysis.benchShingleHashSet(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+    val out = Curation.curationPipeline(docs, docs, bench,
+      "doc_id", "text", "source", 3, 4, 5, 1000, 1500, 100, 8, 50, "e", 256, 4)
+    assert(out.count() == 0)
+  }
+
   test("curationPipeline (q136): invariants hold across the whole chain") {
     val docs = graft.queries.Tables.documents(spark, sf)
     val oldS = docs.filter(col("doc_id") % 3 === 1 &&

@@ -540,6 +540,27 @@ class TextAnalysisSpec extends SparkSpec {
         fused.get(x) != ref.get(x)).take(3)}")
   }
 
+  test("winnow_spans stays O(n) on a long document (500k chars, bounded wall)") {
+    import spark.implicits._
+    // one 500k-char doc -> ~500k shingle hashes through the monotonic
+    // deque; a quadratic or O(n*w) regression would blow far past the
+    // bound (the spanCorrupt long-doc lesson applied to winnowing)
+    val text = {
+      val r = new scala.util.Random(42)
+      val sb = new StringBuilder
+      while (sb.length < 500000) { sb.append(('a' + r.nextInt(26)).toChar) }
+      sb.toString
+    }
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime
+    val n = docs.select(
+        size(graft.expressions.functions.winnow_spans(col("text"), 8, 16)))
+      .head.getInt(0)
+    val secs = (System.nanoTime - t0) / 1e9
+    assert(n > 0)
+    assert(secs < 30.0, f"500k-char winnow_spans took $secs%.1f s — not linear")
+  }
+
   test("winnow_spans fingerprint set equals winnow_mins, order included") {
     val docs = graft.queries.Tables.documents(spark, sf).limit(80)
     val a = docs.select(col("doc_id"),
