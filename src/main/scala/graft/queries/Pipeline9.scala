@@ -478,6 +478,253 @@ object Pipeline9 {
               LEFT JOIN t_hits t USING (q_id)
               ORDER BY e.q_id""")),
 
+    // The last cell of the index-eval matrix (q116: seed IVF; q138:
+    // seed vs trained IVF): recall@k of the TRAINED IVF (q108 config,
+    // nList=16/nProbe=4) against the TRAINED IVFADC (q110 config,
+    // nList=4/m=4/ksub=4/nProbe=2) — the residual-quantization
+    // fidelity cost of the ADC index as shipped, per query,
+    // hash-pinned. Configurations differ deliberately: these are the
+    // two trained indexes exactly as their gate rows run them. The
+    // oracle replays the exact search, the full-vector Lloyd IVF
+    // chain, the complete IVFADC chain (coarse assign → residuals →
+    // codebook seed → Lloyd → re-encode → probes → ADC scores) and
+    // both evals.
+    QEntry("q140_recall_ivf_vs_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val exact = graft.pipeline.Similarity.cosineTopK(queries, emb, 5)
+          .localCheckpoint()
+        val cent = graft.pipeline.Similarity
+          .ivfCentroidsTrainedExact(emb, nList = 16, dim = 64, iters = 1)
+        val ivf = graft.pipeline.Similarity.cosineTopKIvf(
+          queries, emb, k = 5, nList = 16, nProbe = 4,
+          centroids = Some(cent))
+        val adc = graft.pipeline.Similarity.ivfPqTopKDot(queries, emb,
+          nList = 4, m = 4, ksub = 4, dim = 64, k = 5, nProbe = 2,
+          trainIters = 1)
+        val ri = graft.pipeline.Similarity.annRecallAtK(ivf, exact, 5)
+          .select(col("q_id"), col("recall_bp").as("ivf_bp"))
+        val ra = graft.pipeline.Similarity.annRecallAtK(adc, exact, 5)
+          .select(col("q_id"), col("recall_bp").as("adc_bp"))
+        ri.join(ra, Seq("q_id")).orderBy(col("q_id"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                         v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              escored AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       i -> q.qe[i+1]*c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM qz q CROSS JOIN qz c
+                WHERE q.vec_id % 100 = 0),
+              exactk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM escored) WHERE rn <= 5),
+              seeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+              fcb0 AS (
+                SELECT seeds.cid, qz.qe AS cv FROM seeds JOIN qz USING (vec_id)),
+              ftdots AS (
+                SELECT qz.vec_id, fcb0.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1] * fcb0.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(fcb0.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM qz CROSS JOIN fcb0),
+              ftassign AS (
+                SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM ftdots) WHERE arn = 1),
+              ftmeans AS (
+                SELECT a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(qz.qe[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM ftassign a
+                JOIN qz ON qz.vec_id = a.vec_id
+                CROSS JOIN range(64) t(i)
+                GROUP BY a.cid, t.i),
+              fseedc AS (
+                SELECT cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM fcb0 CROSS JOIN range(64) t(i)),
+              tcent AS (
+                SELECT sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cente
+                FROM fseedc sc
+                LEFT JOIN ftmeans m ON m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.cid),
+              tcentn AS (
+                SELECT cid, cente,
+                  CAST(list_sum(list_transform(cente, x -> x*x)) AS BIGINT) AS nc
+                FROM tcent),
+              f_cfit AS (
+                SELECT qz.vec_id, tcentn.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       j -> qz.qe[j+1]*tcentn.cente[j+1])) AS BIGINT)
+                    / sqrt(tcentn.nc) AS cscore
+                FROM qz CROSS JOIN tcentn),
+              f_assigned AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS arn
+                  FROM f_cfit) WHERE arn = 1),
+              f_probes AS (
+                SELECT vec_id AS q_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cscore DESC, cid) AS prn
+                  FROM f_cfit WHERE vec_id % 100 = 0) WHERE prn <= 4),
+              f_scored AS (
+                SELECT p.q_id, a.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                       j -> q.qe[j+1]*c.qe[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM f_probes p
+                JOIN f_assigned a ON a.cluster = p.cluster
+                JOIN qz q ON q.vec_id = p.q_id
+                JOIN qz c ON c.vec_id = a.vec_id),
+              f_annk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                  FROM f_scored) WHERE rn <= 5),
+              cseeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+              cent AS (
+                SELECT cs.cid, qz.qe AS cente FROM cseeds cs JOIN qz USING (vec_id)),
+              afit AS (
+                SELECT qz.vec_id, cent.cid,
+                  CAST(2*list_sum(list_transform(range(len(qz.qe)),
+                         i -> qz.qe[i+1]*cent.cente[i+1]))
+                     - list_sum(list_transform(cent.cente, x -> x*x)) AS BIGINT) AS fit
+                FROM qz CROSS JOIN cent),
+              assign AS (
+                SELECT vec_id, cid AS cluster FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY fit DESC, cid) AS arn
+                  FROM afit) WHERE arn = 1),
+              resid AS (
+                SELECT a.vec_id, a.cluster,
+                  list_transform(range(len(qz.qe)),
+                    i -> qz.qe[i+1] - cent.cente[i+1]) AS re
+                FROM assign a
+                JOIN qz ON qz.vec_id = a.vec_id
+                JOIN cent ON cent.cid = a.cluster),
+              sub AS (
+                SELECT vec_id, cluster, sg.s, re[sg.s*16+1 : sg.s*16+16] AS sv
+                FROM resid CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg),
+              pseeds AS (
+                SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4 OFFSET 4)),
+              cb0 AS (
+                SELECT sub.s, pseeds.cid, sub.sv AS cv
+                FROM sub JOIN pseeds USING (vec_id)),
+              tdots0 AS (
+                SELECT sub.vec_id, sub.s, cb0.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       j -> sub.sv[j+1] * cb0.cv[j+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb0.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb0 ON sub.s = cb0.s),
+              tassign0 AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM tdots0) WHERE arn = 1),
+              tmeans0 AS (
+                SELECT a.s, a.cid, CAST(t.i AS INTEGER) AS pos,
+                  CAST(floor((2*sum(sub.sv[t.i+1]) + count(*))
+                       / (2.0*count(*))) AS BIGINT) AS mv
+                FROM tassign0 a
+                JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+                CROSS JOIN range(16) t(i)
+                GROUP BY a.s, a.cid, t.i),
+              tseedc0 AS (
+                SELECT s, cid, CAST(t.i AS INTEGER) AS pos, cv[t.i+1] AS seedv
+                FROM cb0 CROSS JOIN range(16) t(i)),
+              cb1 AS (
+                SELECT sc.s, sc.cid,
+                  list(COALESCE(m.mv, sc.seedv) ORDER BY sc.pos) AS cv
+                FROM tseedc0 sc
+                LEFT JOIN tmeans0 m
+                  ON m.s = sc.s AND m.cid = sc.cid AND m.pos = sc.pos
+                GROUP BY sc.s, sc.cid),
+              cb AS (SELECT s, cid, cv FROM cb1),
+              dots AS (
+                SELECT sub.vec_id, sub.s, cb.cid,
+                  CAST(list_sum(list_transform(range(len(sub.sv)),
+                       i -> sub.sv[i+1] * cb.cv[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(cb.cv, x -> x*x)) AS BIGINT) AS ncv
+                FROM sub JOIN cb ON sub.s = cb.s),
+              codes AS (
+                SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY 2*dot - ncv DESC, cid) AS arn
+                  FROM dots) WHERE arn = 1),
+              qfit AS (
+                SELECT qz.vec_id AS q_id, cent.cid,
+                  CAST(list_sum(list_transform(range(len(qz.qe)),
+                       i -> qz.qe[i+1]*cent.cente[i+1])) AS BIGINT) AS qcdot,
+                  CAST(list_sum(list_transform(cent.cente, x -> x*x)) AS BIGINT) AS ncc
+                FROM qz CROSS JOIN cent WHERE qz.vec_id % 100 = 0),
+              probes AS (
+                SELECT q_id, cid AS cluster, qcdot FROM (
+                  SELECT q_id, cid, qcdot,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY 2*qcdot - ncc DESC, cid) AS prn
+                  FROM qfit) WHERE prn <= 2),
+              qsub AS (
+                SELECT vec_id AS q_id, sg.s, qe[sg.s*16+1 : sg.s*16+16] AS sv
+                FROM qz CROSS JOIN (SELECT unnest([0,1,2,3]) AS s) sg
+                WHERE vec_id % 100 = 0),
+              qdots AS (
+                SELECT qsub.q_id, qsub.s, cb.cid,
+                  CAST(list_sum(list_transform(range(len(qsub.sv)),
+                       i -> qsub.sv[i+1] * cb.cv[i+1])) AS BIGINT) AS qdot
+                FROM qsub JOIN cb ON qsub.s = cb.s),
+              scores AS (
+                SELECT p.q_id, c.vec_id,
+                  CAST(p.qcdot + sum(qd.qdot) AS BIGINT) AS score
+                FROM probes p
+                JOIN assign a ON a.cluster = p.cluster
+                JOIN codes c ON c.vec_id = a.vec_id
+                JOIN qdots qd ON qd.q_id = p.q_id AND qd.s = c.s AND qd.cid = c.cid
+                GROUP BY p.q_id, c.vec_id, p.qcdot),
+              a_annk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, vec_id) AS rn
+                  FROM scores) WHERE rn <= 5),
+              i_hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM f_annk JOIN exactk USING (q_id, vec_id) GROUP BY q_id),
+              a_hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM a_annk JOIN exactk USING (q_id, vec_id) GROUP BY q_id)
+              SELECT e.q_id,
+                coalesce(i.n_hits, 0) * 10000 // 5 AS ivf_bp,
+                coalesce(a.n_hits, 0) * 10000 // 5 AS adc_bp
+              FROM (SELECT DISTINCT q_id FROM exactk) e
+              LEFT JOIN i_hits i USING (q_id)
+              LEFT JOIN a_hits a USING (q_id)
+              ORDER BY e.q_id""")),
+
     // MOSS overlap report WITH matched-region evidence — the q135 pair
     // report extended with the first/last shared-fingerprint window
     // start on each side (what MOSS actually displays per pair). The
