@@ -55,15 +55,6 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("tok"))
 
-  /** MinHash + LSH banding: docs sharing any band bucket become candidate
-    * pairs; pairs are then verified with exact token Jaccard. Returns
-    * (a_id, b_id, inter, uni) for verified pairs with
-    * inter/uni >= threshold.
-    *
-    * Tuning: collision probability for similarity J is
-    * 1-(1-J^(numHashes/bands))^bands — pick bands so that candidates
-    * below the verify threshold are rare (default 32 hashes / 4 bands of
-    * 8 targets J >= ~0.8). */
   /** (doc_id, band, sig) LSH band buckets per doc — the shared
     * candidate-generation core of [[minhashNearDupPairs]] (batch
     * all-pairs) and [[streamingNearDupCandidates]] (incremental). The
@@ -223,6 +214,15 @@ object Dedup {
         .start()
   }
 
+  /** MinHash + LSH banding: docs sharing any band bucket become candidate
+    * pairs; pairs are then verified with exact token Jaccard. Returns
+    * (a_id, b_id, inter, uni) for verified pairs with
+    * inter/uni >= threshold.
+    *
+    * Tuning: collision probability for similarity J is
+    * 1-(1-J^(numHashes/bands))^bands — pick bands so that candidates
+    * below the verify threshold are rare (default 32 hashes / 4 bands of
+    * 8 targets J >= ~0.8). */
   def minhashNearDupPairs(
       docs: DataFrame,
       idCol: String,

@@ -131,27 +131,6 @@ object Retrieval {
           ((col("n_bi").cast("double") * col("c_x")) * col("c_y"))), 6).as("pmi"))
   }
 
-  /** Held-out Stupid-Backoff bigram scoring (Brants et al., EMNLP 2007 —
-    * the large-LM quality signal that replaced Kneser-Ney at web scale):
-    * train bigram/unigram counts on `trainDocs`, score every bigram
-    * position of `evalDocs` with
-    *   S(w|v) = c2(v,w)/c1(v)            if the bigram was seen,
-    *          = alpha * c1(w)/N          backing off to the unigram,
-    *          = alpha * 1/N              for out-of-vocabulary w.
-    * Scores are ln() in integer micro-nats rounded PER TYPE (the q92
-    * convention), so per-doc sums are order-independent exact integers
-    * in any engine. Output: (doc_id, n_scored, sb_sum_micro,
-    * mean_sb_micro) — every eval doc gets a row; docs with < 2 tokens
-    * score (0, 0, 0).
-    *
-    * Scale shape: train counts are hash aggs on term / (prev,cur) keys
-    * (map-side combined — shuffle carries distinct keys, not token
-    * instances); eval positions compress to per-doc DISTINCT (prev,cur)
-    * types with a tf before any join, then two shuffle joins against
-    * the type-keyed score tables (vocab² can exceed any broadcast cap —
-    * nothing corpus-sized is ever broadcast). The 1-row N frame rides
-    * along broadcast. uc is localCheckpoint'd (vocab-shaped, three
-    * consumers); token lineages are scan-shaped and recompute. */
   /** BM25 ranked retrieval: top-k documents per query — the search
     * operator the per-(doc, term) [[bm25]] weights exist to feed
     * (more-like-this curation, retrieval-based decontamination, eval-set
@@ -253,6 +232,27 @@ object Retrieval {
         max(col("score")).as("best_micro"))
   }
 
+  /** Held-out Stupid-Backoff bigram scoring (Brants et al., EMNLP 2007 —
+    * the large-LM quality signal that replaced Kneser-Ney at web scale):
+    * train bigram/unigram counts on `trainDocs`, score every bigram
+    * position of `evalDocs` with
+    *   S(w|v) = c2(v,w)/c1(v)            if the bigram was seen,
+    *          = alpha * c1(w)/N          backing off to the unigram,
+    *          = alpha * 1/N              for out-of-vocabulary w.
+    * Scores are ln() in integer micro-nats rounded PER TYPE (the q92
+    * convention), so per-doc sums are order-independent exact integers
+    * in any engine. Output: (doc_id, n_scored, sb_sum_micro,
+    * mean_sb_micro) — every eval doc gets a row; docs with < 2 tokens
+    * score (0, 0, 0).
+    *
+    * Scale shape: train counts are hash aggs on term / (prev,cur) keys
+    * (map-side combined — shuffle carries distinct keys, not token
+    * instances); eval positions compress to per-doc DISTINCT (prev,cur)
+    * types with a tf before any join, then two shuffle joins against
+    * the type-keyed score tables (vocab² can exceed any broadcast cap —
+    * nothing corpus-sized is ever broadcast). The 1-row N frame rides
+    * along broadcast. uc is localCheckpoint'd (vocab-shaped, three
+    * consumers); token lineages are scan-shaped and recompute. */
   def stupidBackoffScore(evalDocs: DataFrame, trainDocs: DataFrame,
                          idCol: String, textCol: String,
                          alpha: Double = 0.4): DataFrame = {

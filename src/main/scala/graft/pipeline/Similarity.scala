@@ -319,18 +319,6 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF (inverted-file) ANN — the other classic scale path besides LSH:
-    * a coarse quantizer of `nList` centroids partitions the corpus into
-    * cluster lists; each query probes only its `nProbe` nearest lists,
-    * so per-query work drops from O(corpus) to O(corpus×nProbe/nList).
-    *
-    * Centroids are the first `nList` corpus vectors (deterministic, no
-    * training pass); recall improves with k-means-trained centroids but
-    * the dataflow — assign, invert, probe — is identical. Assignment is
-    * ONE broadcast pass + a `max_by` hash aggregation (partial+final, no
-    * window over the ×nList-amplified rows, so the shuffle stays
-    * O(corpus)). Probes broadcast to the corpus side; only candidate
-    * rows reach the final top-k shuffle. */
   /** Lloyd-trained IVF centroids (spherical k-means over the quantized
     * vectors): assignment by the SAME cosine score the probe phase uses,
     * update = element-wise mean (posexplode → per-(cluster, dim) avg —
@@ -935,6 +923,18 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path besides LSH:
+    * a coarse quantizer of `nList` centroids partitions the corpus into
+    * cluster lists; each query probes only its `nProbe` nearest lists,
+    * so per-query work drops from O(corpus) to O(corpus×nProbe/nList).
+    *
+    * Centroids are the first `nList` corpus vectors (deterministic, no
+    * training pass); recall improves with k-means-trained centroids but
+    * the dataflow — assign, invert, probe — is identical. Assignment is
+    * ONE broadcast pass + a `max_by` hash aggregation (partial+final, no
+    * window over the ×nList-amplified rows, so the shuffle stays
+    * O(corpus)). Probes broadcast to the corpus side; only candidate
+    * rows reach the final top-k shuffle. */
   def cosineTopKIvf(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nList: Int = 16, nProbe: Int = 4,

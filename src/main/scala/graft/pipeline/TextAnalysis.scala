@@ -288,11 +288,6 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("boiler_bp"))
   }
 
-  /** Per-doc n-gram multiset stats without leaving the row: grams are
-    * adjacent n-token joins, the array is sorted, and ONE fold over the
-    * sorted array counts distinct grams (`nd`) and the longest equal run
-    * (`top` = the most frequent gram's instance count). O(g log g) per
-    * doc, no explode, no shuffle. Returns struct(n, nd, top). */
   /** Adjacent n-token grams of a token array (empty for short docs —
     * sequence(1, 0) would step BACKWARDS). */
   private[pipeline] def gramsOf(t: Column, n: Int): Column =
@@ -302,7 +297,8 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
 
   /** Distinct count + longest equal run of a SORTED string array, via
-    * one fold. Returns the full fold state; read `nd` and `best`. */
+    * one fold (no explode, no shuffle — O(g log g) per doc including
+    * the sort). Returns the full fold state; read `nd` and `best`. */
   private[pipeline] def runFold(sorted: Column): Column =
     aggregate(sorted,
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
