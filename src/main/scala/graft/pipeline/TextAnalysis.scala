@@ -568,9 +568,36 @@ object TextAnalysis {
     * lineage stays flat across steps. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainState(docs, textCol, nMerges)._2
+      .toDF("step", "pair", "merged", "cnt", "vocab_size")
+      .withColumn("step", col("step").cast("long"))
+  }
+
+  /** The trained tokenizer APPLIED: the distinct-word vocabulary after
+    * `nMerges` BPE merges — (wd, n, n_syms, seg) with `seg` the
+    * space-joined symbol sequence. This is the encode side of
+    * [[bpeTrain]] (identical greedy application path, shared code), so
+    * a gate row over it pins every word's final segmentation, not just
+    * the per-step vocab size. Same scale shape and eager contract as
+    * the trainer. */
+  def bpeSegment(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame =
+    bpeTrainState(docs, textCol, nMerges)._1
+      .groupBy(col("wd"), col("n"))
+      .agg(count(lit(1)).as("n_syms"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("i"), col("sym")))),
+            x => x.getField("sym")), " ").as("seg"))
+
+  /** Shared train/apply loop: returns the final (wd, n, i, sym) symbol
+    * frame and the per-step merge records. */
+  private def bpeTrainState(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges in [1,64] (each step is a Spark job round), got $nMerges")
-    val spark = docs.sparkSession
     val byWord = org.apache.spark.sql.expressions.Window
       .partitionBy(col("wd")).orderBy(col("i"))
     val chars = transform(sequence(lit(1), length(col("wd"))),
@@ -630,10 +657,7 @@ object TextAnalysis {
         t += 1
       }
     }
-    import spark.implicits._
-    steps.toSeq
-      .toDF("step", "pair", "merged", "cnt", "vocab_size")
-      .withColumn("step", col("step").cast("long"))
+    (syms, steps.toSeq)
   }
 
   /** Reference formulation of [[fingerprint]]: explode each k-char

@@ -14,13 +14,14 @@ object Pipeline9 {
   private val stopList =
     graft.pipeline.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  /** Chained-CTE oracle for [[graft.pipeline.TextAnalysis.bpeTrain]]:
-    * one block per merge step — pair counts via lead(), top-1 pick,
-    * greedy application via the gaps-and-islands windows (grp constant
-    * within each run of consecutive matches; keep = even offsets), drop
-    * consumed positions, renumber. range(64) bounds char positions (max
-    * fixture word is 8 chars — the q126 convention). */
-  private def bpeTrainSql(nMerges: Int): String = {
+  /** Chained-CTE oracle core shared by q137 (per-step merge records)
+    * and q141 (final segmentation): one block per merge step — pair
+    * counts via lead(), top-1 pick, greedy application via the
+    * gaps-and-islands windows (grp constant within each run of
+    * consecutive matches; keep = even offsets), drop consumed
+    * positions, renumber. range(64) bounds char positions (max fixture
+    * word is 8 chars — the q126 convention). */
+  private def bpeChainSql(nMerges: Int, finalSelect: String): String = {
     val stepBlocks = (1 to nMerges).map { t =>
       val p = t - 1
       s"""pc$t AS (
@@ -60,8 +61,6 @@ object Pipeline9 {
             AS vocab_size
         FROM top$t t)"""
     }.mkString(",\n      ")
-    val union = (1 to nMerges).map(t => s"SELECT * FROM r$t")
-      .mkString(" UNION ALL ")
     s"""WITH wc AS (
         SELECT w AS wd, count(*) AS n FROM (
           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
@@ -72,9 +71,23 @@ object Pipeline9 {
         FROM wc CROSS JOIN range(64) r(i)
         WHERE i < length(wd)),
       $stepBlocks
-      SELECT CAST(step AS BIGINT) AS step, pair, merged, cnt, vocab_size
-      FROM ($union) ORDER BY step"""
+      $finalSelect"""
   }
+
+  private def bpeTrainSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(t => s"SELECT * FROM r$t")
+      .mkString(" UNION ALL ")
+    bpeChainSql(nMerges,
+      s"""SELECT CAST(step AS BIGINT) AS step, pair, merged, cnt, vocab_size
+          FROM ($union) ORDER BY step""")
+  }
+
+  private def bpeSegmentSql(nMerges: Int): String =
+    bpeChainSql(nMerges,
+      s"""SELECT wd, CAST(n AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_syms,
+            string_agg(sym, ' ' ORDER BY i) AS seg
+          FROM s$nMerges GROUP BY wd, n ORDER BY wd""")
 
   val entries: Seq[QEntry] = Seq(
 
@@ -91,6 +104,18 @@ object Pipeline9 {
         Tables.documents(s, d), "text", nMerges = 4)
         .orderBy(col("step")),
       Some(bpeTrainSql(4))),
+
+    // The ENCODE side of the tokenizer loop: the distinct-word
+    // vocabulary segmented by the 4 trained merges — every word's
+    // final symbol sequence as a string, so a wrong greedy application
+    // anywhere in the chain shows up as a hash mismatch on the word it
+    // corrupted (q137 pins the per-step decisions; this pins the full
+    // final state). Shared application code with bpeTrain.
+    QEntry("q141_bpe_segment",
+      (s, d) => graft.pipeline.TextAnalysis.bpeSegment(
+        Tables.documents(s, d), "text", nMerges = 4)
+        .orderBy(col("wd")),
+      Some(bpeSegmentSql(4))),
 
     // The composed end-to-end curation pipeline as ONE dataflow:
     // snapshotDiff (derived crawls: old = the %3==1 slice, new = all

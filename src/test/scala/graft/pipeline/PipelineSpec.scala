@@ -637,6 +637,20 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "aa aa", "aaaa", 1L, 1L)), s"got ${out.toSeq}")
   }
 
+  test("bpeSegment applies the trained merges (shared application path)") {
+    import spark.implicits._
+    // after the q137 3-merge chain (aa, ab, aaab): aaab collapses to
+    // one symbol, aab stays [aa b] (no "a b" adjacency survives there)
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val seg = TextAnalysis.bpeSegment(docs, "text", nMerges = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(seg == Map(
+      "aaab" -> ((2L, 1L, "aaab")),
+      "aab" -> ((1L, 2L, "aa b"))), s"got $seg")
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
