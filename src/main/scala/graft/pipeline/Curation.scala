@@ -211,6 +211,35 @@ object Curation {
           .otherwise(0L).as("pct_bp"))
   }
 
+  /** CCNet-style LM-score bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data"): documents are percentile-ranked PER SOURCE by a language-
+    * model quality score and split head/middle/tail at the given
+    * basis-point cuts — the per-language perplexity-tercile filter,
+    * re-expressed over any score where HIGHER is better (e.g. the q117
+    * Stupid-Backoff mean log-prob; CCNet's perplexity ranks the other
+    * way, so flip the score sign to use it directly).
+    *
+    * Scale shape: one join to attach the source, then the
+    * [[groupPercentileRank]] two-pass (GlobalRank + broadcast group
+    * offsets — no one-task-per-source window); the bucket CASE is a
+    * projection. Ties rank by (score, doc_id), so buckets are
+    * deterministic in any engine. Output: (source, doc_id, score,
+    * pct_bp, bucket). */
+  def lmQualityBuckets(scores: DataFrame, // (doc_id, score)
+      srcOf: DataFrame,                   // (doc_id, source)
+      headBp: Int = 6667, midBp: Int = 3333): DataFrame = {
+    require(0 <= midBp && midBp <= headBp && headBp <= 10000,
+      s"need 0 <= midBp <= headBp <= 10000, got $midBp/$headBp")
+    groupPercentileRank(
+        scores.join(srcOf, "doc_id"), "source", "score", "doc_id")
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+        col("score"), col("pct_bp"),
+        when(col("pct_bp") >= headBp, "head")
+          .when(col("pct_bp") >= midBp, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Gopher-style quality gates over whitespace tokens, all-integer
     * comparisons (threshold * denominator vs numerator * scale):
     *   - ok_len:  10 <= n_tok <= 90

@@ -503,6 +503,95 @@ object Pipeline9 {
               LEFT JOIN t_hits t USING (q_id)
               ORDER BY e.q_id""")),
 
+    // CCNet perplexity-tercile filtering, composed from two pinned
+    // operators: the q117 Stupid-Backoff mean log-prob scores the
+    // held-out split, then q114's per-source percentile rank buckets
+    // head/middle/tail at 6667/3333 bp. The oracle replays the whole
+    // LM chain (counts, all three backoff branches, rollup), the
+    // source join, the window rank and the bucket CASE.
+    QEntry("q142_lm_quality_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = graft.pipeline.Retrieval.stupidBackoffScore(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+          .select(col("doc_id"), col("mean_sb_micro").as("score"))
+        graft.pipeline.Curation.lmQualityBuckets(scored,
+          docs.select(col("doc_id"), col("source")),
+          headBp = 6667, midBp = 3333)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tt AS (
+                SELECT string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id % 10 <> 0),
+              tu AS (SELECT unnest(toks) AS term FROM tt),
+              uc AS (SELECT term, count(*) AS c1 FROM tu GROUP BY term),
+              n AS (SELECT sum(c1) AS n_toks FROM uc),
+              tb AS (
+                SELECT toks[i] AS prev, toks[i+1] AS cur
+                FROM tt CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 1 <= len(toks)),
+              bc AS (SELECT prev, cur, count(*) AS c2 FROM tb GROUP BY prev, cur),
+              hit AS (
+                SELECT bc.prev, bc.cur,
+                  CAST(round(ln(CAST(bc.c2 AS DOUBLE) / uc.c1) * 1000000.0)
+                    AS BIGINT) AS s_hit
+                FROM bc JOIN uc ON uc.term = bc.prev),
+              back AS (
+                SELECT uc.term AS cur,
+                  CAST(round(ln(0.4 * uc.c1 / n.n_toks) * 1000000.0)
+                    AS BIGINT) AS s_back
+                FROM uc CROSS JOIN n),
+              te AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents WHERE doc_id % 10 = 0),
+              eb AS (
+                SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+                FROM te CROSS JOIN range(1, 4096) r(i)
+                WHERE i + 1 <= len(toks)),
+              epc AS (
+                SELECT doc_id, prev, cur, count(*) AS tf2
+                FROM eb GROUP BY doc_id, prev, cur),
+              sp AS (
+                SELECT e.doc_id, e.tf2,
+                  COALESCE(h.s_hit, b.s_back,
+                    CAST(round(ln(0.4 * 1 / n.n_toks) * 1000000.0) AS BIGINT))
+                    AS s
+                FROM epc e
+                LEFT JOIN hit h ON h.prev = e.prev AND h.cur = e.cur
+                LEFT JOIN back b ON b.cur = e.cur
+                CROSS JOIN n),
+              agg AS (
+                SELECT doc_id, sum(tf2) AS n_scored, sum(tf2 * s) AS sb
+                FROM sp GROUP BY doc_id),
+              sc AS (
+                SELECT d.doc_id,
+                  CASE WHEN coalesce(a.n_scored, 0) > 0
+                    THEN CAST(floor(a.sb / a.n_scored) AS BIGINT)
+                    ELSE 0 END AS score
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+                LEFT JOIN agg a USING (doc_id)),
+              j AS (
+                SELECT sc.doc_id, sc.score, doc.source
+                FROM sc JOIN documents doc USING (doc_id)),
+              r AS (
+                SELECT source, doc_id, score,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY source) AS n_grp
+                FROM j),
+              p AS (
+                SELECT source, doc_id, score,
+                  CASE WHEN n_grp > 1
+                    THEN CAST(floor((rk - 1) * 10000 / (n_grp - 1)) AS BIGINT)
+                    ELSE 0 END AS pct_bp
+                FROM r)
+              SELECT source, doc_id, score, pct_bp,
+                CASE WHEN pct_bp >= 6667 THEN 'head'
+                     WHEN pct_bp >= 3333 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM p ORDER BY doc_id""")),
+
     // The last cell of the index-eval matrix (q116: seed IVF; q138:
     // seed vs trained IVF): recall@k of the TRAINED IVF (q108 config,
     // nList=16/nProbe=4) against the TRAINED IVFADC (q110 config,

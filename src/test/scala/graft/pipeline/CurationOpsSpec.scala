@@ -128,6 +128,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected, s"stream != batch: ${(expected -- got).take(3)}")
   }
 
+  test("lmQualityBuckets: per-source terciles split deterministically at the bp cuts") {
+    import spark.implicits._
+    // one source, 9 docs, strictly increasing scores:
+    // pct_bp(doc i) = (i-1)*10000/8 -> 0,1250,...,10000
+    val scores = (1L to 9L).map(i => (i, i * 100L)).toDF("doc_id", "score")
+    val src = (1L to 9L).map(i => (i, "A")).toDF("doc_id", "source")
+    val out = Curation.lmQualityBuckets(scores, src).collect()
+      .map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(out(1L) == "tail" && out(3L) == "tail", s"got $out")     // 0, 2500
+    assert(out(4L) == "middle" && out(6L) == "middle", s"got $out") // 3750, 6250
+    assert(out(7L) == "head" && out(9L) == "head", s"got $out")     // 7500, 10000
+  }
+
   test("prioritySample: deterministic, size k, weight-sensitive") {
     import spark.implicits._
     val rows = (0L until 1000L).map(i => (i, if (i == 7L) 1000000L else 10L))
