@@ -468,6 +468,49 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The MOSS similarity PERCENTAGE on top of [[winnowPairs]]: for each
+    * overlapping pair, shared fingerprints as a share of the smaller
+    * side's fingerprint set, in integer basis points — sim_bp =
+    * n_shared·10000 div min(n_fp_a, n_fp_b), the normalized score the
+    * MOSS UI ranks by (a small doc fully contained in a big one scores
+    * ~100% instead of being diluted). n_fp counts the DISTINCT
+    * fingerprints that survive the df ≤ maxDf boilerplate drop on each
+    * side, so containment is measured against comparable material.
+    * Output: (doc_a, doc_b, n_shared, n_fp_a, n_fp_b, sim_bp).
+    *
+    * Scale shape: [[winnowPairs]]' exploded+capped frame plus one
+    * per-doc count aggregate and two dimension joins on doc id — the
+    * pair frame is (already) bounded by maxDf², and the count frame is
+    * one row per doc. */
+  def winnowSimilarity(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 16,
+      minShared: Int = 2, maxDf: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
+    val fp = winnowSets(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint() // feeds the df dim, the counts AND both sides
+    val keep = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("fp")), "fp")
+      .localCheckpoint() // consumed by the pair join (twice) + counts
+    val nfp = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    keep.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(keep.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nfp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
+        "doc_a")
+      .join(nfp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        (col("n_shared") * 10000 / least(col("n_fp_a"), col("n_fp_b")))
+          .cast("long").as("sim_bp"))
+  }
+
   /** HOF reference formulation of [[winnowSets]] (spec twin, not the
     * production path). */
   private[pipeline] def winnowSetsHof(docs: org.apache.spark.sql.DataFrame,

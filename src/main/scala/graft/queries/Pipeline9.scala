@@ -839,6 +839,54 @@ object Pipeline9 {
               LEFT JOIN a_hits a USING (q_id)
               ORDER BY e.q_id""")),
 
+    // MOSS similarity percentage: shared winnowed fingerprints over the
+    // SMALLER side's surviving fingerprint set, integer basis points —
+    // the normalized containment score the MOSS UI ranks by. n_fp
+    // counts post-boilerplate-drop fingerprints on each side (df<=10),
+    // replayed by the oracle's per-doc counts over the same keep set.
+    QEntry("q143_winnow_similarity",
+      (s, d) => graft.pipeline.TextAnalysis.winnowSimilarity(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 16, minShared = 2, maxDf = 10)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH pos AS (
+                SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                    AS i
+                FROM documents),
+              h AS (
+                SELECT doc_id, i,
+                  md5(substr(text, CAST(i AS INT), 8)) AS hv,
+                  greatest(length(text) - 7, 1) AS nh
+                FROM pos),
+              wmin AS (
+                SELECT doc_id, i, nh,
+                  min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+                FROM h),
+              fps AS (
+                SELECT DISTINCT doc_id, fp
+                FROM wmin WHERE i <= greatest(nh - 15, 1)),
+              dfreq AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10),
+              keep AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfreq USING (fp)),
+              nfp AS (SELECT doc_id, count(*) AS n_fp FROM keep GROUP BY doc_id),
+              prs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM keep a JOIN keep b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 2)
+              SELECT p.doc_a, p.doc_b, p.n_shared,
+                CAST(na.n_fp AS BIGINT) AS n_fp_a,
+                CAST(nb.n_fp AS BIGINT) AS n_fp_b,
+                p.n_shared * 10000 // least(na.n_fp, nb.n_fp) AS sim_bp
+              FROM prs p
+              JOIN nfp na ON na.doc_id = p.doc_a
+              JOIN nfp nb ON nb.doc_id = p.doc_b
+              ORDER BY p.doc_a, p.doc_b""")),
+
     // MOSS overlap report WITH matched-region evidence — the q135 pair
     // report extended with the first/last shared-fingerprint window
     // start on each side (what MOSS actually displays per pair). The
