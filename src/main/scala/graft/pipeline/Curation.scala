@@ -280,31 +280,45 @@ object Curation {
     * between selects; `qf`/fold references in later stages are cheap
     * attribute reads. Zero shuffle; streams unchanged. */
   def qualityFilterStack(docs: DataFrame, idCol: String, textCol: String,
-      dup2MaxBp: Int, top2MaxBp: Int, dup3MaxBp: Int): DataFrame = {
+      dup2MaxBp: Int, top2MaxBp: Int, dup3MaxBp: Int): DataFrame =
+    qualityStackStages(docs, idCol, textCol,
+        dup2MaxBp, top2MaxBp, dup3MaxBp)
+      .select(col("doc_id"),
+        col("dup2_bp"), col("top2_bp"), col("dup3_bp"),
+        col("keep"), col("reason"))
+
+  /** The [[qualityFilterStack]] projection chain CARRYING the raw text
+    * through as `__text` (Catalyst prunes it when the caller doesn't
+    * read it, so [[qualityFilterStack]]'s plan is unchanged) — lets
+    * [[streamIngest]] stack further text-derived columns on the same
+    * single pass. */
+  private def qualityStackStages(docs: DataFrame, idCol: String,
+      textCol: String, dup2MaxBp: Int, top2MaxBp: Int,
+      dup3MaxBp: Int): DataFrame = {
     def bp(x: Column, n: Column): Column =
       when(n > 0, floor(x * 10000 / n).cast("long")).otherwise(lit(0L))
     val okD2 = col("dup2_bp") <= dup2MaxBp
     val okT2 = col("top2_bp") <= top2MaxBp
     val okD3 = col("dup3_bp") <= dup3MaxBp
-    docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         TextAnalysis.toks(col(textCol)).as("t"),
         qualityFlags(col(textCol)).as("qf"))
-      .select(col("doc_id"), col("qf"),
+      .select(col("doc_id"), col("__text"), col("qf"),
         TextAnalysis.gramsOf(col("t"), 2).as("g2"),
         TextAnalysis.gramsOf(col("t"), 3).as("g3"))
-      .select(col("doc_id"), col("qf"),
+      .select(col("doc_id"), col("__text"), col("qf"),
         size(col("g2")).cast("long").as("n2"),
         size(col("g3")).cast("long").as("n3"),
         TextAnalysis.runFold(sort_array(col("g2"))).as("st2"),
         TextAnalysis.runFold(sort_array(col("g3"))).as("st3"))
-      .select(col("doc_id"), col("qf"), col("n2"), col("n3"),
+      .select(col("doc_id"), col("__text"), col("qf"), col("n2"), col("n3"),
         col("st2.nd").as("nd2"), col("st2.best").as("top2"),
         col("st3.nd").as("nd3"))
-      .select(col("doc_id"), col("qf"),
+      .select(col("doc_id"), col("__text"), col("qf"),
         bp(col("n2") - col("nd2"), col("n2")).as("dup2_bp"),
         bp(col("top2"), col("n2")).as("top2_bp"),
         bp(col("n3") - col("nd3"), col("n3")).as("dup3_bp"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("__text"),
         col("dup2_bp"), col("top2_bp"), col("dup3_bp"),
         (col("qf.keep") && okD2 && okT2 && okD3).as("keep"),
         when(!col("qf.keep"), col("qf.reason"))
@@ -313,6 +327,37 @@ object Curation {
           .when(!okD3, "dup_3gram")
           .otherwise("").as("reason"))
   }
+
+  private[pipeline] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[pipeline] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private[pipeline] val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** The streaming INGEST pre-filter — everything a stream can decide
+    * about a document from the row alone, in ONE zero-shuffle
+    * projection pass: the composed quality decision (q133's Gopher
+    * gates + repetition thresholds, keep + first-failing-rule reason),
+    * the language-ID prediction, and the PII scrub with audit counts.
+    * This is the stage a 100 TB pipeline runs INSIDE the ingestion
+    * stream (readStream → this → writeStream), before anything
+    * corpus-wide (dedup, contamination, sampling) sees the data; it
+    * works unchanged on batch and streaming children, spec-pinned.
+    * Output: (doc_id, pred_lang, dup2_bp, top2_bp, dup3_bp, keep,
+    * reason, n_emails, n_ids, n_phones, redacted). */
+  def streamIngest(docs: DataFrame, idCol: String, textCol: String,
+      dup2MaxBp: Int, top2MaxBp: Int, dup3MaxBp: Int): DataFrame =
+    qualityStackStages(docs, idCol, textCol,
+        dup2MaxBp, top2MaxBp, dup3MaxBp)
+      .select(col("doc_id"),
+        TextAnalysis.langScores(col("__text")).getField("pred")
+          .as("pred_lang"),
+        col("dup2_bp"), col("top2_bp"), col("dup3_bp"),
+        col("keep"), col("reason"),
+        regexp_count(col("__text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("__text"), lit(SsnRe)).cast("long").as("n_ids"),
+        regexp_count(col("__text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("__text"),
+          lit(EmailRe), lit("<EMAIL>")), lit(SsnRe), lit("<ID>")),
+          lit(PhoneRe), lit("<PHONE>")).as("redacted"))
 
   /** Equi-depth binning of a score column (feature bucketing / score
     * calibration): nBins buckets of near-equal population, each reported
@@ -464,9 +509,9 @@ object Curation {
     * SSN-shaped, then phone (the shapes cannot overlap — the middle
     * groups differ). */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val email = EmailRe
+    val ssn = SsnRe
+    val phone = PhoneRe
     docs.select(col(idCol).as("doc_id"),
       regexp_count(col(textCol), lit(email)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(ssn)).cast("long").as("n_ids"),

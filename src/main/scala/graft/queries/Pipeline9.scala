@@ -503,6 +503,133 @@ object Pipeline9 {
               LEFT JOIN t_hits t USING (q_id)
               ORDER BY e.q_id""")),
 
+    // The streaming ingest pre-filter as one projection: composed
+    // quality decision (q133) + language-ID (q33) + PII scrub (q129)
+    // in a single zero-shuffle pass over the q129 PII-augmented corpus
+    // — the stage a pipeline runs INSIDE the ingestion stream before
+    // anything corpus-wide. Streaming == batch is spec-pinned; this
+    // row hash-anchors the batch twin.
+    QEntry("q144_stream_ingest",
+      (s, d) => {
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" u"), col("doc_id"),
+              lit("@ex.com 555-123-4567 999-88-7777")))
+            .otherwise(col("text")).as("text"))
+        graft.pipeline.Curation.streamIngest(aug, "doc_id", "text",
+          dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def occ(m: String) =
+          s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+        val en = s"${occ(" the ")} + ${occ(" and ")} + ${occ(" with ")}"
+        val es = s"${occ(" el ")} + ${occ(" los ")} + ${occ(" con ")}"
+        val de = s"${occ(" der ")} + ${occ(" und ")} + ${occ(" mit ")}"
+        val fr = s"${occ(" le ")} + ${occ(" les ")} + ${occ(" avec ")}"
+        s"""WITH aug AS (
+                SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                  THEN text || ' u' || CAST(doc_id AS VARCHAR) ||
+                       '@ex.com 555-123-4567 999-88-7777'
+                  ELSE text END AS text
+                FROM documents),
+              t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM aug),
+              f AS (
+                SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(toks, x -> x IN ($stopList)))
+                    AS BIGINT) AS n_stop,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                FROM t),
+              g AS (
+                SELECT doc_id,
+                  (n_tok >= 10 AND n_tok <= 90) AS ok_len,
+                  (sum_tok_len >= n_tok * 3 AND sum_tok_len <= n_tok * 10)
+                    AS ok_wl,
+                  (n_stop * 100 >= n_tok) AS ok_stop,
+                  (n_distinct * 10 >= n_tok * 4) AS ok_rep
+                FROM f),
+              gr AS (
+                SELECT doc_id, nn.n,
+                  list_aggregate(toks[i+1 : i+nn.n], 'string_agg', ' ') AS grm
+                FROM t
+                CROSS JOIN (VALUES (2), (3)) nn(n)
+                CROSS JOIN range(4096) r(i)
+                WHERE i + nn.n <= len(toks)),
+              pc AS (
+                SELECT doc_id, n, grm, count(*) AS c
+                FROM gr GROUP BY doc_id, n, grm),
+              st AS (
+                SELECT doc_id, n, sum(c) AS ng, count(*) AS nd, max(c) AS top
+                FROM pc GROUP BY doc_id, n),
+              w AS (
+                SELECT d.doc_id,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.ng END), 0) AS n2,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.nd END), 0) AS nd2,
+                  coalesce(max(CASE WHEN st.n = 2 THEN st.top END), 0) AS top2,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.ng END), 0) AS n3,
+                  coalesce(max(CASE WHEN st.n = 3 THEN st.nd END), 0) AS nd3
+                FROM aug d LEFT JOIN st ON d.doc_id = st.doc_id
+                GROUP BY d.doc_id),
+              b AS (
+                SELECT doc_id,
+                  CASE WHEN n2 > 0
+                    THEN CAST(floor((n2 - nd2) * 10000 / n2) AS BIGINT)
+                    ELSE 0 END AS dup2_bp,
+                  CASE WHEN n2 > 0
+                    THEN CAST(floor(top2 * 10000 / n2) AS BIGINT)
+                    ELSE 0 END AS top2_bp,
+                  CASE WHEN n3 > 0
+                    THEN CAST(floor((n3 - nd3) * 10000 / n3) AS BIGINT)
+                    ELSE 0 END AS dup3_bp
+                FROM w),
+              lang AS (
+                SELECT doc_id,
+                  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+                       WHEN $es >= $de AND $es >= $fr THEN 'es'
+                       WHEN $de >= $fr THEN 'de'
+                       ELSE 'fr' END AS pred_lang
+                FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS p
+                      FROM aug)),
+              pii AS (
+                SELECT doc_id,
+                  CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+                  CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ids,
+                  CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g'),
+                    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')
+                    AS redacted
+                FROM aug)
+              SELECT b.doc_id, lang.pred_lang,
+                b.dup2_bp, b.top2_bp, b.dup3_bp,
+                (g.ok_len AND g.ok_wl AND g.ok_stop AND g.ok_rep
+                  AND b.dup2_bp <= 1000 AND b.top2_bp <= 1500
+                  AND b.dup3_bp <= 100) AS keep,
+                CASE WHEN NOT g.ok_len THEN 'len'
+                     WHEN NOT g.ok_wl THEN 'word_len'
+                     WHEN NOT g.ok_stop THEN 'stopword'
+                     WHEN NOT g.ok_rep THEN 'repetition'
+                     WHEN b.dup2_bp > 1000 THEN 'dup_2gram'
+                     WHEN b.top2_bp > 1500 THEN 'top_2gram'
+                     WHEN b.dup3_bp > 100 THEN 'dup_3gram'
+                     ELSE '' END AS reason,
+                pii.n_emails, pii.n_ids, pii.n_phones, pii.redacted
+              FROM b JOIN g USING (doc_id)
+              JOIN lang USING (doc_id) JOIN pii USING (doc_id)
+              ORDER BY b.doc_id"""
+      }),
+
     // CCNet perplexity-tercile filtering, composed from two pinned
     // operators: the q117 Stupid-Backoff mean log-prob scores the
     // held-out split, then q114's per-source percentile rank buckets

@@ -128,6 +128,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected, s"stream != batch: ${(expected -- got).take(3)}")
   }
 
+  test("streamIngest runs unchanged as an actual stream (append mode == batch)") {
+    // the q144 operator's streaming claim, executed: quality decision +
+    // lang-ID + PII scrub are one stateless projection, so the same
+    // code serves backfill and live ingestion row-for-row
+    val corpus = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Curation.streamIngest(df, "doc_id", "text", 1000, 1500, 100)
+        .select(col("doc_id"), col("pred_lang"), col("keep"),
+          col("reason"), col("n_emails"), col("redacted"))
+    val expected = gate(corpus)
+      .as[(Long, String, Boolean, String, Long, String)].collect().toSet
+    assert(expected.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("ingest_stream").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = gate(stream)
+      .writeStream.format("memory").queryName("ingest_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest_mem")
+      .as[(Long, String, Boolean, String, Long, String)].collect().toSet
+    assert(got == expected, s"stream != batch: ${(expected -- got).take(2)}")
+  }
+
   test("lmQualityBuckets: per-source terciles split deterministically at the bp cuts") {
     import spark.implicits._
     // one source, 9 docs, strictly increasing scores:
