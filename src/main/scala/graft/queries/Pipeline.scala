@@ -18,6 +18,69 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Pipeline {
 
+  /** The q37 md5-twin MinHash+LSH pair construction (signature →
+    * banding → capped in-group combinations → exact token-Jaccard
+    * verify at 4/5). Returns verified (a_id, b_id, inter, uni),
+    * unordered. */
+  private[queries] def minhashPairsMd5(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.verifyJaccard(minhashCandidatesMd5(s, d),
+        Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+      .filter(col("inter") * 5 >= col("uni") * 4)
+  }
+
+  /** The candidate stage of [[minhashPairsMd5]] alone — distinct
+    * (a_id, b_id) band-collision pairs, before any verify. The q145
+    * recall eval verifies these against the 3-GRAM gram sets the
+    * signature actually indexes. */
+  private[queries] def minhashCandidatesMd5(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val P = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
+    val perms = MinHashPerms
+    val bands = 4
+    val rows = perms.size / bands
+    val docs = Tables.documents(s, d)
+    val hs = transform(col("shingles"),
+      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
+    val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig$j")
+    }
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
+          .as("bkey"))
+    }
+    val sig = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true)
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0) // short docs can't band-collide
+      .select(col("doc_id"), hs.as("hs"))
+      .select((col("doc_id") +: sigs): _*)
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .localCheckpoint()
+    val grouped = Dedup.dropOversizedBuckets(buckets, Seq("band", "bkey"), 1000)
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val combos = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("a_id"), b.as("b_id")))))
+    grouped.select(explode(combos).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+  }
+
+  private[queries] val MinHashPerms = Seq(
+    (1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L),
+    (49979687L, 11L), (67867967L, 222L), (86028121L, 3333L), (104395301L, 44444L),
+    (122949823L, 5L), (141650939L, 66L), (160481183L, 777L), (179424673L, 8888L),
+    (198491317L, 99L), (217645177L, 101L), (236887691L, 2027L), (256203161L, 30011L))
+
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Portable 32-bit SimHash over the doc's token multiset: token hash =
@@ -264,59 +327,8 @@ object Pipeline {
     // so the whole LSH pipeline is hash-compared, not rows-only. The
     // fused xxhash64 production path (Dedup.minhashNearDupPairs) keeps
     // its DedupSpec recall coverage.
-    QEntry("q37_minhash_pairs", {
-      val P = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
-      val perms = Seq(
-        (1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L),
-        (49979687L, 11L), (67867967L, 222L), (86028121L, 3333L), (104395301L, 44444L),
-        (122949823L, 5L), (141650939L, 66L), (160481183L, 777L), (179424673L, 8888L),
-        (198491317L, 99L), (217645177L, 101L), (236887691L, 2027L), (256203161L, 30011L))
-      val bands = 4
-      val rows = perms.size / bands
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        // Staged projections (see q50/q51): each HOF lambda reads a
-        // materialized attribute, never an inline subtree.
-        val hs = transform(col("shingles"),
-          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
-        val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
-          array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig$j")
-        }
-        val bandCols = (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
-              .as("bkey"))
-        }
-        val sig = docs
-          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-          .select(col("doc_id"),
-            graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true)
-              .as("shingles"))
-          .filter(size(col("shingles")) > 0) // short docs can't band-collide
-          .select(col("doc_id"), hs.as("hs"))
-          .select((col("doc_id") +: sigs): _*)
-        // Two-pass cap (Dedup.dropOversizedBuckets): same result set as
-        // a size-filter after the collect, but no aggregation buffer
-        // ever holds a degenerate bucket's membership.
-        val buckets = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-          .localCheckpoint()
-        val grouped = Dedup.dropOversizedBuckets(buckets, Seq("band", "bkey"), 1000)
-          .groupBy(col("band"), col("bkey"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-        val combos = flatten(transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + 2, size(col("ids"))),
-            b => struct(a.as("a_id"), b.as("b_id")))))
-        val cand = grouped.select(explode(combos).as("p"))
-          .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-          .distinct()
-        Dedup.verifyJaccard(cand, Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
-          .filter(col("inter") * 5 >= col("uni") * 4)
-          .orderBy(col("a_id"), col("b_id"))
-      }
-    },
+    QEntry("q37_minhash_pairs",
+      (s, d) => minhashPairsMd5(s, d).orderBy(col("a_id"), col("b_id")),
       Some {
         val P = 4294967311L
         val perms = Seq(

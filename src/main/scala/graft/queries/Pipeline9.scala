@@ -503,6 +503,110 @@ object Pipeline9 {
               LEFT JOIN t_hits t USING (q_id)
               ORDER BY e.q_id""")),
 
+    // Dedup-index quality eval — the near-dup analogue of the q116/q138
+    // ANN recall rows: does the banded MinHash index (q37's md5 twin,
+    // 16 perms / 4 bands over word-3-gram sets) find every pair the
+    // EXACT PPJoin (q61's 3-gram Jaccard at 4/5) proves exists? BOTH
+    // arms measure the SAME similarity — candidates are verified
+    // against the 3-gram sets the signature indexes (the theoretical
+    // band-collision probability at J=0.8 with r=4,b=4 is ~87%, so a
+    // fixture recall far below that would flag a broken signature).
+    // One summary row: pair counts, the verified-LSH ⊆ exact subset
+    // check, and recall in integer basis points. The oracle
+    // brute-forces the 3-gram overlap frame once and derives BOTH arms
+    // from it (ground truth by definition; candidate verification by
+    // restriction).
+    QEntry("q145_dedup_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grams3 = docs.select(col("doc_id"),
+          graft.expressions.functions.ngram_shingles(
+            split(lower(col("text")), "\\s+"), 3, distinct = true)
+            .as("toks"))
+        val lsh = graft.pipeline.Dedup.verifyJaccard(
+            Pipeline.minhashCandidatesMd5(s, d), grams3, 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val exact = graft.pipeline.Dedup.ngramJaccardPairs(
+            docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nC = lsh.join(exact, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("n_common"))
+        nE.crossJoin(nL).crossJoin(nC)
+          .select(col("n_exact"), col("n_lsh"), col("n_common"),
+            when(col("n_exact") > 0,
+              floor(col("n_common") * 10000 / col("n_exact")).cast("long"))
+              .otherwise(10000L).as("recall_bp"),
+            (col("n_common") === col("n_lsh")).as("lsh_subset_ok"))
+      },
+      Some {
+        val P = 4294967311L
+        val sigList = Pipeline.MinHashPerms.map { case (a, b) =>
+          s"list_min(list_transform(hs, x -> (x*$a+$b)%$P))"
+        }.mkString("[", ",\n                  ", "]")
+        s"""WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM t),
+            h AS (
+              SELECT doc_id, list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM sh WHERE len(shingles) > 0),
+            sig AS (
+              SELECT doc_id, $sigList AS sig
+              FROM h),
+            bands AS (
+              SELECT doc_id, band,
+                array_to_string(list_transform(sig[band*4+1:band*4+4],
+                  x -> CAST(x AS VARCHAR)), ',') AS bkey
+              FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+            ok AS (
+              SELECT band, bkey FROM bands
+              GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a
+              JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+                          AND b.doc_id > a.doc_id
+              JOIN ok ON ok.band = a.band AND ok.bkey = a.bkey),
+            e3 AS (
+              SELECT doc_id, unnest(shingles) AS tok FROM sh
+              WHERE len(shingles) > 0),
+            sizes AS (SELECT doc_id, count(*) AS ntok FROM e3 GROUP BY doc_id),
+            binter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+              FROM e3 a JOIN e3 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            exactp AS (
+              SELECT i.a_id, i.b_id FROM binter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+            lshp AS (
+              SELECT c.a_id, c.b_id FROM cand c
+              JOIN binter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+              JOIN sizes sa ON sa.doc_id = c.a_id
+              JOIN sizes sb ON sb.doc_id = c.b_id
+              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+            cm AS (
+              SELECT count(*) AS n_common
+              FROM lshp JOIN exactp USING (a_id, b_id))
+            SELECT
+              CAST((SELECT count(*) FROM exactp) AS BIGINT) AS n_exact,
+              CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh,
+              CAST(cm.n_common AS BIGINT) AS n_common,
+              CASE WHEN (SELECT count(*) FROM exactp) > 0
+                THEN cm.n_common * 10000 // (SELECT count(*) FROM exactp)
+                ELSE 10000 END AS recall_bp,
+              cm.n_common = (SELECT count(*) FROM lshp) AS lsh_subset_ok
+            FROM cm"""
+      }),
+
     // The streaming ingest pre-filter as one projection: composed
     // quality decision (q133) + language-ID (q33) + PII scrub (q129)
     // in a single zero-shuffle pass over the q129 PII-augmented corpus
