@@ -114,15 +114,9 @@ object TextAnalysis {
       docsToks: org.apache.spark.sql.DataFrame,
       n: Int,
       benchCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
-    def shingleHashes(df: org.apache.spark.sql.DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs), col("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(idAs), explode(
-        graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true))
-        .as("h"))
     val benchDocs = docsToks.filter(col("is_bench"))
-    val bench = shingleHashes(benchDocs, "bench_id")
-    val corpus = shingleHashes(docsToks.filter(!col("is_bench")), "doc_id")
+    val bench = shingleHashFrame(benchDocs, "bench_id", n)
+    val corpus = shingleHashFrame(docsToks.filter(!col("is_bench")), "doc_id", n)
     val benchSide =
       if (benchDocs.count() <= benchCap) broadcast(bench)
       else bench.hint("shuffle_hash")
@@ -130,6 +124,48 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("bench_id")).as("n_bench_docs"),
         count(lit(1)).as("n_shared_shingles"))
+  }
+
+  private def shingleHashFrame(df: org.apache.spark.sql.DataFrame,
+      idAs: String, n: Int): org.apache.spark.sql.DataFrame = df
+    .select(col("doc_id").as(idAs), col("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col(idAs), explode(
+      graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true))
+      .as("h"))
+
+  /** The BENCHMARK-side leak report — the reverse rollup of
+    * [[contaminationHashed]]: per BENCHMARK doc, how many corpus docs
+    * share at least one word n-gram with it and how many
+    * (corpus-doc, shingle) hits in total. Every benchmark doc gets a
+    * row — a zero is the audit result you want to see, and the rows
+    * that aren't zero rank which eval items leaked hardest (the view
+    * an eval owner reads, where [[contaminationFlags]] is the view a
+    * corpus owner reads). Same hashed-long join discipline: shingles
+    * shuffle as xxhash64 longs, the bench side broadcasts below
+    * `benchCap` docs. */
+  def benchLeakReport(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      isBench: Column, n: Int,
+      benchCap: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val docsToks = docs.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("toks"), isBench.as("is_bench"))
+    val benchDocs = docsToks.filter(col("is_bench"))
+    val bench = shingleHashFrame(benchDocs, "bench_id", n)
+    val corpus = shingleHashFrame(docsToks.filter(!col("is_bench")), "doc_id", n)
+    val benchSide =
+      if (benchDocs.count() <= benchCap) broadcast(bench)
+      else bench.hint("shuffle_hash")
+    val hits = corpus.join(benchSide, "h")
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("doc_id")).as("n_corpus_docs"),
+        count(lit(1)).as("n_hits"))
+    benchDocs.select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
   /** The benchmark's distinct shingle-hash SET as a single-row frame

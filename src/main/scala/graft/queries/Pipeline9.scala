@@ -503,6 +503,41 @@ object Pipeline9 {
               LEFT JOIN t_hits t USING (q_id)
               ORDER BY e.q_id""")),
 
+    // The benchmark-side leak report — q84's audit flipped to the view
+    // an EVAL owner reads: per benchmark doc, how many corpus docs
+    // share an 8-gram with it and the total hit count; zero rows kept
+    // (a clean eval item is the result you want to see). Hashed-long
+    // join in Spark, raw-string join in the oracle (the q84
+    // losslessness convention).
+    QEntry("q146_bench_leak_report",
+      (s, d) => graft.pipeline.TextAnalysis.benchLeakReport(
+        Tables.documents(s, d), "doc_id", "text",
+        isBench = col("doc_id") % 10 === 0, n = 8)
+        .orderBy(col("bench_id")),
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                       toks[i+6] || ' ' || toks[i+7]))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 8),
+              bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 10 = 0),
+              corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 <> 0),
+              hits AS (
+                SELECT b.bench_id,
+                  count(DISTINCT c.doc_id) AS n_corpus_docs,
+                  count(*) AS n_hits
+                FROM corp c JOIN bench b USING (g)
+                GROUP BY b.bench_id)
+              SELECT d.doc_id AS bench_id,
+                CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+              FROM documents d LEFT JOIN hits h ON h.bench_id = d.doc_id
+              WHERE d.doc_id % 10 = 0
+              ORDER BY bench_id""")),
+
     // Dedup-index quality eval — the near-dup analogue of the q116/q138
     // ANN recall rows: does the banded MinHash index (q37's md5 twin,
     // 16 perms / 4 bands over word-3-gram sets) find every pair the
