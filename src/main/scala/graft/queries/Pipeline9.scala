@@ -143,7 +143,7 @@ object Pipeline9 {
             col("source"))
         val newS = base.union(
           base.filter(col("doc_id") % 50 === 7)
-            .select((col("doc_id") + 10000).as("doc_id"),
+            .select((col("doc_id") + 10000000).as("doc_id"),
               col("text"), col("source")))
         val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
@@ -167,7 +167,7 @@ object Pipeline9 {
               news AS (
                 SELECT id, text, source FROM news0
                 UNION ALL
-                SELECT id + 10000, text, source FROM news0
+                SELECT id + 10000000, text, source FROM news0
                 WHERE id % 50 = 7),
               batch AS (
                 SELECT n.id, n.text, n.source

@@ -122,7 +122,7 @@ class CurationPipelineSpec extends SparkSpec {
         col("source"))
     val newS = base.union(
       base.filter(col("doc_id") % 50 === 7)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           col("text"), col("source")))
     val bench = TextAnalysis.benchShingleHashSet(
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
