@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which prefixes every stdout
+// line with "[info] " — that prefix made the Bench metric line (a bare
+// JSON object by contract) unparseable to anything doing json.loads on
+// the captured line (BENCH_r09 "parsed": null). StdoutOutput inherits the
+// parent's stdout verbatim: the metric line lands as the raw final line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -120,7 +120,16 @@ object Bench {
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     Thread.sleep(500) // let any straggler shutdown thread flush before us
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n":${results.size},"cpu_total_s":${f"$cpuTotal%.1f"},"jvm":$jvm,"queries":$qs}""")
+    val metricLine = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n":${results.size},"cpu_total_s":${f"$cpuTotal%.1f"},"jvm":$jvm,"queries":$qs}"""
+    // File artifact of record alongside the stdout line: BENCH_r09 captured
+    // the line in its tail yet recorded "parsed": null (the sbt logger had
+    // prefixed it with "[info] "). build.sbt now forces StdoutOutput so the
+    // line is raw, and bench.json holds the identical object for any driver
+    // that prefers a file to tail-scraping.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (metricLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(metricLine)
     System.out.flush()
   }
 }

@@ -636,57 +636,65 @@ object Curation {
     *
     * Determinism: each stage is individually engine-exact (integer
     * thresholds, md5 draws, total orders); the q136 oracle replays the
-    * whole chain. */
+    * whole chain.
+    *
+    * @param checkpointDir when set, every inter-stage barrier uses
+    *   RELIABLE `checkpoint()` into this directory (HDFS/object store on
+    *   a real cluster) instead of `localCheckpoint()`, and
+    *   [[Dedup.components]] runs its per-round frames the same way —
+    *   executor loss costs a re-read, not the whole pipeline (see
+    *   [[Ckpt.fn]]). Identical results either way (spec-pinned). */
   def curationPipeline(
       oldSnap: DataFrame, newSnap: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, srcCol: String,
       jacN: Int, jacTNum: Int, jacTDen: Int,
       dup2MaxBp: Int, top2MaxBp: Int, dup3MaxBp: Int,
       decontN: Int, sampleK: Int, salt: String,
-      packBudget: Int, nShards: Int): DataFrame = {
+      packBudget: Int, nShards: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Ckpt.fn(newSnap, checkpointDir)
     // 1. incremental batch
     val diff = snapshotDiff(oldSnap, newSnap, idCol, textCol)
-    val batch = newSnap
+    val batch = ckpt(newSnap
       .select(col(idCol).as("id"), col(textCol).as("text"),
         col(srcCol).as("source"))
       .join(diff.filter(col("status").isin("added", "changed"))
-        .select(col("id")), "id")
-      .localCheckpoint()
+        .select(col("id")), "id"))
     // 2. exact dedup keep-best
     val exKeep = batch.groupBy(md5(col("text")).as("h"))
       .agg(min(col("id")).as("id")).select(col("id"))
-    val ex = batch.join(exKeep, "id").localCheckpoint()
+    val ex = ckpt(batch.join(exKeep, "id"))
     // 3. near dedup keep-best (exact Jaccard pairs → components)
     val pairs = Dedup.ngramJaccardPairs(ex, "id", "text",
         n = jacN, tNum = jacTNum, tDen = jacTDen)
       .select(col("a_id"), col("b_id"))
-    val comp = Dedup.components(pairs, ex.select(col("id")))
+    val comp = Dedup.components(pairs, ex.select(col("id")),
+      checkpointDir = checkpointDir)
     // checkpoint: surv feeds the quality derivation AND the keep join,
     // and a join lineage above qualityFilterStack's staged projections
     // lets CollapseProject re-inline the hoisted gram/fold attributes
     // (the q123 lambda-capture lesson) — measured 7.2 s -> ~2 s at
     // sf0.1 with the checkpoint.
-    val surv = ex.join(
-      comp.filter(col("id") === col("component")).select(col("id")), "id")
-      .localCheckpoint()
+    val surv = ckpt(ex.join(
+      comp.filter(col("id") === col("component")).select(col("id")), "id"))
     // 4. quality gates. The checkpoint before .filter(keep) is a
     // pushdown BARRIER, not just reuse: Catalyst would push the keep
     // predicate through qualityFilterStack's staged projections,
     // re-inlining the tokenize/gram/runFold chain many times into one
     // Filter (the q123 CollapseProject lesson, filter-pushdown
     // edition) — measured 11 s vs 0.3 s at sf0.1 for the same rows.
-    val qual = qualityFilterStack(surv, "id", "text",
-        dup2MaxBp, top2MaxBp, dup3MaxBp)
-      .localCheckpoint()
+    // The barrier property is plan-gated (CurationPlanShapeSpec).
+    val qual = ckpt(qualityFilterStack(surv, "id", "text",
+        dup2MaxBp, top2MaxBp, dup3MaxBp))
       .filter(col("keep")).select(col("doc_id").as("id"))
-    val qs = surv.join(qual, "id").localCheckpoint()
+    val qs = ckpt(surv.join(qual, "id"))
     // 5. decontaminate; post-edit token count = sampling weight
     val weighted = TextAnalysis.decontaminate(qs, bench, "id", "text", decontN)
       .select(col("doc_id").as("id"),
         (col("n_tok") - col("n_removed")).as("w"))
     // 6. weighted sample (key, w, priority)
-    val samp = prioritySample(weighted, "id", "w", sampleK, salt)
-      .localCheckpoint() // feeds pack AND shards
+    val samp = ckpt(prioritySample(weighted, "id", "w", sampleK, salt))
+      // feeds pack AND shards
     // 7. pack per source
     val packed = packSequences(
       samp.join(qs.select(col("id").as("key"), col("source")), "key"),

@@ -310,33 +310,7 @@ object Dedup {
     */
   def components(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        // setCheckpointDir mutates SESSION-GLOBAL state — a concurrent
-        // job using checkpoint() in this session would silently have its
-        // location redirected. Only claim the setting when unset; if the
-        // session already checkpoints somewhere else, fail loudly instead
-        // of hijacking it. (setCheckpointDir stores a fully-qualified
-        // path with a per-context UUID subdir, so "already ours" means
-        // the existing dir lives UNDER the qualified requested dir.)
-        val sc = pairs.sparkSession.sparkContext
-        val qualified = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
-        }
-        sc.getCheckpointDir match {
-          case None => sc.setCheckpointDir(dir)
-          case Some(existing)
-            if existing == qualified ||
-              existing.startsWith(qualified.stripSuffix("/") + "/") => ()
-          case Some(existing) => throw new IllegalArgumentException(
-            s"components(checkpointDir=$dir): session checkpoint dir is already " +
-              s"$existing — refusing to redirect session-global state; pass that " +
-              "dir, or leave checkpointDir unset to use localCheckpoint")
-        }
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
+    val ckpt: DataFrame => DataFrame = Ckpt.fn(pairs, checkpointDir)
     // Two regimes, same fixpoint (the cosineTopKBucketed convention):
     //  - small graph: labels broadcast into every round's join — no
     //    edge exchange happens anyway, so the checkpointed frame is all

@@ -543,8 +543,10 @@ object TextAnalysis {
         "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("n_fp_a"), col("n_fp_b"),
-        (col("n_shared") * 10000 / least(col("n_fp_a"), col("n_fp_b")))
-          .cast("long").as("sim_bp"))
+        // integer div (matches the oracle's `//`) — the repo convention for
+        // engine-exact bp ratios; `/` is double division, exact only while
+        // n_shared*10000 stays within double's 2^53 integer margin.
+        expr("(n_shared * 10000) div least(n_fp_a, n_fp_b)").as("sim_bp"))
   }
 
   /** HOF reference formulation of [[winnowSets]] (spec twin, not the

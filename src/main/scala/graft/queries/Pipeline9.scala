@@ -89,6 +89,39 @@ object Pipeline9 {
             string_agg(sym, ' ' ORDER BY i) AS seg
           FROM s$nMerges GROUP BY wd, n ORDER BY wd""")
 
+  /** The q136 run, parameterized on the barrier flavor so the plan-shape
+    * spec can pin the RELIABLE-checkpoint path to the same result the
+    * gate hashes (VERDICT r9 item 2). Inputs derived from `documents`:
+    * old crawl = the %3==1 slice; new crawl = all non-benchmark docs
+    * minus %17==3 removals, %11==0 texts mutated, plus %50==7 docs
+    * re-crawled as exact-text URL aliases under id+1e7; benchmark =
+    * the %10==0 slice's 8-gram shingle set. */
+  private[graft] def q136Run(s: org.apache.spark.sql.SparkSession, d: String,
+      checkpointDir: Option[String]): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldS = docs.filter(col("doc_id") % 3 === 1 &&
+      col("doc_id") % 10 =!= 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val newS = base.union(
+      base.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"),
+          col("text"), col("source")))
+    val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+    graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
+      "doc_id", "text", "source",
+      jacN = 3, jacTNum = 4, jacTDen = 5,
+      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
+      decontN = 8, sampleK = 50, salt = "q136",
+      packBudget = 256, nShards = 4, checkpointDir = checkpointDir)
+      .orderBy(col("id"))
+  }
+
   val entries: Seq[QEntry] = Seq(
 
     // Multi-step BPE training: q126's one-step contract iterated 4
@@ -121,7 +154,8 @@ object Pipeline9 {
     // snapshotDiff (derived crawls: old = the %3==1 slice, new = all
     // non-benchmark docs minus %17==3 removals, %11==0 texts mutated,
     // plus %50==7 docs re-crawled as exact-text URL aliases under
-    // id+10000 — so added/changed/removed AND exact dups are all live)
+    // id+1e7, far past every real doc_id so aliases can't collide with
+    // the base crawl — added/changed/removed AND exact dups all live)
     // → exact dedup keep-best (q30) → exact n-gram-Jaccard near-dup +
     // components keep-best (q61+q55, 8-9 live pairs) → quality stack
     // (q133 thresholds) → benchmark decontamination (q115, post-edit
@@ -131,30 +165,7 @@ object Pipeline9 {
     // individual oracle composed with its doc set rescoped to the
     // previous stage's survivors.
     QEntry("q136_curation_pipeline",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val oldS = docs.filter(col("doc_id") % 3 === 1 &&
-          col("doc_id") % 10 =!= 0)
-        val base = docs.filter(col("doc_id") % 10 =!= 0 &&
-            col("doc_id") % 17 =!= 3)
-          .select(col("doc_id"),
-            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")).as("text"),
-            col("source"))
-        val newS = base.union(
-          base.filter(col("doc_id") % 50 === 7)
-            .select((col("doc_id") + 10000000).as("doc_id"),
-              col("text"), col("source")))
-        val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
-          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
-        graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
-          "doc_id", "text", "source",
-          jacN = 3, jacTNum = 4, jacTDen = 5,
-          dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
-          decontN = 8, sampleK = 50, salt = "q136",
-          packBudget = 256, nShards = 4)
-          .orderBy(col("id"))
-      },
+      (s, d) => q136Run(s, d, checkpointDir = None),
       Some(s"""WITH RECURSIVE olds AS (
                 SELECT doc_id AS id, text FROM documents
                 WHERE doc_id % 3 = 1 AND doc_id % 10 != 0),
