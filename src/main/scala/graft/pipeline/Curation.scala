@@ -708,4 +708,243 @@ object Curation {
       .select(col("id"), col("source"), col("w"), col("cum_tok"),
         col("bin_id"), col("rn"), col("shard"))
   }
+
+  /** The incremental counterpart of [[curationPipeline]]'s stages 1–4 —
+    * what a continuously-crawling 100 TB pipeline actually runs: a
+    * foreachBatch loop that, per micro-batch of arriving docs,
+    *
+    *  1. ingest pre-filter: keep only docs `added` or `changed` vs the
+    *     previous crawl ([[snapshotDiff]] semantics against a static
+    *     old-digest dim — the shuffle carries (id, 32-hex), never text);
+    *  2. quality flags via the [[streamIngest]] stack (one pass over the
+    *     arriving text — flags are STORED, not filtered on: the batch
+    *     pipeline applies quality AFTER components, and a quality-failing
+    *     doc must still glue its near-dup cluster together);
+    *  3. exact dedup: min id per md5(text) within the batch, then
+    *     anti-join against the digests seen so far (first-seen-wins ==
+    *     the batch pipeline's global min-id when doc ids arrive
+    *     monotonically — the crawl regime, ids assigned at ingest);
+    *  4. near-dup pair discovery, EXACT: the batch's distinct n-gram
+    *     hashes ([[graft.expressions.functions.ngram_shingle_hashes]],
+    *     the same expression as [[Dedup.ngramJaccardPairs]]) posting-join
+    *     against the accumulated gram state — each shared gram counted
+    *     once per pair, so `count == |intersection|` and the Jaccard
+    *     verify is the same int64 `inter*tDen >= uni*tNum`. No LSH, no
+    *     recall loss: this arm is exact by contract, like the batch
+    *     PPJoin (which prunes the same posting join losslessly). The
+    *     same fail-fast posting cap guards degenerate vocabularies.
+    *
+    * [[survivors]] then derives the running curated table at read time:
+    * [[Dedup.components]] over every pair found so far (keep-best = each
+    * cluster's min id) ∩ quality-pass. Derivation must run at READ time,
+    * not per batch: a later doc can glue two existing clusters together
+    * and retract a previously-rooted survivor, so per-batch emission of
+    * survivors would need retractions — state is monotone, the view is
+    * not.
+    *
+    * Per-batch cost: O(batch) for digest/quality/grams + the posting
+    * join O(Σ_g df_batch(g)·df_state(g)) — never a corpus re-scan; the
+    * corpus is re-read only as the (id, gram-hash) posting state, the
+    * incremental contract. Spec-pinned equal to the batch
+    * [[curationPipeline]] survivors across forced micro-batches
+    * (IncrementalCurationSpec, q147 gate).
+    *
+    * State: localCheckpoint'd frames swapped per batch, or — with
+    * `stateDir` — parquet tables partitioned by batch_id, each batch
+    * overwrite-writing ITS OWN partition (idempotent under
+    * foreachBatch's at-least-once replay); a fresh instance on the same
+    * dir rehydrates — the [[Dedup.IncrementalNearDup]] contract. */
+  final class IncrementalCuration(
+      oldSnap: DataFrame,
+      idCol: String, textCol: String, srcCol: String,
+      jacN: Int = 3, jacTNum: Int = 4, jacTDen: Int = 5,
+      dup2MaxBp: Int = 1000, top2MaxBp: Int = 1500, dup3MaxBp: Int = 100,
+      maxPosting: Int = 100000,
+      stateDir: Option[String] = None) {
+    require(jacN >= 1 && jacTNum > 0 && jacTNum <= jacTDen,
+      s"bad n-gram params: n=$jacN, t=$jacTNum/$jacTDen")
+
+    private val sp = oldSnap.sparkSession
+
+    private def fs(path: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+
+    private def readState(sub: String): Option[DataFrame] = stateDir.flatMap { dir =>
+      if (fs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
+        Some(sp.read.parquet(s"$dir/$sub").drop("batch_id"))
+      else None
+    }
+
+    // Static pre-filter dim: the previous crawl's (id, digest). Seeded
+    // once (batch_id=-1) in stateDir mode so a restarted instance never
+    // re-digests the old crawl.
+    private val oldDig: DataFrame = stateDir match {
+      case Some(dir) =>
+        if (!fs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/olddig")))
+          oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+            .write.mode("overwrite").parquet(s"$dir/olddig/batch_id=-1")
+        readState("olddig").get
+      case None =>
+        oldSnap.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+          .localCheckpoint()
+    }
+
+    // Accumulated state. None = empty (nothing ingested yet); in
+    // stateDir mode rehydrated from the partitioned tables.
+    //   docs  (id, source)      exact-dedup survivors so far
+    //   dig   (h)               digests seen so far
+    //   qual  (id, keep)        per-doc quality verdicts
+    //   post  (g, id, sz)       distinct-gram postings; sz = |grams(id)|
+    //   pairs (a_id, b_id)      verified near-dup pairs so far
+    @volatile private var docsS: Option[DataFrame] = readState("docs")
+    @volatile private var digS: Option[DataFrame] = readState("dig")
+    @volatile private var qualS: Option[DataFrame] = readState("qual")
+    @volatile private var postS: Option[DataFrame] = readState("post")
+    @volatile private var pairsS: Option[DataFrame] = readState("pairs")
+
+    private def grams(docs: DataFrame): DataFrame = docs
+      .select(col("id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= jacN)
+      .select(col("id"),
+        graft.expressions.functions
+          .ngram_shingle_hashes(col("toks"), jacN, distinct = true).as("gs"))
+      .select(col("id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+
+    /** State from batches OTHER than `batchId`. In stateDir mode this is
+      * what makes at-least-once replay idempotent: a replayed batch must
+      * NOT see its own earlier partitions (it would anti-join itself away
+      * and overwrite its partitions with empty frames); in-memory mode
+      * has no restart, so the vars already hold exactly the prior
+      * batches. */
+    private def prior(sub: String, inMem: Option[DataFrame],
+        batchId: Long): Option[DataFrame] = stateDir match {
+      case Some(dir) =>
+        if (fs(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
+          Some(sp.read.parquet(s"$dir/$sub")
+            .filter(col("batch_id") =!= batchId).drop("batch_id"))
+        else None
+      case None => inMem
+    }
+
+    /** foreachBatch body — also callable directly on batch frames. */
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+      // 1. ingest pre-filter: added/changed vs the old crawl
+      val batch = batch0
+        .select(col(idCol).as("id"), col(textCol).as("text"),
+          col(srcCol).as("source"), md5(col(textCol)).as("h"))
+        .join(oldDig, Seq("id"), "left")
+        .filter(col("h_old").isNull || col("h_old") =!= col("h"))
+        .drop("h_old")
+      // 2. quality flags (streamIngest stack), stored not filtered
+      val qual = streamIngest(batch, "id", "text",
+          dup2MaxBp, top2MaxBp, dup3MaxBp)
+        .select(col("doc_id").as("id"), col("keep"))
+      // 3. exact dedup: min id per digest in-batch (struct min — id
+      // leads, so lexicographic min == min id), then drop digests
+      // already seen in PRIOR batches
+      val exBatch0 = batch
+        .groupBy(col("h"))
+        .agg(min(struct(col("id"), col("text"), col("source"))).as("d"))
+        .select(col("h"), col("d.id").as("id"), col("d.text").as("text"),
+          col("d.source").as("source"))
+      val exBatch = prior("dig", digS, batchId) match {
+        case Some(dig) => exBatch0.join(dig, Seq("h"), "left_anti")
+        case None => exBatch0
+      }
+      val bPost = grams(exBatch)
+      // Persist/absorb the batch FIRST (so same-batch pairs are found),
+      // then discover pairs against the absorbed state.
+      val bPostC = stateDir match {
+        case Some(dir) =>
+          exBatch.select(col("id"), col("source"))
+            .write.mode("overwrite").parquet(s"$dir/docs/batch_id=$batchId")
+          exBatch.select(col("h"))
+            .write.mode("overwrite").parquet(s"$dir/dig/batch_id=$batchId")
+          qual.write.mode("overwrite").parquet(s"$dir/qual/batch_id=$batchId")
+          bPost.write.mode("overwrite").parquet(s"$dir/post/batch_id=$batchId")
+          docsS = readState("docs"); digS = readState("dig")
+          qualS = readState("qual"); postS = readState("post")
+          sp.read.parquet(s"$dir/post/batch_id=$batchId").drop("batch_id")
+        case None =>
+          val bp = bPost.localCheckpoint()
+          docsS = Some(docsS.fold(exBatch.select(col("id"), col("source")))(
+            _.union(exBatch.select(col("id"), col("source")))).localCheckpoint())
+          digS = Some(digS.fold(exBatch.select(col("h")))(
+            _.union(exBatch.select(col("h")))).localCheckpoint())
+          qualS = Some(qualS.fold(qual)(_.union(qual)).localCheckpoint())
+          postS = Some(postS.fold(bp: DataFrame)(_.union(bp)).localCheckpoint())
+          bp
+      }
+      val allPost = prior("post", None, batchId) match {
+        case Some(p) => p.union(bPostC)
+        case None => postS.get // in-memory: already prior ∪ batch
+      }
+      // Fail fast on degenerate postings, the ngramJaccardPairs
+      // contract: candidate rows grow with df_batch·df_state per gram,
+      // and an exact operator may not silently drop oversized postings.
+      if (maxPosting > 0) {
+        val worst = allPost.join(bPostC.select(col("g")).distinct(), "g")
+          .groupBy(col("g")).agg(count(lit(1)).as("pn"))
+          .agg(max(col("pn"))).head()
+        val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+        require(biggest <= maxPosting,
+          s"IncrementalCuration: largest posting touched by this batch holds " +
+            s"$biggest docs, over the cap $maxPosting — raise jacN (vocabulary " +
+            "too degenerate) or raise maxPosting (0 disables)")
+      }
+      // 4. exact pair discovery: shared grams counted once per pair
+      // (least/greatest + distinct folds the two join directions and the
+      // batch×batch double-emission), so count(*) == |intersection| of
+      // the two distinct-gram sets — identical to the PPJoin verify.
+      val a = allPost.select(col("id").as("ia"), col("g"))
+      val b = bPostC.select(col("id").as("ib"), col("g"))
+      val inter = a.join(b, "g")
+        .filter(col("ia") =!= col("ib"))
+        .select(least(col("ia"), col("ib")).as("a_id"),
+          greatest(col("ia"), col("ib")).as("b_id"), col("g"))
+        .distinct()
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = allPost.select(col("id"), col("sz")).distinct()
+      val newPairs = inter
+        .join(sz.select(col("id").as("a_id"), col("sz").as("sa")), "a_id")
+        .join(sz.select(col("id").as("b_id"), col("sz").as("sb")), "b_id")
+        .filter(col("inter") * jacTDen >=
+          (col("sa") + col("sb") - col("inter")) * jacTNum)
+        .select(col("a_id"), col("b_id"))
+      pairsS = stateDir match {
+        case Some(dir) =>
+          newPairs.write.mode("overwrite")
+            .parquet(s"$dir/pairs/batch_id=$batchId")
+          readState("pairs")
+        case None =>
+          Some(pairsS.fold(newPairs)(_.union(newPairs)).localCheckpoint())
+      }
+    }
+
+    /** The running curated-survivor table: keep-best over the near-dup
+      * components found so far ∩ quality-pass. Recomputed at read time
+      * over dimension-small state (ids, pairs, flags — never text);
+      * EAGER like [[Dedup.components]]. */
+    def survivors(): DataFrame = {
+      val docsAll = docsS.getOrElse(
+        return oldSnap.select(col(idCol).as("id"), col(srcCol).as("source"))
+          .limit(0))
+      val nodes = docsAll.select(col("id"))
+      val pairsAll = pairsS.getOrElse(
+        docsAll.select(col("id").as("a_id"), col("id").as("b_id")).limit(0))
+      val comp = Dedup.components(pairsAll, nodes)
+      docsAll
+        .join(comp.filter(col("id") === col("component")).select(col("id")), "id")
+        .join(qualS.get.filter(col("keep")).select(col("id")), "id")
+        .select(col("id"), col("source"))
+    }
+
+    def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+  }
 }

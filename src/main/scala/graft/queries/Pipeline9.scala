@@ -89,84 +89,13 @@ object Pipeline9 {
             string_agg(sym, ' ' ORDER BY i) AS seg
           FROM s$nMerges GROUP BY wd, n ORDER BY wd""")
 
-  /** The q136 run, parameterized on the barrier flavor so the plan-shape
-    * spec can pin the RELIABLE-checkpoint path to the same result the
-    * gate hashes (VERDICT r9 item 2). Inputs derived from `documents`:
-    * old crawl = the %3==1 slice; new crawl = all non-benchmark docs
-    * minus %17==3 removals, %11==0 texts mutated, plus %50==7 docs
-    * re-crawled as exact-text URL aliases under id+1e7; benchmark =
-    * the %10==0 slice's 8-gram shingle set. */
-  private[graft] def q136Run(s: org.apache.spark.sql.SparkSession, d: String,
-      checkpointDir: Option[String]): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d)
-    val oldS = docs.filter(col("doc_id") % 3 === 1 &&
-      col("doc_id") % 10 =!= 0)
-    val base = docs.filter(col("doc_id") % 10 =!= 0 &&
-        col("doc_id") % 17 =!= 3)
-      .select(col("doc_id"),
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")).as("text"),
-        col("source"))
-    val newS = base.union(
-      base.filter(col("doc_id") % 50 === 7)
-        .select((col("doc_id") + 10000000).as("doc_id"),
-          col("text"), col("source")))
-    val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
-      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
-    graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
-      "doc_id", "text", "source",
-      jacN = 3, jacTNum = 4, jacTDen = 5,
-      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
-      decontN = 8, sampleK = 50, salt = "q136",
-      packBudget = 256, nShards = 4, checkpointDir = checkpointDir)
-      .orderBy(col("id"))
-  }
-
-  val entries: Seq[QEntry] = Seq(
-
-    // Multi-step BPE training: q126's one-step contract iterated 4
-    // times on the symbol-ARRAY representation (string replace is
-    // ambiguous once multichar symbols exist — and the Sennrich
-    // lookbehind-regex trick is Java-only, RE2 engines can't replay
-    // it). Each step's merge DECISION (pair, count) and its
-    // APPLICATION (post-merge corpus-wide vocab size) are both pinned,
-    // so a wrong greedy overlap at step t would cascade into every
-    // later step's counts.
-    QEntry("q137_bpe_train",
-      (s, d) => graft.pipeline.TextAnalysis.bpeTrain(
-        Tables.documents(s, d), "text", nMerges = 4)
-        .orderBy(col("step")),
-      Some(bpeTrainSql(4))),
-
-    // The ENCODE side of the tokenizer loop: the distinct-word
-    // vocabulary segmented by the 4 trained merges — every word's
-    // final symbol sequence as a string, so a wrong greedy application
-    // anywhere in the chain shows up as a hash mismatch on the word it
-    // corrupted (q137 pins the per-step decisions; this pins the full
-    // final state). Shared application code with bpeTrain.
-    QEntry("q141_bpe_segment",
-      (s, d) => graft.pipeline.TextAnalysis.bpeSegment(
-        Tables.documents(s, d), "text", nMerges = 4)
-        .orderBy(col("wd")),
-      Some(bpeSegmentSql(4))),
-
-    // The composed end-to-end curation pipeline as ONE dataflow:
-    // snapshotDiff (derived crawls: old = the %3==1 slice, new = all
-    // non-benchmark docs minus %17==3 removals, %11==0 texts mutated,
-    // plus %50==7 docs re-crawled as exact-text URL aliases under
-    // id+1e7, far past every real doc_id so aliases can't collide with
-    // the base crawl — added/changed/removed AND exact dups all live)
-    // → exact dedup keep-best (q30) → exact n-gram-Jaccard near-dup +
-    // components keep-best (q61+q55, 8-9 live pairs) → quality stack
-    // (q133 thresholds) → benchmark decontamination (q115, post-edit
-    // token count = weight) → priority sample (q111, k=50) →
-    // per-source packing (q88, budget 256) → balanced shards (q130,
-    // S=4). The oracle replays the ENTIRE chain — every stage's
-    // individual oracle composed with its doc set rescoped to the
-    // previous stage's survivors.
-    QEntry("q136_curation_pipeline",
-      (s, d) => q136Run(s, d, checkpointDir = None),
-      Some(s"""WITH RECURSIVE olds AS (
+  /** Shared oracle CTE chain: the q136 fixture derivation through the
+    * QUALITY SURVIVORS (`qs`) — batch-pipeline stages 1–4 (snapshot
+    * diff → exact dedup → exact n-gram-Jaccard components keep-best →
+    * quality gates). q136 continues the chain through decontaminate/
+    * sample/pack/shard; q147 reads `qs` directly — the set the
+    * incremental curation loop must reproduce. */
+  private def q136ChainToQs: String = s"""WITH RECURSIVE olds AS (
                 SELECT doc_id AS id, text FROM documents
                 WHERE doc_id % 3 = 1 AND doc_id % 10 != 0),
               news0 AS (
@@ -277,7 +206,128 @@ object Pipeline9 {
                 JOIN qg USING (id) JOIN qb USING (id)
                 WHERE qg.ok_len AND qg.ok_wl AND qg.ok_stop AND qg.ok_rep
                   AND qb.dup2_bp <= 1000 AND qb.top2_bp <= 1500
-                  AND qb.dup3_bp <= 100),
+                  AND qb.dup3_bp <= 100)"""
+
+  /** The q136 run, parameterized on the barrier flavor so the plan-shape
+    * spec can pin the RELIABLE-checkpoint path to the same result the
+    * gate hashes (VERDICT r9 item 2). Inputs derived from `documents`:
+    * old crawl = the %3==1 slice; new crawl = all non-benchmark docs
+    * minus %17==3 removals, %11==0 texts mutated, plus %50==7 docs
+    * re-crawled as exact-text URL aliases under id+1e7; benchmark =
+    * the %10==0 slice's 8-gram shingle set. */
+  /** The q136 input construction (old crawl, new crawl, benchmark
+    * shingle set) — shared by the batch pipeline (q136) and the
+    * incremental loop (q147, IncrementalCurationSpec). */
+  private[graft] def q136Inputs(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val oldS = docs.filter(col("doc_id") % 3 === 1 &&
+      col("doc_id") % 10 =!= 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val newS = base.union(
+      base.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"),
+          col("text"), col("source")))
+    val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+    (oldS, newS, bench)
+  }
+
+  private[graft] def q136Run(s: org.apache.spark.sql.SparkSession, d: String,
+      checkpointDir: Option[String]): org.apache.spark.sql.DataFrame = {
+    val (oldS, newS, bench) = q136Inputs(s, d)
+    graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
+      "doc_id", "text", "source",
+      jacN = 3, jacTNum = 4, jacTDen = 5,
+      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
+      decontN = 8, sampleK = 50, salt = "q136",
+      packBudget = 256, nShards = 4, checkpointDir = checkpointDir)
+      .orderBy(col("id"))
+  }
+
+  /** The q147 run: the SAME new crawl, replayed through
+    * [[graft.pipeline.Curation.IncrementalCuration]] as `nBatches`
+    * id-range micro-batches (id-monotonic, the crawl regime — alias ids
+    * at +1e7 land in the last batch, after their base texts). The
+    * survivor table must equal the batch pipeline's quality-survivor
+    * stage regardless of the batch count. */
+  private[graft] def q147Run(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int): org.apache.spark.sql.DataFrame = {
+    val (oldS, newS, _) = q136Inputs(s, d)
+    val inc = new graft.pipeline.Curation.IncrementalCuration(
+      oldS, "doc_id", "text", "source",
+      jacN = 3, jacTNum = 4, jacTDen = 5,
+      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100)
+    // id-range slices: real ids split into nBatches-1 near-equal ranges
+    // (fractions of the max real id, so the slicing works at any SF);
+    // alias ids (>= 1e7) arrive in the final batch, after their base
+    // texts. max() reads a 1-row agg of the id column.
+    val aliasLo = 10000000L
+    val maxReal = newS.filter(col("doc_id") < aliasLo)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1
+    val nReal = nBatches - 1
+    val slices = (0 until nReal).map { i =>
+      val hi = if (i == nReal - 1) aliasLo else maxReal * (i + 1) / nReal
+      (maxReal * i / nReal, hi)
+    } :+ ((aliasLo, Long.MaxValue))
+    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+      inc.processBatch(
+        newS.filter(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
+    }
+    inc.survivors().orderBy(col("id"))
+  }
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Multi-step BPE training: q126's one-step contract iterated 4
+    // times on the symbol-ARRAY representation (string replace is
+    // ambiguous once multichar symbols exist — and the Sennrich
+    // lookbehind-regex trick is Java-only, RE2 engines can't replay
+    // it). Each step's merge DECISION (pair, count) and its
+    // APPLICATION (post-merge corpus-wide vocab size) are both pinned,
+    // so a wrong greedy overlap at step t would cascade into every
+    // later step's counts.
+    QEntry("q137_bpe_train",
+      (s, d) => graft.pipeline.TextAnalysis.bpeTrain(
+        Tables.documents(s, d), "text", nMerges = 4)
+        .orderBy(col("step")),
+      Some(bpeTrainSql(4))),
+
+    // The ENCODE side of the tokenizer loop: the distinct-word
+    // vocabulary segmented by the 4 trained merges — every word's
+    // final symbol sequence as a string, so a wrong greedy application
+    // anywhere in the chain shows up as a hash mismatch on the word it
+    // corrupted (q137 pins the per-step decisions; this pins the full
+    // final state). Shared application code with bpeTrain.
+    QEntry("q141_bpe_segment",
+      (s, d) => graft.pipeline.TextAnalysis.bpeSegment(
+        Tables.documents(s, d), "text", nMerges = 4)
+        .orderBy(col("wd")),
+      Some(bpeSegmentSql(4))),
+
+    // The composed end-to-end curation pipeline as ONE dataflow:
+    // snapshotDiff (derived crawls: old = the %3==1 slice, new = all
+    // non-benchmark docs minus %17==3 removals, %11==0 texts mutated,
+    // plus %50==7 docs re-crawled as exact-text URL aliases under
+    // id+1e7, far past every real doc_id so aliases can't collide with
+    // the base crawl — added/changed/removed AND exact dups all live)
+    // → exact dedup keep-best (q30) → exact n-gram-Jaccard near-dup +
+    // components keep-best (q61+q55, 8-9 live pairs) → quality stack
+    // (q133 thresholds) → benchmark decontamination (q115, post-edit
+    // token count = weight) → priority sample (q111, k=50) →
+    // per-source packing (q88, budget 256) → balanced shards (q130,
+    // S=4). The oracle replays the ENTIRE chain — every stage's
+    // individual oracle composed with its doc set rescoped to the
+    // previous stage's survivors.
+    QEntry("q136_curation_pipeline",
+      (s, d) => q136Run(s, d, checkpointDir = None),
+      Some(s"""$q136ChainToQs,
               tk AS (
                 SELECT id, string_split_regex(lower(text), '\\s+') AS toks
                 FROM qs),
@@ -1211,6 +1261,19 @@ object Pipeline9 {
                 ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
               HAVING count(*) >= 2
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    // The incremental curation loop (VERDICT r9 item 3): the q136 new
+    // crawl replayed as three id-monotonic micro-batches through
+    // IncrementalCuration (ingest pre-filter → streamIngest quality
+    // flags → incremental exact dedup → incremental exact gram-posting
+    // near-dup pairs), survivors derived from components + quality at
+    // read time. The oracle is the BATCH pipeline's quality-survivor
+    // stage — the q136 chain truncated at `qs` — so the gate pins
+    // incremental == batch, not just "some rows".
+    QEntry("q147_incremental_curation",
+      (s, d) => q147Run(s, d, nBatches = 3),
+      Some(s"""$q136ChainToQs
+              SELECT id, source FROM qs ORDER BY id"""))
   )
 }
