@@ -278,6 +278,93 @@ object SemKernels {
     s
   }
 
+  private val knownTldSet: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Dicts.KnownTlds.foreach(s.add)
+    s
+  }
+
+  // --- email / url / isodate (Validators' engine-extension trio) ---
+
+  private val EmailShape =
+    Pattern.compile("^[a-z0-9._%+-]+@[a-z0-9.-]+\\.([a-z]{2,})$")
+
+  private def email(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val l = t.toLowerCase
+    val m = EmailShape.matcher(l)
+    if (!m.matches()) return (Invalid, t)
+    if (!knownTldSet.contains(m.group(1))) return (Plausible, l)
+    if (raw == l) (Valid, l) else (ValidBadFormat, l)
+  }
+
+  // One pattern, groups: (1) scheme presence, (2) TLD — same accepted
+  // language as Validators' UrlSchemeRe/UrlNoSchemeRe/UrlTldRe split.
+  private val UrlShape = Pattern.compile(
+    "^(https?://)?[a-z0-9.-]+\\.([a-z]{2,})(:[0-9]{1,5})?([/?][!-~]*)?$")
+
+  private def url(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val l = t.toLowerCase
+    val m = UrlShape.matcher(l)
+    if (!m.matches()) return (Invalid, t)
+    val hasScheme = m.group(1) != null
+    val known = knownTldSet.contains(m.group(2))
+    if (known && hasScheme) {
+      if (raw == l) (Valid, l) else (ValidBadFormat, l)
+    } else if (known) (ValidBadFormat, "https://" + l)
+    else if (hasScheme) (Plausible, l)
+    else (Plausible, "https://" + l)
+  }
+
+  private def isRealDate(y: Int, m: Int, d: Int): Boolean = {
+    if (m < 1 || m > 12) return false
+    val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+    val dim = m match {
+      case 1 | 3 | 5 | 7 | 8 | 10 | 12 => 31
+      case 4 | 6 | 9 | 11 => 30
+      case _ => if (leap) 29 else 28
+    }
+    d >= 1 && d <= dim
+  }
+
+  private def allDigits(s: String, from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  private def isodate(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    def num(from: Int, len: Int) = Integer.parseInt(t.substring(from, from + len))
+    val iso = t.length == 10 && allDigits(t, 0, 4) && t.charAt(4) == '-' &&
+      allDigits(t, 5, 7) && t.charAt(7) == '-' && allDigits(t, 8, 10)
+    val us = t.length == 10 && allDigits(t, 0, 2) && t.charAt(2) == '/' &&
+      allDigits(t, 3, 5) && t.charAt(5) == '/' && allDigits(t, 6, 10)
+    val basic = t.length == 8 && allDigits(t, 0, 8)
+    if (iso) {
+      if (isRealDate(num(0, 4), num(5, 2), num(8, 2))) (Valid, t)
+      else (Plausible, t)
+    } else if (us) {
+      if (isRealDate(num(6, 4), num(0, 2), num(3, 2)))
+        (ValidBadFormat,
+          t.substring(6) + "-" + t.substring(0, 2) + "-" + t.substring(3, 5))
+      else (Plausible, t)
+    } else if (basic) {
+      if (isRealDate(num(0, 4), num(4, 2), num(6, 2)))
+        (ValidBadFormat,
+          t.substring(0, 4) + "-" + t.substring(4, 6) + "-" + t.substring(6))
+      else (Plausible, t)
+    } else (Invalid, t)
+  }
+
   /** Dispatch by kernel id (stable — referenced from generated code). */
   def eval(kernel: Int, raw: UTF8String): InternalRow = {
     val s = if (raw == null) null else raw.toString
@@ -291,6 +378,9 @@ object SemKernels {
       case 6 => coords(s)
       case 7 => zipQuick(s)
       case 8 => zipDict(s)
+      case 9 => email(s)
+      case 10 => url(s)
+      case 11 => isodate(s)
       case k => sys.error(s"unknown kernel $k")
     }
     InternalRow(code, UTF8String.fromString(norm))
@@ -331,7 +421,8 @@ object SemVerdict {
 
   val kernels: Map[String, Int] = Map(
     "phone" -> 0, "phone_v1" -> 1, "state" -> 2, "boro" -> 3,
-    "lat" -> 4, "long" -> 5, "coords" -> 6, "zip_quick" -> 7, "zip" -> 8)
+    "lat" -> 4, "long" -> 5, "coords" -> 6, "zip_quick" -> 7, "zip" -> 8,
+    "email" -> 9, "url" -> 10, "isodate" -> 11)
 
   /** Input is cast to string first (the when-tree validators get this
     * implicitly from Catalyst; a bare Expression child does not). */

@@ -52,7 +52,14 @@ object Detector {
       val v = Validators.coordsVerdict(c)
       struct(v.getField("code").as("code"), v.getField("norm").as("norm"))
     }, Validators.coordsHit, 5,
-      Some(n => { val l = n.toLowerCase; l.contains("coord") || l.contains("location") })))
+      Some(n => { val l = n.toLowerCase; l.contains("coord") || l.contains("location") })),
+    // Engine-extension trio (VERDICT r9 item 5). email/url shapes are
+    // selective enough for the >0 threshold (D1); dates reuse the
+    // reference's >=5 quirk (D2, like zip/lat/long) because short digit
+    // runs appear in many non-date columns.
+    TypeSpec("email", Validators.emailVerdict, Validators.emailHit, 1),
+    TypeSpec("url", Validators.urlVerdict, Validators.urlHit, 1),
+    TypeSpec("isodate", Validators.isoDateVerdict, Validators.isoDateHit, 5))
 
   /** [[defaultSpecs]] with each classification validator swapped for its
     * fused single-expression kernel ([[graft.expressions.SemVerdict]]) —

@@ -100,4 +100,14 @@ object Dicts {
     "719", "720", "727", "732", "760", "773", "778", "781", "785",
     "786", "814", "815", "816", "817", "832", "845", "848", "862", "875",
     "901", "914", "917", "919", "929", "934", "973")
+
+  /** Known top-level domains for the email/url validators' "plausible but
+    * not real" code-5 check (the dictionary-membership move of S16/S19
+    * applied to the new semantic types): a syntactically valid address on
+    * an unknown TLD is shape-valid yet not a real instance. Deliberately
+    * a short allowlist, like NycZips/NycAreaCodes — the reference's
+    * dictionaries are also scoped snapshots, not the IANA registry. */
+  val KnownTlds: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "us",
+    "uk", "de", "fr", "jp", "ca", "au", "info", "biz", "dev", "app")
 }

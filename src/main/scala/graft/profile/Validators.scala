@@ -407,6 +407,144 @@ object Validators {
         .otherwise(nFrags.between(4, 5)) // S17 digit-fragment blob -> code 2
   }
 
+  // ---------------------------------------------------------------------
+  // Email / URL / ISO date — engine extensions (VERDICT r9 item 5): the
+  // reference's pluggable semantic-type architecture
+  // (`phone-numbers/README.md:19`) applied to the types a real NYC-CSV
+  // profiling run hits next (`latlong-validate.py:13` imports `datetime`
+  // without using it — the authors wanted dates). Same 5-code taxonomy;
+  // the dictionary-membership move (S19's zip dict, S3's area codes)
+  // recurs as a known-TLD allowlist: shape-valid on an unknown TLD is
+  // code 5, "plausible but not a real instance".
+  // ---------------------------------------------------------------------
+
+  private val EmailShapeRe = "^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$"
+
+  /** Email: 4 null-like; 1 canonical (already lowercase, no padding) on a
+    * known TLD; 2 same value, fixable format (case / surrounding space);
+    * 5 shape-valid on an unknown TLD; 3 otherwise. Norm = lowercased
+    * trimmed form ('' for null-like, trimmed raw for code 3). */
+  def emailVerdict(c: Column): Column = {
+    val s = c.cast("string")
+    once(trim(s) -> Str, lower(trim(s)) -> Str) { case Seq(t, l) =>
+      val shape = l.rlike(EmailShapeRe)
+      val tld = regexp_extract(l, "\\.([a-z]{2,})$", 1)
+      val known = tld.isin(anySeq(Dicts.KnownTlds): _*)
+      publish(when(isNullLike(c), verdict(NullLike, lit("")))
+        .when(shape && known,
+          when(s === l, verdict(Valid, l))
+            .otherwise(verdict(ValidBadFormat, l)))
+        .when(shape, verdict(Plausible, l))
+        .otherwise(verdict(Invalid, t)))
+    }
+  }
+
+  // Host must end in a dot + alpha TLD; optional port; path/query = any
+  // printable non-space ASCII after / or ?. Classification runs on the
+  // LOWERCASED trimmed value (norm lowercases the whole URL — a profiler
+  // normalization for matching, not dereferencing).
+  private val UrlSchemeRe =
+    "^https?://[a-z0-9.-]+\\.[a-z]{2,}(:[0-9]{1,5})?([/?][!-~]*)?$"
+  private val UrlNoSchemeRe =
+    "^[a-z0-9.-]+\\.[a-z]{2,}(:[0-9]{1,5})?([/?][!-~]*)?$"
+  private val UrlTldRe =
+    "^(?:https?://)?[a-z0-9.-]*\\.([a-z]{2,})(?::[0-9]{1,5})?(?:[/?][!-~]*)?$"
+
+  /** URL: 4 null-like; 1 canonical scheme'd URL on a known TLD; 2 fixable
+    * (uppercase/padding, or scheme missing — norm prepends `https://`);
+    * 5 shape-valid on an unknown TLD; 3 otherwise. */
+  def urlVerdict(c: Column): Column = {
+    val s = c.cast("string")
+    once(trim(s) -> Str, lower(trim(s)) -> Str) { case Seq(t, l) =>
+      val withScheme = l.rlike(UrlSchemeRe)
+      val noScheme = l.rlike(UrlNoSchemeRe)
+      val tld = regexp_extract(l, UrlTldRe, 1)
+      val known = tld.isin(anySeq(Dicts.KnownTlds): _*)
+      publish(when(isNullLike(c), verdict(NullLike, lit("")))
+        .when(withScheme && known,
+          when(s === l, verdict(Valid, l))
+            .otherwise(verdict(ValidBadFormat, l)))
+        .when(noScheme && known,
+          verdict(ValidBadFormat, concat(lit("https://"), l)))
+        .when(withScheme, verdict(Plausible, l))
+        .when(noScheme, verdict(Plausible, concat(lit("https://"), l)))
+        .otherwise(verdict(Invalid, t)))
+    }
+  }
+
+  /** True iff (y, m, d) name a real Gregorian calendar date (leap rule
+    * included). Inputs are ints parsed from shape-checked digit runs, so
+    * the ANSI casts upstream cannot throw. */
+  private def realDate(y: Column, m: Column, d: Column): Column = {
+    val leap = (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+    val dim = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .when(m === 2, when(leap, 29).otherwise(28))
+      .otherwise(0)
+    m.between(1, 12) && d.between(1, dim)
+  }
+
+  /** ISO date: 4 null-like; 1 `yyyy-mm-dd` naming a real date; 2 a real
+    * date in a fixable format (`mm/dd/yyyy` US or `yyyymmdd` basic —
+    * norm converts to extended ISO); 5 date-shaped but not a real date
+    * (month 13, Feb 29 off-leap); 3 otherwise. Casts are guarded by the
+    * shape regexes (ANSI-safe). */
+  def isoDateVerdict(c: Column): Column = {
+    val s = c.cast("string")
+    once(trim(s) -> Str) { case Seq(t) =>
+      val isoShape = t.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+      val usShape = t.rlike("^[0-9]{2}/[0-9]{2}/[0-9]{4}$")
+      val basicShape = t.rlike("^[0-9]{8}$")
+      def real(y: Column, m: Column, d: Column): Column =
+        realDate(y.cast("int"), m.cast("int"), d.cast("int"))
+      def isoOf(y: Column, m: Column, d: Column): Column =
+        concat(y, lit("-"), m, lit("-"), d)
+      publish(when(isNullLike(c), verdict(NullLike, lit("")))
+        .when(isoShape, {
+          val (y, m, d) = (substring(t, 1, 4), substring(t, 6, 2), substring(t, 9, 2))
+          when(real(y, m, d), verdict(Valid, t))
+            .otherwise(verdict(Plausible, t))
+        })
+        .when(usShape, {
+          val (m, d, y) = (substring(t, 1, 2), substring(t, 4, 2), substring(t, 7, 4))
+          when(real(y, m, d), verdict(ValidBadFormat, isoOf(y, m, d)))
+            .otherwise(verdict(Plausible, t))
+        })
+        .when(basicShape, {
+          val (y, m, d) = (substring(t, 1, 4), substring(t, 5, 2), substring(t, 7, 2))
+          when(real(y, m, d), verdict(ValidBadFormat, isoOf(y, m, d)))
+            .otherwise(verdict(Plausible, t))
+        })
+        .otherwise(verdict(Invalid, t)))
+    }
+  }
+
+  def emailHit(c: Column): Column = {
+    val l = lower(trim(c.cast("string")))
+    !isNullLike(c) && l.rlike(EmailShapeRe) &&
+      regexp_extract(l, "\\.([a-z]{2,})$", 1).isin(anySeq(Dicts.KnownTlds): _*)
+  }
+
+  def urlHit(c: Column): Column = {
+    val l = lower(trim(c.cast("string")))
+    !isNullLike(c) && (l.rlike(UrlSchemeRe) || l.rlike(UrlNoSchemeRe)) &&
+      regexp_extract(l, UrlTldRe, 1).isin(anySeq(Dicts.KnownTlds): _*)
+  }
+
+  def isoDateHit(c: Column): Column = {
+    val t = trim(c.cast("string"))
+    def real(y: Column, m: Column, d: Column): Column =
+      realDate(y.cast("int"), m.cast("int"), d.cast("int"))
+    !isNullLike(c) && (
+      when(t.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+          real(substring(t, 1, 4), substring(t, 6, 2), substring(t, 9, 2)))
+        .when(t.rlike("^[0-9]{2}/[0-9]{2}/[0-9]{4}$"),
+          real(substring(t, 7, 4), substring(t, 1, 2), substring(t, 4, 2)))
+        .when(t.rlike("^[0-9]{8}$"),
+          real(substring(t, 1, 4), substring(t, 5, 2), substring(t, 7, 2)))
+        .otherwise(lit(false)))
+  }
+
   /** All named scalar validators, for the generic detector/profiler. */
   val all: Map[String, Column => Column] = Map(
     "phone" -> phoneVerdict _,
@@ -420,5 +558,8 @@ object Validators {
       struct(v.getField("code").as("code"), v.getField("norm").as("norm"))
     }),
     "zip_quick" -> zipQuickVerdict _,
-    "zip" -> (c => zipDictVerdict(c)))
+    "zip" -> (c => zipDictVerdict(c)),
+    "email" -> emailVerdict _,
+    "url" -> urlVerdict _,
+    "isodate" -> isoDateVerdict _)
 }

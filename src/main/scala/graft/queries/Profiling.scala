@@ -242,6 +242,58 @@ object Profiling {
           hist("state_col", "state", Synth.stateCodeSql),
           hist("zip_col", "zip", Synth.zipDictCodeSql))
         parts.mkString("", " UNION ALL ", " ORDER BY col_name, semtype, code")
+      }),
+
+    // --- engine-extension semantic types (VERDICT r9 item 5): email /
+    // url / ISO date, same validate+oracle harness as q20-q26 and the
+    // same D1/D2 detection thresholds (q151). ---
+
+    QEntry("q148_email_validate",
+      validateQuery(Synth.email, Validators.emailVerdict),
+      Some(validateOracle(Synth.emailSql, Synth.emailCodeSql, Synth.emailNormSql))),
+
+    QEntry("q149_url_validate",
+      validateQuery(Synth.url, Validators.urlVerdict),
+      Some(validateOracle(Synth.urlSql, Synth.urlCodeSql, Synth.urlNormSql))),
+
+    QEntry("q150_isodate_validate",
+      validateQuery(Synth.isodate, Validators.isoDateVerdict),
+      Some(validateOracle(Synth.isodateSql, Synth.isodateCodeSql, Synth.isodateNormSql))),
+
+    // Detection over the extended synth table: the three new TypeSpecs
+    // fire on their columns (email/url at threshold 1, isodate at the
+    // reference's >=5 quirk) and — like q27's honest false positives —
+    // url also fires on email_col: `user<k>.example.com` (the no-@
+    // code-3 email variant) is a perfectly valid schemeless URL.
+    QEntry("q151_detect_extended",
+      (s, d) => {
+        val table = Tables.customer(s, d).select(
+          col("c_custkey"),
+          Synth.email.as("email_col"), Synth.url.as("url_col"),
+          Synth.isodate.as("date_col"))
+          .orderBy(col("c_custkey"))
+        val detected = Detector.detect(table, Detector.defaultSpecs,
+          sampleN = 100,
+          candidateCols = Some(Seq("email_col", "url_col", "date_col")))
+        import s.implicits._
+        detected.sortBy(x => (x.column, x.semType)).toDF()
+          .select(col("column").as("col_name"), col("semType").as("semtype"),
+            col("hits"), col("sampled"))
+          .orderBy(col("col_name"), col("semtype"))
+      },
+      Some {
+        val rows = Seq(
+          ("date_col", "isodate", "c_custkey % 8 IN (0, 1, 6, 7)"),
+          ("email_col", "email", "c_custkey % 8 IN (0, 1, 7)"),
+          ("email_col", "url", "c_custkey % 8 = 4"),
+          ("url_col", "url", "c_custkey % 8 IN (0, 1, 2, 7)"))
+          .map { case (c, t, pred) =>
+            s"""SELECT '$c' AS col_name, '$t' AS semtype,
+                 CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                 count(*) AS sampled
+                FROM customer WHERE c_custkey < 100"""
+          }
+        rows.mkString("", " UNION ALL ", " ORDER BY col_name, semtype")
       })
   )
 }

@@ -228,4 +228,138 @@ object Synth {
   val coordsCodeSql: String =
     """CASE c_custkey % 5
        WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 3 END"""
+
+  // -------- email (covers codes 1,2,3,4,5) --------
+  // m=0 user<k>@example.com          -> 1
+  // m=1 ' User<k>@Example.COM '      -> 2 (case+padding; norm lowered)
+  // m=2 ''                           -> 4
+  // m=3 'n/a'                        -> 4
+  // m=4 user<k>.example.com (no @)   -> 3
+  // m=5 user@@example.com            -> 3
+  // m=6 user<k>@example.zzz          -> 5 (unknown TLD)
+  // m=7 ops<k>@data.org              -> 1
+  def email: Column = {
+    val m = k % 8
+    when(m === 0, concat(lit("user"), k.cast("string"), lit("@example.com")))
+      .when(m === 1, concat(lit(" User"), k.cast("string"), lit("@Example.COM ")))
+      .when(m === 2, lit(""))
+      .when(m === 3, lit("n/a"))
+      .when(m === 4, concat(lit("user"), k.cast("string"), lit(".example.com")))
+      .when(m === 5, lit("user@@example.com"))
+      .when(m === 6, concat(lit("user"), k.cast("string"), lit("@example.zzz")))
+      .otherwise(concat(lit("ops"), k.cast("string"), lit("@data.org")))
+  }
+  val emailSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('user', cast(c_custkey AS VARCHAR), '@example.com')
+       WHEN 1 THEN concat(' User', cast(c_custkey AS VARCHAR), '@Example.COM ')
+       WHEN 2 THEN '' WHEN 3 THEN 'n/a'
+       WHEN 4 THEN concat('user', cast(c_custkey AS VARCHAR), '.example.com')
+       WHEN 5 THEN 'user@@example.com'
+       WHEN 6 THEN concat('user', cast(c_custkey AS VARCHAR), '@example.zzz')
+       ELSE concat('ops', cast(c_custkey AS VARCHAR), '@data.org') END"""
+  val emailCodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 4
+       WHEN 4 THEN 3 WHEN 5 THEN 3 WHEN 6 THEN 5 ELSE 1 END"""
+  val emailNormSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('user', cast(c_custkey AS VARCHAR), '@example.com')
+       WHEN 1 THEN concat('user', cast(c_custkey AS VARCHAR), '@example.com')
+       WHEN 2 THEN '' WHEN 3 THEN ''
+       WHEN 4 THEN concat('user', cast(c_custkey AS VARCHAR), '.example.com')
+       WHEN 5 THEN 'user@@example.com'
+       WHEN 6 THEN concat('user', cast(c_custkey AS VARCHAR), '@example.zzz')
+       ELSE concat('ops', cast(c_custkey AS VARCHAR), '@data.org') END"""
+
+  // -------- url (covers codes 1,2,3,4,5) --------
+  // m=0 https://example.com/item/<k>       -> 1
+  // m=1 example.com/item/<k> (no scheme)   -> 2 (norm prepends https://)
+  // m=2 HTTPS://Example.COM/Item/<k>       -> 2 (norm lowered)
+  // m=3 'none'                             -> 4
+  // m=4 htp://example.com/<k> (bad scheme) -> 3
+  // m=5 https://example.zzz/<k>            -> 5 (unknown TLD)
+  // m=6 ''                                 -> 4
+  // m=7 https://shop.example.co/cart?id=<k> -> 1
+  def url: Column = {
+    val m = k % 8
+    when(m === 0, concat(lit("https://example.com/item/"), k.cast("string")))
+      .when(m === 1, concat(lit("example.com/item/"), k.cast("string")))
+      .when(m === 2, concat(lit("HTTPS://Example.COM/Item/"), k.cast("string")))
+      .when(m === 3, lit("none"))
+      .when(m === 4, concat(lit("htp://example.com/"), k.cast("string")))
+      .when(m === 5, concat(lit("https://example.zzz/"), k.cast("string")))
+      .when(m === 6, lit(""))
+      .otherwise(concat(lit("https://shop.example.co/cart?id="), k.cast("string")))
+  }
+  val urlSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('https://example.com/item/', cast(c_custkey AS VARCHAR))
+       WHEN 1 THEN concat('example.com/item/', cast(c_custkey AS VARCHAR))
+       WHEN 2 THEN concat('HTTPS://Example.COM/Item/', cast(c_custkey AS VARCHAR))
+       WHEN 3 THEN 'none'
+       WHEN 4 THEN concat('htp://example.com/', cast(c_custkey AS VARCHAR))
+       WHEN 5 THEN concat('https://example.zzz/', cast(c_custkey AS VARCHAR))
+       WHEN 6 THEN ''
+       ELSE concat('https://shop.example.co/cart?id=', cast(c_custkey AS VARCHAR)) END"""
+  val urlCodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 4
+       WHEN 4 THEN 3 WHEN 5 THEN 5 WHEN 6 THEN 4 ELSE 1 END"""
+  val urlNormSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('https://example.com/item/', cast(c_custkey AS VARCHAR))
+       WHEN 1 THEN concat('https://example.com/item/', cast(c_custkey AS VARCHAR))
+       WHEN 2 THEN concat('https://example.com/item/', cast(c_custkey AS VARCHAR))
+       WHEN 3 THEN ''
+       WHEN 4 THEN concat('htp://example.com/', cast(c_custkey AS VARCHAR))
+       WHEN 5 THEN concat('https://example.zzz/', cast(c_custkey AS VARCHAR))
+       WHEN 6 THEN ''
+       ELSE concat('https://shop.example.co/cart?id=', cast(c_custkey AS VARCHAR)) END"""
+
+  // -------- ISO date (covers codes 1,2,3,4,5) --------
+  // m=0 2020-01-01 + (k%366) days, extended ISO -> 1
+  // m=1 mm/dd/2021 from k (always a real date)  -> 2 (norm ISO)
+  // m=2 '2021-13-40' (month 13)                 -> 5
+  // m=3 ''                                      -> 4
+  // m=4 'yesterday'                             -> 3
+  // m=5 '2021-02-29' (2021 not leap)            -> 5
+  // m=6 '20210412' basic ISO                    -> 2 (norm dashes)
+  // m=7 '1999-12-31'                            -> 1
+  def isodate: Column = {
+    val m = k % 8
+    val iso0 = date_format(
+      date_add(to_date(lit("2020-01-01")), (k % 366).cast("int")), "yyyy-MM-dd")
+    val mm = lpad(((k % 12) + 1).cast("string"), 2, "0")
+    val dd = lpad(((k % 28) + 1).cast("string"), 2, "0")
+    when(m === 0, iso0)
+      .when(m === 1, concat(mm, lit("/"), dd, lit("/2021")))
+      .when(m === 2, lit("2021-13-40"))
+      .when(m === 3, lit(""))
+      .when(m === 4, lit("yesterday"))
+      .when(m === 5, lit("2021-02-29"))
+      .when(m === 6, lit("20210412"))
+      .otherwise(lit("1999-12-31"))
+  }
+  private val isoDaySql = "strftime(DATE '2020-01-01' + INTERVAL (c_custkey % 366) DAY, '%Y-%m-%d')"
+  private val mmSql = "lpad(cast((c_custkey % 12) + 1 AS VARCHAR), 2, '0')"
+  private val ddSql = "lpad(cast((c_custkey % 28) + 1 AS VARCHAR), 2, '0')"
+  val isodateSql: String =
+    s"""CASE c_custkey % 8
+       WHEN 0 THEN $isoDaySql
+       WHEN 1 THEN concat($mmSql, '/', $ddSql, '/2021')
+       WHEN 2 THEN '2021-13-40' WHEN 3 THEN ''
+       WHEN 4 THEN 'yesterday' WHEN 5 THEN '2021-02-29'
+       WHEN 6 THEN '20210412' ELSE '1999-12-31' END"""
+  val isodateCodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5 WHEN 3 THEN 4
+       WHEN 4 THEN 3 WHEN 5 THEN 5 WHEN 6 THEN 2 ELSE 1 END"""
+  val isodateNormSql: String =
+    s"""CASE c_custkey % 8
+       WHEN 0 THEN $isoDaySql
+       WHEN 1 THEN concat('2021-', $mmSql, '-', $ddSql)
+       WHEN 2 THEN '2021-13-40' WHEN 3 THEN ''
+       WHEN 4 THEN 'yesterday' WHEN 5 THEN '2021-02-29'
+       WHEN 6 THEN '2021-04-12' ELSE '1999-12-31' END"""
 }

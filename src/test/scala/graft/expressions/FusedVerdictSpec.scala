@@ -24,6 +24,16 @@ class FusedVerdictSpec extends SparkSpec {
     "181.0", "120.5", "0", "90", "90.000001", "-180",
     "(40.575, -74.107)", "40.575 -74.107", "[40.575;-74.107]",
     "92.09, 19.23", "foo", "40.5754", "12.34.56.78", "1,2,3",
+    "user5@example.com", " User5@Example.COM ", "user@@example.com",
+    "user5.example.com", "user5@example.zzz", "ops@data.org", "a@b.co",
+    "@example.com", "user@.com", "user@exam ple.com",
+    "https://example.com/item/5", "example.com/item/5",
+    "HTTPS://Example.COM/Item/5", "htp://example.com/5",
+    "https://example.zzz/5", "https://shop.example.co/cart?id=5",
+    "https://", "http://x.y", "example", "www.example.com:8080/a/b",
+    "2020-01-06", "2021-13-40", "2021-02-29", "2020-02-29",
+    "04/15/2021", "13/01/2021", "20210412", "99999999", "00000101",
+    "1999-12-31", "yesterday", "2021-1-1", "2021-04-31", "12/31/1999",
     null.asInstanceOf[String])
 
   private val junkGen: Gen[String] = Gen.oneOf(

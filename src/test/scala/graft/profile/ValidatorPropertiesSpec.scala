@@ -75,8 +75,33 @@ class ValidatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("code-2 email/url/isodate normalizations re-validate as code 1") {
+    // normalization closure for the engine-extension trio: a fixable
+    // format's norm must land in the canonical (code-1) domain
+    val fixable = Seq(
+      (Validators.emailVerdict _): Column => Column,
+      (Validators.urlVerdict _): Column => Column,
+      (Validators.isoDateVerdict _): Column => Column)
+    val seeds = Seq(
+      " User7@Example.COM ", "ops@Data.ORG",
+      "example.com/item/9", "HTTPS://Example.COM/Item/9", "www.example.co",
+      "04/15/2021", "20210412", "12/31/1999")
+    for (v <- fixable) {
+      val twos = classify(v, batch(200) ++ seeds)
+        .filter(_._2 == Codes.ValidBadFormat).map(_._3)
+      if (twos.nonEmpty) {
+        classify(v, twos).foreach { case (in, code, _) =>
+          assert(code == Codes.Valid, s"normalized '$in' must be code 1, got $code")
+        }
+      }
+    }
+  }
+
   test("hit predicates agree with verdict code IN (1,2) on junk") {
-    val inputs = batch(400)
+    val inputs = batch(400) ++ Seq(
+      "user5@example.com", " User5@Example.COM ", "user5@example.zzz",
+      "example.com/item/5", "https://example.zzz/5", "htp://example.com/5",
+      "2020-01-06", "04/15/2021", "20210412", "2021-02-29")
     val rows = inputs.map(org.apache.spark.sql.Row(_))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("raw",
@@ -91,7 +116,10 @@ class ValidatorPropertiesSpec extends SparkSpec {
       ("coords", c => {
         val v = Validators.coordsVerdict(c)
         struct(v.getField("code").as("code"), v.getField("norm").as("norm"))
-      }, Validators.coordsHit _))
+      }, Validators.coordsHit _),
+      ("email", Validators.emailVerdict _, Validators.emailHit _),
+      ("url", Validators.urlVerdict _, Validators.urlHit _),
+      ("isodate", Validators.isoDateVerdict _, Validators.isoDateHit _))
     for ((name, verdict, hit) <- pairs) {
       val out = df.select(col("raw"),
           Validators.isHit(verdict(col("raw"))).as("a"),
