@@ -309,7 +309,15 @@ object Dedup {
     * @return (id, component) — component = min reachable id
     */
   def components(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    componentsWithStats(pairs, nodes, maxIter, checkpointDir)._1
+
+  /** [[components]] plus the number of propagation rounds actually run —
+    * the observable behind the O(log diameter) claim (ScaleBench measures
+    * it on a 10M-edge synthetic graph; SCALE.md records the numbers). */
+  private[graft] def componentsWithStats(pairs: DataFrame, nodes: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val ckpt: DataFrame => DataFrame = Ckpt.fn(pairs, checkpointDir)
     // Two regimes, same fixpoint (the cosineTopKBucketed convention):
     //  - small graph: labels broadcast into every round's join — no
@@ -331,7 +339,7 @@ object Dedup {
     // the label loop's sum-fixpoint probe would read sum(empty) = NULL,
     // and there is nothing to iterate anyway.
     if (nEdges == 0)
-      return nodes.select(col("id"), col("id").as("component"))
+      return (nodes.select(col("id"), col("id").as("component")), 0)
     val bigGraph = nEdges > 1000000L // past any broadcastable label frame
     val edges = if (bigGraph) e0.repartition(col("src")).persist() else e0
     // Only edge-touched nodes can ever change label — iterate over that
@@ -372,9 +380,10 @@ object Dedup {
     // labels are checkpointed (materialized) — the result no longer
     // reads edges, so the cached blocks can go now.
     if (bigGraph) edges.unpersist(blocking = false)
-    nodes.select(col("id"))
+    (nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("component")),
+      it)
   }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
