@@ -867,13 +867,22 @@ object Curation {
           qualS = readState("qual"); postS = readState("post")
           sp.read.parquet(s"$dir/post/batch_id=$batchId").drop("batch_id")
         case None =>
-          val bp = bPost.localCheckpoint()
-          docsS = Some(docsS.fold(exBatch.select(col("id"), col("source")))(
-            _.union(exBatch.select(col("id"), col("source")))).localCheckpoint())
-          digS = Some(digS.fold(exBatch.select(col("h")))(
-            _.union(exBatch.select(col("h")))).localCheckpoint())
-          qualS = Some(qualS.fold(qual)(_.union(qual)).localCheckpoint())
-          postS = Some(postS.fold(bp: DataFrame)(_.union(bp)).localCheckpoint())
+          // Materialize the batch ONCE (exBatch's lineage holds the
+          // snapshot join + digest agg + anti-join) and derive every
+          // state slice from the checkpointed blocks lazily; the running
+          // state is a union of per-batch checkpointed leaves — flat
+          // lineage, no per-batch re-checkpoint of the whole union
+          // (measured: the union re-checkpoints re-ran the exBatch
+          // lineage 3x per batch and dominated q147's wall).
+          val exB = exBatch.localCheckpoint()
+          val qualC = qual.localCheckpoint()
+          val bp = grams(exB) // projection over materialized blocks
+          docsS = Some(docsS.fold(exB.select(col("id"), col("source")))(
+            _.union(exB.select(col("id"), col("source")))))
+          digS = Some(digS.fold(exB.select(col("h")))(
+            _.union(exB.select(col("h")))))
+          qualS = Some(qualS.fold(qualC)(_.union(qualC)))
+          postS = Some(postS.fold(bp: DataFrame)(_.union(bp)))
           bp
       }
       val allPost = prior("post", None, batchId) match {
@@ -919,7 +928,10 @@ object Curation {
             .parquet(s"$dir/pairs/batch_id=$batchId")
           readState("pairs")
         case None =>
-          Some(pairsS.fold(newPairs)(_.union(newPairs)).localCheckpoint())
+          // checkpoint only THIS batch's pairs (the posting join runs
+          // once); the running set is a lazy union of checkpointed leaves
+          val np = newPairs.localCheckpoint()
+          Some(pairsS.fold(np: DataFrame)(_.union(np)))
       }
     }
 
