@@ -270,9 +270,17 @@ object Similarity {
       dim: Int,
       nBits: Int = 4,
       threshold: Double = 0.35,
-      maxBucket: Int = 10000): DataFrame = {
-    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .withColumn("na", dotQ(col("qe"), col("qe")))
+      maxBucket: Int = 10000): DataFrame =
+    lshPairsOverQuantized(
+      corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("na", dotQ(col("qe"), col("qe"))),
+      nBits, threshold, maxBucket)
+
+  /** The bucket-group-verify core over a pre-quantized (vec_id, qe, na)
+    * frame — shared by [[cosineNearDupPairs]] and the dup-collapsed
+    * [[cosineNearDupPairsDeduped]]. */
+  private def lshPairsOverQuantized(
+      q: DataFrame, nBits: Int, threshold: Double, maxBucket: Int): DataFrame = {
     // fused codegen'd loop (LshBucketLong); the HOF formulation below is
     // the spec-pinned reference (ExactJoinSpec differential), same
     // pattern as lshBucket/lshBucketHof.
@@ -301,6 +309,60 @@ object Similarity {
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("dot"), round(col("cos"), 4).as("cos4"))
+  }
+
+  /** [[cosineNearDupPairs]] with exact-duplicate COLLAPSING first — the
+    * sf≈1 replica lesson made operational (BASELINE.md §"sf≈1 scale
+    * point": bit-identical vectors all collide in every LSH band, and
+    * in-bucket pair generation is Σ bucket², so cost grows quadratically
+    * in duplicate density — 10 copies of a corpus cost ~100×, measured).
+    *
+    * Collapse each distinct quantized vector to its min-id
+    * representative BEFORE bucketing (one hash agg on the quantized
+    * bytes — the q30 exact-dedup move in vector space), run the LSH
+    * join over representatives only (bucket occupancy = DISTINCT
+    * vectors), and return the compact edge set a dedup consumer
+    * (components keep-best) actually needs:
+    *
+    *   - `kind='dup'`:  (rep_id, member_id) exact-duplicate membership,
+    *     dot = ‖v‖², cos4 = 1.0 — the quadratic member×member pair set
+    *     is NOT expanded (re-inflating it in the output would undo the
+    *     fix; components reaches every member through its rep edge);
+    *   - `kind='near'`: representative near-dup pairs with quantized
+    *     cosine ≥ threshold, same verification as the base operator.
+    *
+    * Integer-exact end to end like the base operator: a SQL oracle
+    * rebuilds the collapse, buckets, candidates and scores bit-for-bit
+    * (q152). */
+  def cosineNearDupPairsDeduped(
+      corpus: DataFrame, // (vec_id, embedding)
+      dim: Int,
+      nBits: Int = 4,
+      threshold: Double = 0.35,
+      maxBucket: Int = 10000): DataFrame = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("k", md5(concat_ws(",", col("qe").cast("array<string>"))))
+    // min-id representative per distinct quantized vector; struct min
+    // orders by vec_id first, so the rep carries its own qe along.
+    // Checkpoint: feeds the dup-edge join AND the LSH chain, and its
+    // lineage is the corpus-wide collapse agg.
+    val reps = q.groupBy(col("k"))
+      .agg(min(struct(col("vec_id"), col("qe"))).as("r"))
+      .select(col("k"), col("r.vec_id").as("vec_id"), col("r.qe").as("qe"))
+      .localCheckpoint()
+    val dups = q.select(col("k"), col("vec_id").as("member_id"))
+      .join(reps.select(col("k"), col("vec_id").as("rep_id"), col("qe")), "k")
+      .filter(col("member_id") =!= col("rep_id"))
+      .select(lit("dup").as("kind"), col("rep_id").as("a_id"),
+        col("member_id").as("b_id"), dotQ(col("qe"), col("qe")).as("dot"),
+        lit(1.0).as("cos4"))
+    val near = lshPairsOverQuantized(
+        reps.select(col("vec_id"), col("qe"))
+          .withColumn("na", dotQ(col("qe"), col("qe"))),
+        nBits, threshold, maxBucket)
+      .select(lit("near").as("kind"), col("a_id"), col("b_id"),
+        col("dot"), col("cos4"))
+    dups.union(near)
   }
 
   /** Reference HOF formulation of the integer bucket (differential-

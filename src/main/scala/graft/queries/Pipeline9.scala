@@ -1274,6 +1274,72 @@ object Pipeline9 {
     QEntry("q147_incremental_curation",
       (s, d) => q147Run(s, d, nBatches = 3),
       Some(s"""$q136ChainToQs
-              SELECT id, source FROM qs ORDER BY id"""))
+              SELECT id, source FROM qs ORDER BY id""")),
+
+    // The sf≈1 replica lesson operationalized (BASELINE.md §"sf≈1 scale
+    // point"): q60's LSH pair cost is Σ bucket², quadratic in
+    // exact-duplicate density. q152 plants two duplicate groups (the
+    // %7==3 slice copied at +1e7, the %13==5 slice at +2e7) and runs
+    // the dup-collapsed operator: distinct quantized vectors collapse
+    // to min-id reps (the q30 move in vector space), LSH runs over reps
+    // only, and the output is the compact dup-membership ∪ rep-pair
+    // edge set. The oracle rebuilds collapse, buckets, candidates and
+    // scores bit-for-bit.
+    QEntry("q152_vector_dedup_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = emb
+          .union(emb.filter(col("vec_id") % 7 === 3)
+            .select((col("vec_id") + 10000000).as("vec_id"), col("embedding")))
+          .union(emb.filter(col("vec_id") % 13 === 5)
+            .select((col("vec_id") + 20000000).as("vec_id"), col("embedding")))
+        graft.pipeline.Similarity.cosineNearDupPairsDeduped(
+          planted, dim = 64, nBits = 4, threshold = 0.35)
+          .orderBy(col("kind"), col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH base AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000, embedding FROM embeddings
+                WHERE vec_id % 7 = 3
+                UNION ALL
+                SELECT vec_id + 20000000, embedding FROM embeddings
+                WHERE vec_id % 13 = 5),
+              q AS (
+                SELECT vec_id, list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM base),
+              kq AS (
+                SELECT vec_id, qe,
+                  md5(list_aggregate(list_transform(qe,
+                    x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS k
+                FROM q),
+              reps AS (SELECT k, min(vec_id) AS rep_id FROM kq GROUP BY k),
+              repv AS (
+                SELECT r.rep_id AS vec_id, kq.qe
+                FROM reps r JOIN kq ON kq.vec_id = r.rep_id),
+              dups AS (
+                SELECT 'dup' AS kind, r.rep_id AS a_id, kq.vec_id AS b_id,
+                  CAST(list_sum(list_transform(kq.qe, x -> x*x)) AS BIGINT) AS dot,
+                  CAST(1.0 AS DOUBLE) AS cos4
+                FROM kq JOIN reps r USING (k)
+                WHERE kq.vec_id != r.rep_id),
+              bk AS (SELECT vec_id, qe, ${Pipeline2.duckBucketBits(4)} AS bucket
+                     FROM repv),
+              pairs AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  CAST(list_sum(list_transform(range(len(a.qe)),
+                    i -> a.qe[i+1] * b.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              near AS (
+                SELECT 'near' AS kind, a_id, b_id, dot,
+                  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos4
+                FROM pairs
+                WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35)
+              SELECT * FROM dups
+              UNION ALL SELECT * FROM near
+              ORDER BY kind, a_id, b_id"""))
   )
 }

@@ -62,6 +62,39 @@ class ExactJoinSpec extends SparkSpec {
     assert(got == Set((0L, 1L)), s"wrong pairs: $got")
   }
 
+  test("dup-collapsed cosine pairs: members collapse, near pairs = rep-level base pairs") {
+    // 5 bit-identical copies of each base vector (the sf≈1 replica
+    // pathology): the deduped operator must emit 4 dup edges per group
+    // (never the 10 member×member pairs), and its near pairs must equal
+    // the BASE operator's pairs among the min-id representatives —
+    // bucket occupancy scales with distinct vectors, not copies.
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)))
+    val copies = for ((id, v) <- base; r <- 0 until 5)
+      yield (id + r * 100L, v)
+    val emb = copies.toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairsDeduped(
+      emb, dim = 4, nBits = 2, threshold = 0.9).cache()
+    val dups = out.filter(col("kind") === "dup")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(dups == (for (id <- 0L to 2L; r <- 1 to 4) yield (id, id + r * 100L)).toSet,
+      s"wrong dup edges: $dups")
+    val near = out.filter(col("kind") === "near")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val baseline = Similarity.cosineNearDupPairs(
+        base.toDF("vec_id", "embedding"), dim = 4, nBits = 2, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(near == baseline, s"near $near != rep-level base $baseline")
+    // every member is reachable for components keep-best: rep edges +
+    // rep pairs cover all 15 vectors
+    val touched = (dups ++ near).flatMap(p => Seq(p._1, p._2)) ++ Seq(0L, 1L, 2L)
+    assert(copies.map(_._1).toSet.subsetOf(touched),
+      "a member vector is unreachable from the edge set")
+    out.unpersist()
+  }
+
   test("fused ngram_shingles agrees with the HOF reference on real docs") {
     val docs = graft.queries.Tables.documents(spark, sf)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
