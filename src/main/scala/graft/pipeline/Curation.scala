@@ -688,6 +688,19 @@ object Curation {
         dup2MaxBp, top2MaxBp, dup3MaxBp))
       .filter(col("keep")).select(col("doc_id").as("id"))
     val qs = ckpt(surv.join(qual, "id"))
+    emitStages(qs, bench, decontN, sampleK, salt, packBudget, nShards, ckpt)
+  }
+
+  /** [[curationPipeline]] stages 5–8 (decontaminate → weighted sample →
+    * per-source packing → balanced shards) over a quality-survivor frame
+    * `qs` = (id, text, source) — shared by the batch pipeline and the
+    * incremental loop's emission ([[IncrementalCuration.emit]]), which
+    * is what makes "incremental == batch" provable for the WHOLE
+    * pipeline output, not just the survivor set. */
+  private[pipeline] def emitStages(qs: DataFrame, bench: DataFrame,
+      decontN: Int, sampleK: Int, salt: String,
+      packBudget: Int, nShards: Int,
+      ckpt: DataFrame => DataFrame): DataFrame = {
     // 5. decontaminate; post-edit token count = sampling weight
     val weighted = TextAnalysis.decontaminate(qs, bench, "id", "text", decontN)
       .select(col("doc_id").as("id"),
@@ -857,7 +870,7 @@ object Curation {
       // then discover pairs against the absorbed state.
       val bPostC = stateDir match {
         case Some(dir) =>
-          exBatch.select(col("id"), col("source"))
+          exBatch.select(col("id"), col("text"), col("source"))
             .write.mode("overwrite").parquet(s"$dir/docs/batch_id=$batchId")
           exBatch.select(col("h"))
             .write.mode("overwrite").parquet(s"$dir/dig/batch_id=$batchId")
@@ -877,8 +890,9 @@ object Curation {
           val exB = exBatch.localCheckpoint()
           val qualC = qual.localCheckpoint()
           val bp = grams(exB) // projection over materialized blocks
-          docsS = Some(docsS.fold(exB.select(col("id"), col("source")))(
-            _.union(exB.select(col("id"), col("source")))))
+          docsS = Some(docsS.fold(
+            exB.select(col("id"), col("text"), col("source")))(
+            _.union(exB.select(col("id"), col("text"), col("source")))))
           digS = Some(digS.fold(exB.select(col("h")))(
             _.union(exB.select(col("h")))))
           qualS = Some(qualS.fold(qualC)(_.union(qualC)))
@@ -935,14 +949,15 @@ object Curation {
       }
     }
 
-    /** The running curated-survivor table: keep-best over the near-dup
-      * components found so far ∩ quality-pass. Recomputed at read time
-      * over dimension-small state (ids, pairs, flags — never text);
-      * EAGER like [[Dedup.components]]. */
-    def survivors(): DataFrame = {
+    /** The running quality-survivor DOCUMENT table (id, text, source):
+      * keep-best over the near-dup components found so far ∩
+      * quality-pass. Recomputed at read time — the components/flags
+      * derivation runs over dimension-small state (ids, pairs, flags);
+      * text rides the final join only. EAGER like [[Dedup.components]]. */
+    def survivorDocs(): DataFrame = {
       val docsAll = docsS.getOrElse(
-        return oldSnap.select(col(idCol).as("id"), col(srcCol).as("source"))
-          .limit(0))
+        return oldSnap.select(col(idCol).as("id"), col(textCol).as("text"),
+          col(srcCol).as("source")).limit(0))
       val nodes = docsAll.select(col("id"))
       val pairsAll = pairsS.getOrElse(
         docsAll.select(col("id").as("a_id"), col("id").as("b_id")).limit(0))
@@ -950,8 +965,24 @@ object Curation {
       docsAll
         .join(comp.filter(col("id") === col("component")).select(col("id")), "id")
         .join(qualS.get.filter(col("keep")).select(col("id")), "id")
-        .select(col("id"), col("source"))
+        .select(col("id"), col("text"), col("source"))
     }
+
+    /** The running curated-survivor table (id, source). */
+    def survivors(): DataFrame =
+      survivorDocs().select(col("id"), col("source"))
+
+    /** Run the batch pipeline's emission stages (decontaminate →
+      * weighted sample → per-source packing → balanced shards) over the
+      * CURRENT incremental survivors — the full [[curationPipeline]]
+      * output contract reproduced from incrementally-built state
+      * (q153's oracle is the full q136 chain, so incremental == batch
+      * is pinned for the whole pipeline, not just the survivor set). */
+    def emit(bench: DataFrame, decontN: Int, sampleK: Int, salt: String,
+        packBudget: Int, nShards: Int): DataFrame =
+      Curation.emitStages(survivorDocs().localCheckpoint(), bench,
+        decontN, sampleK, salt, packBudget, nShards,
+        df => df.localCheckpoint())
 
     def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
       stream.writeStream

@@ -215,119 +215,10 @@ object Pipeline9 {
     * minus %17==3 removals, %11==0 texts mutated, plus %50==7 docs
     * re-crawled as exact-text URL aliases under id+1e7; benchmark =
     * the %10==0 slice's 8-gram shingle set. */
-  /** The q136 input construction (old crawl, new crawl, benchmark
-    * shingle set) — shared by the batch pipeline (q136) and the
-    * incremental loop (q147, IncrementalCurationSpec). */
-  private[graft] def q136Inputs(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame) = {
-    val docs = Tables.documents(s, d)
-    val oldS = docs.filter(col("doc_id") % 3 === 1 &&
-      col("doc_id") % 10 =!= 0)
-    val base = docs.filter(col("doc_id") % 10 =!= 0 &&
-        col("doc_id") % 17 =!= 3)
-      .select(col("doc_id"),
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")).as("text"),
-        col("source"))
-    val newS = base.union(
-      base.filter(col("doc_id") % 50 === 7)
-        .select((col("doc_id") + 10000000).as("doc_id"),
-          col("text"), col("source")))
-    val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
-      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
-    (oldS, newS, bench)
-  }
-
-  private[graft] def q136Run(s: org.apache.spark.sql.SparkSession, d: String,
-      checkpointDir: Option[String]): org.apache.spark.sql.DataFrame = {
-    val (oldS, newS, bench) = q136Inputs(s, d)
-    graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
-      "doc_id", "text", "source",
-      jacN = 3, jacTNum = 4, jacTDen = 5,
-      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
-      decontN = 8, sampleK = 50, salt = "q136",
-      packBudget = 256, nShards = 4, checkpointDir = checkpointDir)
-      .orderBy(col("id"))
-  }
-
-  /** The q147 run: the SAME new crawl, replayed through
-    * [[graft.pipeline.Curation.IncrementalCuration]] as `nBatches`
-    * id-range micro-batches (id-monotonic, the crawl regime — alias ids
-    * at +1e7 land in the last batch, after their base texts). The
-    * survivor table must equal the batch pipeline's quality-survivor
-    * stage regardless of the batch count. */
-  private[graft] def q147Run(s: org.apache.spark.sql.SparkSession, d: String,
-      nBatches: Int): org.apache.spark.sql.DataFrame = {
-    val (oldS, newS, _) = q136Inputs(s, d)
-    val inc = new graft.pipeline.Curation.IncrementalCuration(
-      oldS, "doc_id", "text", "source",
-      jacN = 3, jacTNum = 4, jacTDen = 5,
-      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100)
-    // id-range slices: real ids split into nBatches-1 near-equal ranges
-    // (fractions of the max real id, so the slicing works at any SF);
-    // alias ids (>= 1e7) arrive in the final batch, after their base
-    // texts. max() reads a 1-row agg of the id column.
-    val aliasLo = 10000000L
-    val maxReal = newS.filter(col("doc_id") < aliasLo)
-      .agg(max(col("doc_id"))).head.getLong(0) + 1
-    val nReal = nBatches - 1
-    val slices = (0 until nReal).map { i =>
-      val hi = if (i == nReal - 1) aliasLo else maxReal * (i + 1) / nReal
-      (maxReal * i / nReal, hi)
-    } :+ ((aliasLo, Long.MaxValue))
-    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
-      inc.processBatch(
-        newS.filter(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
-    }
-    inc.survivors().orderBy(col("id"))
-  }
-
-  val entries: Seq[QEntry] = Seq(
-
-    // Multi-step BPE training: q126's one-step contract iterated 4
-    // times on the symbol-ARRAY representation (string replace is
-    // ambiguous once multichar symbols exist — and the Sennrich
-    // lookbehind-regex trick is Java-only, RE2 engines can't replay
-    // it). Each step's merge DECISION (pair, count) and its
-    // APPLICATION (post-merge corpus-wide vocab size) are both pinned,
-    // so a wrong greedy overlap at step t would cascade into every
-    // later step's counts.
-    QEntry("q137_bpe_train",
-      (s, d) => graft.pipeline.TextAnalysis.bpeTrain(
-        Tables.documents(s, d), "text", nMerges = 4)
-        .orderBy(col("step")),
-      Some(bpeTrainSql(4))),
-
-    // The ENCODE side of the tokenizer loop: the distinct-word
-    // vocabulary segmented by the 4 trained merges — every word's
-    // final symbol sequence as a string, so a wrong greedy application
-    // anywhere in the chain shows up as a hash mismatch on the word it
-    // corrupted (q137 pins the per-step decisions; this pins the full
-    // final state). Shared application code with bpeTrain.
-    QEntry("q141_bpe_segment",
-      (s, d) => graft.pipeline.TextAnalysis.bpeSegment(
-        Tables.documents(s, d), "text", nMerges = 4)
-        .orderBy(col("wd")),
-      Some(bpeSegmentSql(4))),
-
-    // The composed end-to-end curation pipeline as ONE dataflow:
-    // snapshotDiff (derived crawls: old = the %3==1 slice, new = all
-    // non-benchmark docs minus %17==3 removals, %11==0 texts mutated,
-    // plus %50==7 docs re-crawled as exact-text URL aliases under
-    // id+1e7, far past every real doc_id so aliases can't collide with
-    // the base crawl — added/changed/removed AND exact dups all live)
-    // → exact dedup keep-best (q30) → exact n-gram-Jaccard near-dup +
-    // components keep-best (q61+q55, 8-9 live pairs) → quality stack
-    // (q133 thresholds) → benchmark decontamination (q115, post-edit
-    // token count = weight) → priority sample (q111, k=50) →
-    // per-source packing (q88, budget 256) → balanced shards (q130,
-    // S=4). The oracle replays the ENTIRE chain — every stage's
-    // individual oracle composed with its doc set rescoped to the
-    // previous stage's survivors.
-    QEntry("q136_curation_pipeline",
-      (s, d) => q136Run(s, d, checkpointDir = None),
-      Some(s"""$q136ChainToQs,
+  /** The full q136 oracle: [[q136ChainToQs]] + decontaminate/sample/
+    * pack/shard tail — shared by q136 (batch) and q153 (incremental
+    * loop + emission; same output contract, same hash). */
+  private def q136FullSql: String = s"""$q136ChainToQs,
               tk AS (
                 SELECT id, string_split_regex(lower(text), '\\s+') AS toks
                 FROM qs),
@@ -390,7 +281,129 @@ object Pipeline9 {
               SELECT p.key AS id, p.source, p.w, p.cum_tok, p.bin_id,
                 s.rn, CAST((s.rn - 1) % 4 AS INT) AS shard
               FROM packed p JOIN shr s USING (key)
-              ORDER BY id""")),
+              ORDER BY id"""
+
+  /** The q136 input construction (old crawl, new crawl, benchmark
+    * shingle set) — shared by the batch pipeline (q136) and the
+    * incremental loop (q147, IncrementalCurationSpec). */
+  private[graft] def q136Inputs(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val oldS = docs.filter(col("doc_id") % 3 === 1 &&
+      col("doc_id") % 10 =!= 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val newS = base.union(
+      base.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 10000000).as("doc_id"),
+          col("text"), col("source")))
+    val bench = graft.pipeline.TextAnalysis.benchShingleHashSet(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+    (oldS, newS, bench)
+  }
+
+  private[graft] def q136Run(s: org.apache.spark.sql.SparkSession, d: String,
+      checkpointDir: Option[String]): org.apache.spark.sql.DataFrame = {
+    val (oldS, newS, bench) = q136Inputs(s, d)
+    graft.pipeline.Curation.curationPipeline(oldS, newS, bench,
+      "doc_id", "text", "source",
+      jacN = 3, jacTNum = 4, jacTDen = 5,
+      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100,
+      decontN = 8, sampleK = 50, salt = "q136",
+      packBudget = 256, nShards = 4, checkpointDir = checkpointDir)
+      .orderBy(col("id"))
+  }
+
+  /** The q147 run: the SAME new crawl, replayed through
+    * [[graft.pipeline.Curation.IncrementalCuration]] as `nBatches`
+    * id-range micro-batches (id-monotonic, the crawl regime — alias ids
+    * at +1e7 land in the last batch, after their base texts). The
+    * survivor table must equal the batch pipeline's quality-survivor
+    * stage regardless of the batch count. */
+  private[graft] def q147Run(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int): org.apache.spark.sql.DataFrame =
+    q147Loop(s, d, nBatches).survivors().orderBy(col("id"))
+
+  /** Builds the incremental loop and replays the q136 new crawl through
+    * it as `nBatches` id-monotonic micro-batches; q147 reads its
+    * survivors, q153 its full emission. */
+  private def q147Loop(s: org.apache.spark.sql.SparkSession, d: String,
+      nBatches: Int): graft.pipeline.Curation.IncrementalCuration = {
+    val (oldS, newS, _) = q136Inputs(s, d)
+    val inc = new graft.pipeline.Curation.IncrementalCuration(
+      oldS, "doc_id", "text", "source",
+      jacN = 3, jacTNum = 4, jacTDen = 5,
+      dup2MaxBp = 1000, top2MaxBp = 1500, dup3MaxBp = 100)
+    // id-range slices: real ids split into nBatches-1 near-equal ranges
+    // (fractions of the max real id, so the slicing works at any SF);
+    // alias ids (>= 1e7) arrive in the final batch, after their base
+    // texts. max() reads a 1-row agg of the id column.
+    val aliasLo = 10000000L
+    val maxReal = newS.filter(col("doc_id") < aliasLo)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1
+    val nReal = nBatches - 1
+    val slices = (0 until nReal).map { i =>
+      val hi = if (i == nReal - 1) aliasLo else maxReal * (i + 1) / nReal
+      (maxReal * i / nReal, hi)
+    } :+ ((aliasLo, Long.MaxValue))
+    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+      inc.processBatch(
+        newS.filter(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
+    }
+    inc
+  }
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Multi-step BPE training: q126's one-step contract iterated 4
+    // times on the symbol-ARRAY representation (string replace is
+    // ambiguous once multichar symbols exist — and the Sennrich
+    // lookbehind-regex trick is Java-only, RE2 engines can't replay
+    // it). Each step's merge DECISION (pair, count) and its
+    // APPLICATION (post-merge corpus-wide vocab size) are both pinned,
+    // so a wrong greedy overlap at step t would cascade into every
+    // later step's counts.
+    QEntry("q137_bpe_train",
+      (s, d) => graft.pipeline.TextAnalysis.bpeTrain(
+        Tables.documents(s, d), "text", nMerges = 4)
+        .orderBy(col("step")),
+      Some(bpeTrainSql(4))),
+
+    // The ENCODE side of the tokenizer loop: the distinct-word
+    // vocabulary segmented by the 4 trained merges — every word's
+    // final symbol sequence as a string, so a wrong greedy application
+    // anywhere in the chain shows up as a hash mismatch on the word it
+    // corrupted (q137 pins the per-step decisions; this pins the full
+    // final state). Shared application code with bpeTrain.
+    QEntry("q141_bpe_segment",
+      (s, d) => graft.pipeline.TextAnalysis.bpeSegment(
+        Tables.documents(s, d), "text", nMerges = 4)
+        .orderBy(col("wd")),
+      Some(bpeSegmentSql(4))),
+
+    // The composed end-to-end curation pipeline as ONE dataflow:
+    // snapshotDiff (derived crawls: old = the %3==1 slice, new = all
+    // non-benchmark docs minus %17==3 removals, %11==0 texts mutated,
+    // plus %50==7 docs re-crawled as exact-text URL aliases under
+    // id+1e7, far past every real doc_id so aliases can't collide with
+    // the base crawl — added/changed/removed AND exact dups all live)
+    // → exact dedup keep-best (q30) → exact n-gram-Jaccard near-dup +
+    // components keep-best (q61+q55, 8-9 live pairs) → quality stack
+    // (q133 thresholds) → benchmark decontamination (q115, post-edit
+    // token count = weight) → priority sample (q111, k=50) →
+    // per-source packing (q88, budget 256) → balanced shards (q130,
+    // S=4). The oracle replays the ENTIRE chain — every stage's
+    // individual oracle composed with its doc set rescoped to the
+    // previous stage's survivors.
+    QEntry("q136_curation_pipeline",
+      (s, d) => q136Run(s, d, checkpointDir = None),
+      Some(q136FullSql)),
+
 
     // Recall@k over the TRAINED index family — closing the loop q116
     // opened: the SAME eval (intersection with the exact top-5, integer
@@ -1340,6 +1353,24 @@ object Pipeline9 {
                 WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35)
               SELECT * FROM dups
               UNION ALL SELECT * FROM near
-              ORDER BY kind, a_id, b_id"""))
+              ORDER BY kind, a_id, b_id""")),
+
+    // The full-pipeline closure of q147: the SAME incremental loop, then
+    // the batch emission stages (decontaminate → weighted sample →
+    // per-source packing → balanced shards) over its survivors — and the
+    // oracle is the FULL q136 chain, so "incremental == batch" is pinned
+    // for the ENTIRE pipeline output contract (id, source, w, cum_tok,
+    // bin_id, rn, shard), not just the survivor set. This is the
+    // continuously-crawling deployment: state absorbs micro-batches
+    // forever; emission is an on-demand read of the curated corpus.
+    QEntry("q153_incremental_curation_emit",
+      (s, d) => {
+        val (_, _, bench) = q136Inputs(s, d)
+        q147Loop(s, d, nBatches = 3)
+          .emit(bench, decontN = 8, sampleK = 50, salt = "q136",
+            packBudget = 256, nShards = 4)
+          .orderBy(col("id"))
+      },
+      Some(q136FullSql))
   )
 }
