@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 pack: line/sentence-granularity curation (C4 line rules,
+  * RefinedWeb corpus-level duplicate-line removal) and deterministic
+  * per-epoch training-order shuffling. Same conventions as the rest of
+  * the suite: integer aggregates, md5 for cross-engine determinism,
+  * total ordering on a unique key.
+  *
+  * The fixture docs are single-line token streams, so the line queries
+  * derive a sentence structure first: a `". "` boundary after every 5th
+  * token (one regexp_replace, replayed verbatim by the oracle — the
+  * q101 derived-corpus convention). The operators themselves
+  * (`pipeline/Lines.scala`) take any separator.
+  */
+object Pipeline10 {
+
+  /** Plant a `". "` boundary after every 5th whitespace token. Spark
+    * replacement syntax is `$1`; the oracle's RE2 syntax is `\1` —
+    * same automaton, same non-overlapping left-to-right walk. */
+  private def punct(c: org.apache.spark.sql.Column) =
+    regexp_replace(lower(c), "((\\S+ ){4}\\S+) ", "$1. ")
+
+  private val punctSql =
+    """regexp_replace(lower(text), '((\S+ ){4}\S+) ', '\1. ', 'g')"""
+
+  val entries: Seq[QEntry] = Seq(
+
+    // C4-style line filtering (Raffel et al. 2020 §2.2): per derived
+    // sentence, keep iff >= 3 words and no blocklisted token ("slow",
+    // "dup" stand in for C4's bad-word list — they exist in the fixture
+    // vocabulary, so both branches fire); per doc, keep iff >= 3
+    // sentences survive. Zero-shuffle projection: every rule is a HOF
+    // fold inside the row (Lines.c4LineFilter scaladoc).
+    QEntry("q154_c4_line_filter",
+      (s, d) => graft.pipeline.Lines.c4LineFilter(
+          Tables.documents(s, d).select(col("doc_id"),
+            punct(col("text")).as("text")),
+          "doc_id", "text", blocklist = Seq("slow", "dup"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+                SELECT doc_id,
+                  list_filter(list_transform(
+                    string_split_regex($punctSql, '\\. '), x -> trim(x)),
+                    x -> length(x) > 0) AS lines
+                FROM documents),
+              k AS (
+                SELECT doc_id, lines,
+                  list_filter(lines, l ->
+                    len(string_split_regex(l, '\\s+')) >= 3
+                    AND NOT contains(' ' || l || ' ', ' slow ')
+                    AND NOT contains(' ' || l || ' ', ' dup ')) AS kept
+                FROM t)
+              SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                CAST(coalesce(list_sum(list_transform(kept,
+                  l -> len(string_split_regex(l, '\\s+')))), 0) AS BIGINT)
+                  AS kept_words,
+                len(kept) >= 3 AS keep_doc,
+                coalesce(list_aggregate(kept, 'string_agg', ' | '), '')
+                  AS clean_text
+              FROM k ORDER BY doc_id""")),
+
+    // RefinedWeb-style corpus-level duplicate-line removal (Penedo et
+    // al. 2023 §3.2): a derived sentence occurring in >= 2 DISTINCT
+    // docs is boilerplate and is removed from every doc; survivors are
+    // reassembled in original order. Two-pass count→filter on md5 line
+    // keys — the shuffle never carries line text (Lines.corpusLineDedup
+    // scaladoc). The oracle replays md5, the position explode, the
+    // distinct-doc counts, and the ordered reassembly.
+    QEntry("q155_line_dedup",
+      (s, d) => graft.pipeline.Lines.corpusLineDedup(
+          Tables.documents(s, d).select(col("doc_id"),
+            punct(col("text")).as("text")),
+          "doc_id", "text", minDocs = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+                SELECT doc_id,
+                  list_filter(list_transform(
+                    string_split_regex($punctSql, '\\. '), x -> trim(x)),
+                    x -> length(x) > 0) AS lines
+                FROM documents),
+              e AS (
+                SELECT doc_id, CAST(i AS INT) AS pos, lines[i+1] AS line,
+                  md5(lines[i+1]) AS k
+                FROM t CROSS JOIN range(4096) r(i)
+                WHERE i < len(lines)),
+              rep AS (
+                SELECT k FROM e GROUP BY k
+                HAVING count(DISTINCT doc_id) >= 2)
+              SELECT e.doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN rep.k IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                coalesce(list_aggregate(
+                  list(e.line ORDER BY e.pos) FILTER (WHERE rep.k IS NULL),
+                  'string_agg', ' | '), '') AS clean_text
+              FROM e LEFT JOIN rep ON rep.k = e.k
+              GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // Deterministic per-epoch global shuffle → round-robin shards: the
+    // reproducible training-order permutation (epoch e reshuffles with
+    // a new salt; same inputs → same order on any cluster size). Order
+    // key = md5(epoch:doc_id); position within epoch via the
+    // groupPercentileRank two-pass (GlobalRank + broadcast epoch
+    // offsets — no single-partition window); shard = round-robin over
+    // the epoch order, pos_in_shard = integer div. The oracle's
+    // window-rank replays the same md5 total order.
+    QEntry("q156_epoch_shuffle",
+      (s, d) => {
+        val nShards = 4
+        val epoched = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array(lit(0), lit(1))).as("epoch"))
+          .select(col("doc_id"), col("epoch"),
+            md5(concat(col("epoch").cast("string"), lit(":"),
+              col("doc_id").cast("string"))).as("ok"))
+        graft.pipeline.Curation.groupPercentileRank(
+            epoched, "epoch", "ok", "doc_id")
+          .select(col("grp").as("epoch"), col("id").as("doc_id"),
+            ((col("rank_in_grp") - 1) % nShards).cast("int").as("shard"),
+            expr("(rank_in_grp - 1) div 4").cast("long").as("pos_in_shard"))
+          .orderBy(col("epoch"), col("shard"), col("pos_in_shard"))
+      },
+      Some("""WITH e AS (
+                SELECT doc_id, epoch,
+                  md5(epoch || ':' || doc_id) AS ok
+                FROM documents CROSS JOIN (VALUES (0), (1)) ep(epoch)),
+              r AS (
+                SELECT epoch, doc_id,
+                  row_number() OVER (PARTITION BY epoch ORDER BY ok, doc_id)
+                    AS rk
+                FROM e)
+              SELECT epoch, doc_id,
+                CAST((rk - 1) % 4 AS INT) AS shard,
+                CAST((rk - 1) // 4 AS BIGINT) AS pos_in_shard
+              FROM r ORDER BY epoch, shard, pos_in_shard"""))
+  )
+}
