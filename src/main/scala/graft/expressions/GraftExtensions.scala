@@ -109,6 +109,10 @@ object GraftExtensions {
       require(args.length == 2, "min_md5_window(text, k)")
       MinMd5Window(args.head, intArg(args(1), "k"))
     },
+    "nfc_normalize" -> { args =>
+      require(args.length == 1, "nfc_normalize(text)")
+      NfcNormalize(args.head)
+    },
     "sem_verdict" -> { args =>
       require(args.length == 2, "sem_verdict(raw, semType)")
       val semType = args(1) match {

@@ -507,6 +507,10 @@ object functions {
   def min_md5_window(text: Column, k: Int): Column =
     Bridge.column(MinMd5Window(Bridge.expression(text), k))
 
+  /** Unicode NFC canonical normalization (see TextNorm scaladoc). */
+  def nfc_normalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
+
   /** Winnowing fingerprint set: distinct w-window minima of k-char
     * shingle md5s, one O(n) fused scan (see HashSig.winnowMins). */
   def winnow_mins(text: Column, k: Int, w: Int): Column =

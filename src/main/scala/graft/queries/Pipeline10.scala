@@ -136,6 +136,35 @@ object Pipeline10 {
               SELECT epoch, doc_id,
                 CAST((rk - 1) % 4 AS INT) AS shard,
                 CAST((rk - 1) // 4 AS BIGINT) AS pos_in_shard
-              FROM r ORDER BY epoch, shard, pos_in_shard"""))
+              FROM r ORDER BY epoch, shard, pos_in_shard""")),
+
+    // Unicode NFC normalization — the projection a byte-keyed pipeline
+    // runs BEFORE any hash is taken (TextNorm scaladoc). Spark has no
+    // built-in, so this is a custom codegen'd Expression
+    // (expressions/NfcNormalize); DuckDB's nfc_normalize is the oracle.
+    // The fixture is ASCII (where NFC is the identity and the kernel's
+    // fast path fires), so the gate derives a DECOMPOSED corpus first —
+    // every 'e' becomes 'e' + U+0301 combining acute — and checks the
+    // normalized text recomposes byte-for-byte plus the codepoint
+    // counts on both sides of the normalization.
+    QEntry("q157_nfc_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_chars_raw"),
+          graft.expressions.functions.nfc_normalize(col("raw")).as("norm_text"))
+        .select(col("doc_id"), col("n_chars_raw"),
+          length(col("norm_text")).cast("long").as("n_chars_nfc"),
+          col("norm_text"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+                SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+                FROM documents)
+              SELECT doc_id,
+                CAST(length(raw) AS BIGINT) AS n_chars_raw,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+                nfc_normalize(raw) AS norm_text
+              FROM r ORDER BY doc_id"""))
   )
 }
