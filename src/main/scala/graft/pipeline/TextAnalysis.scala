@@ -134,6 +134,57 @@ object TextAnalysis {
       graft.expressions.functions.ngram_shingle_hashes(col("toks"), n, distinct = true))
       .as("h"))
 
+  /** [[contaminationHashed]] with a BLOOM-FILTER pre-filter — the
+    * decontamination shape for a benchmark set too big to broadcast as
+    * a hash table.
+    *
+    * [[contaminationHashedToks]] broadcasts the benchmark shingle table
+    * itself: ~16 bytes/entry of hash-relation (8-byte key + overhead),
+    * so 10⁹ benchmark n-grams ≈ 30+ GB per executor — past any
+    * broadcast budget, and the fallback shuffle-hash join re-shuffles
+    * the ENTIRE corpus shingle stream on h. This variant broadcasts a
+    * Bloom filter instead (~1.2 GB at 10⁹ entries / 3% fpp — compact
+    * enough to ship), streams the corpus past it as a zero-shuffle
+    * filter, and only the surviving candidates (true hits + the fpp
+    * sliver) shuffle into an EXACT verify join against the benchmark
+    * table. No false negatives (Bloom guarantee) + keyed verify (kills
+    * false positives) ⇒ bit-identical output to the exact operator —
+    * which is precisely what the q158 gate hash-proves. This is Spark's
+    * own runtime-filter pattern (InjectRuntimeFilter), applied where
+    * the "join" is a semantic membership test.
+    *
+    * The one driver-side step is collecting the built Bloom filter —
+    * ONE row whose size is fixed by `expectedItems` at construction
+    * (0.9 MB per 2²⁰ entries), the same bounded-dim discipline as the
+    * detection summary collect. */
+  def contaminationBloomToks(
+      docsToks: org.apache.spark.sql.DataFrame,
+      n: Int,
+      expectedItems: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val bench = shingleHashFrame(docsToks.filter(col("is_bench")), "bench_id", n)
+    val corpus = shingleHashFrame(docsToks.filter(!col("is_bench")), "doc_id", n)
+    val bloomBytes = bench
+      .select(Bridge.column(new BloomFilterAggregate(
+          Bridge.expression(col("h")), expectedItems)
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), Bridge.expression(col("h"))))
+    corpus.filter(mightContain)
+      // exact verify: only bloom survivors shuffle; shuffle-hash on the
+      // bench side — the whole point is that bench does NOT broadcast
+      .join(bench.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("n_bench_docs"),
+        count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** The BENCHMARK-side leak report — the reverse rollup of
     * [[contaminationHashed]]: per BENCHMARK doc, how many corpus docs
     * share at least one word n-gram with it and how many

@@ -165,6 +165,37 @@ object Pipeline10 {
                 CAST(length(raw) AS BIGINT) AS n_chars_raw,
                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
                 nfc_normalize(raw) AS norm_text
-              FROM r ORDER BY doc_id"""))
+              FROM r ORDER BY doc_id""")),
+
+    // Bloom-filter decontamination: the q73/q80 contamination audit
+    // with a broadcast BLOOM pre-filter instead of a broadcast hash
+    // table — the shape for a benchmark shingle set too big to ship as
+    // a hash relation (TextAnalysis.contaminationBloomToks scaladoc).
+    // No false negatives + exact keyed verify of the bloom survivors ⇒
+    // output is bit-identical to the exact operator, and the oracle is
+    // the plain raw-STRING join — the gate hash-proves the bloom path
+    // semantically invisible. Bench slice doc_id % 7 == 3 (distinct
+    // from q73/q80's % 10 so the suite covers a second split).
+    QEntry("q158_bloom_decontaminate",
+      (s, d) => graft.pipeline.TextAnalysis.contaminationBloomToks(
+          Tables.documents(s, d).select(col("doc_id"),
+            graft.pipeline.TextAnalysis.toks(col("text")).as("toks"),
+            (col("doc_id") % 7 === 3).as("is_bench")),
+          n = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 3),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4]))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 5)
+              SELECT c.doc_id,
+                count(DISTINCT b.doc_id) AS n_bench_docs,
+                count(*) AS n_shared_shingles
+              FROM sh c JOIN sh b ON c.g = b.g
+              WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 <> 3
+              GROUP BY c.doc_id ORDER BY c.doc_id"""))
   )
 }
