@@ -196,6 +196,136 @@ object Pipeline10 {
                 count(*) AS n_shared_shingles
               FROM sh c JOIN sh b ON c.g = b.g
               WHERE b.doc_id % 7 = 3 AND c.doc_id % 7 <> 3
-              GROUP BY c.doc_id ORDER BY c.doc_id"""))
+              GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // Mutual k-NN graph over the embedding corpus — the neighborhood
+    // structure semantic-curation methods consume (SemDeDup-style
+    // cluster pruning, density scoring, graph-based diversity sampling
+    // all start from "who is near whom"). Every node is a query, so
+    // brute force is O(n²) and the query side must NEVER broadcast:
+    // the integer-exact bucketed ANN (the q104 path) co-partitions
+    // BOTH sides by LSH bucket (knownQueryCount=MaxValue forces the
+    // shuffle-hash join — corpus×corpus stays a keyed bucket join),
+    // directed top-k edges are mutualized by a self-join on the edge
+    // set, and per-node mutual degree rolls up. Quantize/bucket/score
+    // are all int64, so the oracle replays the whole chain bit-for-bit.
+    // The checkpoint discipline: the quantized frame feeds both sides;
+    // the edge frame feeds both sides of the mutual join.
+    QEntry("q159_knn_graph",
+      (s, d) => {
+        val corpusQ = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            graft.expressions.functions.quantize_vec(col("embedding"), 10000.0)
+              .as("qe"))
+          .localCheckpoint()
+        val knn = graft.pipeline.Similarity.cosineTopKBucketedQ(
+            corpusQ.select(col("vec_id").as("q_id"), col("qe")),
+            corpusQ, nBits = 4, k = 4,
+            knownQueryCount = Some(Long.MaxValue))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id").as("a"), col("vec_id").as("b"))
+          .localCheckpoint()
+        val mutual = knn
+          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+          .filter(col("a") < col("b"))
+        val deg = mutual
+          .select(explode(array(col("a"), col("b"))).as("vec_id"))
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("mutual_degree"))
+        corpusQ.select(col("vec_id")).join(deg, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH qz AS (
+                SELECT vec_id, list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              bk AS (SELECT vec_id, qe, ${Pipeline2.duckBucketBits(4)} AS bucket
+                     FROM qz),
+              cand AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                    i -> q.qe[i+1] * c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM bk q JOIN bk c ON q.bucket = c.bucket),
+              ranked AS (
+                SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM cand),
+              knn AS (
+                SELECT q_id AS a, vec_id AS b FROM ranked
+                WHERE rn <= 4 AND q_id <> vec_id),
+              mutual AS (
+                SELECT k1.a, k1.b FROM knn k1
+                JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+                WHERE k1.a < k1.b),
+              ends AS (
+                SELECT a AS vec_id FROM mutual
+                UNION ALL SELECT b FROM mutual),
+              deg AS (
+                SELECT vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
+                FROM ends GROUP BY vec_id)
+              SELECT e.vec_id, coalesce(d.mutual_degree, 0) AS mutual_degree
+              FROM embeddings e LEFT JOIN deg d ON d.vec_id = e.vec_id
+              ORDER BY e.vec_id""")),
+
+    // URL canonicalization — the first step of every crawl pipeline
+    // (dedup by canonical URL, domain caps, domain blocklists all key
+    // on it). The fixture has no URL column, so the gate derives a
+    // messy-but-deterministic one per doc (scheme / www. / tracking
+    // query / trailing-slash variants cycling by doc_id — every
+    // canonicalization rule fires on some slice). Canonical form:
+    // lowercase, scheme and www. stripped, query/fragment dropped,
+    // trailing slash trimmed; domain = first path segment's host. All
+    // regexp_replace chains on RE2 ∩ Java-regex patterns (the q129
+    // discipline) — zero shuffle, streams unchanged.
+    QEntry("q160_url_canonicalize",
+      (s, d) => {
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, "https://").otherwise("HTTP://"),
+          when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+          col("source"), lit(".Example.COM"),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 6 === 0, "/").otherwise(""),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=x&id="), (col("doc_id") % 5).cast("string")))
+            .otherwise(""))
+        val noScheme = regexp_replace(lower(col("url_raw")), "^[a-z]+://", "")
+        val noQuery = regexp_replace(regexp_replace(noScheme, "[?#].*$", ""),
+          "^www\\.", "")
+        val canon = regexp_replace(noQuery, "/$", "")
+        Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("url_raw"))
+          .select(col("doc_id"), col("url_raw"), canon.as("url_canon"))
+          .select(col("doc_id"), col("url_raw"), col("url_canon"),
+            regexp_replace(col("url_canon"), "/.*$", "").as("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+                  || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                  || source || '.Example.COM'
+                  || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                  || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR)
+                      ELSE '' END) AS url_raw
+                FROM documents),
+              c AS (
+                SELECT doc_id, url_raw,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(lower(url_raw), '^[a-z]+://', ''),
+                        '[?#].*$', ''),
+                      '^www\.', ''),
+                    '/$', '') AS url_canon
+                FROM r)
+              SELECT doc_id, url_raw, url_canon,
+                regexp_replace(url_canon, '/.*$', '') AS domain
+              FROM c ORDER BY doc_id"""))
   )
 }
