@@ -604,4 +604,70 @@ object Dedup {
         sum(col("cluster_size")).as("n_docs"),
         sum(col("w_total") - col("w_kept")).as("w_saved"))
   }
+
+  /** Exact substring deduplication — the n-gram-window form of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): a token run duplicated ANYWHERE in the corpus is removed
+    * from every occurrence EXCEPT the globally first one (smallest
+    * (doc_id, pos)), and documents are rebuilt without the covered
+    * tokens. Duplicated runs longer than `n` are caught as overlapping
+    * duplicated n-windows whose coverages merge — the same
+    * span-coverage algebra as [[TextAnalysis.decontaminate]], with the
+    * "bad window" set derived from the corpus ITSELF instead of a
+    * broadcast benchmark.
+    *
+    * (The suffix-array construction in the paper finds duplicated runs
+    * of EXACTLY >= threshold length; the fixed-window form trades that
+    * for pure dataflow — windows shorter than n are invisible, runs >=
+    * n are found in full, the standard large-scale approximation.)
+    *
+    * Scale shape: positional window hashes explode to (doc, pos, h) —
+    * the shuffle carries 8-byte xxhash64 longs, never gram text (the
+    * q112/q115 compression discipline; the q161 oracle joins RAW gram
+    * strings, proving it lossless). One hash-keyed agg finds
+    * (count, first-occurrence key) per window; only DUPLICATED windows
+    * survive the filter, so the join back is keyed and carries the
+    * duplicated slice, not the corpus. Per-doc flagged positions
+    * collect bounded-by-doc-length lists; coverage + rebuild are
+    * in-row folds (binary search per token via count_in_sorted). No
+    * broadcast of anything corpus-sized, no driver collect.
+    *
+    * Masked-position keys pack as doc_id·2²⁰ + pos (ids to ~8·10¹² with
+    * 1M-token docs stay inside int64), so "globally first" is one
+    * int64 min. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window below 2 tokens is not a run, got $n")
+    val t = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.toks(col(textCol)).as("tk"))
+      .localCheckpoint() // feeds the window explode AND the rebuild join
+    val ek = t
+      .select(col("doc_id"), posexplode(
+        graft.expressions.functions.ngram_shingle_hashes(
+          col("tk"), n, distinct = false)).as(Seq("pos", "h")))
+      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+    val dup = ek.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("firstk"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("firstk"))
+    val flagged = ek.join(dup, "h")
+      .filter(col("k") =!= col("firstk"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+    t.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("ps"), array().cast("array<bigint>")).as("ps"))
+      .withColumn("cov",
+        transform(sequence(lit(0), size(col("tk")) - 1), i =>
+          graft.expressions.functions.count_in_sorted(
+            sequence(greatest(i - (n - 1), lit(0)), i).cast("array<bigint>"),
+            col("ps")) > 0))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(filter(col("cov"), c => c)).cast("long").as("n_removed"),
+        array_join(transform(
+          filter(sequence(lit(0), size(col("tk")) - 1),
+            i => !element_at(col("cov"), i + 1)),
+          i => element_at(col("tk"), i + 1)), " ").as("cleaned_text"))
+  }
 }

@@ -326,6 +326,52 @@ object Pipeline10 {
                 FROM r)
               SELECT doc_id, url_raw, url_canon,
                 regexp_replace(url_canon, '/.*$', '') AS domain
-              FROM c ORDER BY doc_id"""))
+              FROM c ORDER BY doc_id""")),
+
+    // Exact substring deduplication (Lee et al. 2021) — duplicated
+    // >= 8-token runs removed from every occurrence except the globally
+    // first (Dedup.substringDedup scaladoc). The Spark side joins
+    // 8-byte positional window hashes; the oracle joins the RAW gram
+    // strings and replays first-occurrence selection, coverage merge,
+    // and the token-level rebuild — the gate proves hash compression
+    // lossless AND pins the keep-first semantics cross-engine.
+    QEntry("q161_substring_dedup",
+      (s, d) => graft.pipeline.Dedup.substringDedup(
+          Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                FROM documents),
+              g AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  list_aggregate(tk[i+1 : i+8], 'string_agg', ' ') AS gram
+                FROM t CROSS JOIN range(4096) r(i)
+                WHERE i + 8 <= len(tk)),
+              dup AS (
+                SELECT gram, min(doc_id * 1048576 + pos) AS firstk
+                FROM g GROUP BY gram HAVING count(*) >= 2),
+              f AS (
+                SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+                WHERE g.doc_id * 1048576 + g.pos <> dup.firstk),
+              fp AS (
+                SELECT doc_id, list(pos ORDER BY pos) AS ps
+                FROM f GROUP BY doc_id),
+              c AS (
+                SELECT t.doc_id, t.tk, coalesce(fp.ps, []) AS ps
+                FROM t LEFT JOIN fp USING (doc_id)),
+              cov AS (
+                SELECT doc_id, tk,
+                  list_transform(range(len(tk)), i ->
+                    len(list_filter(ps, p -> p >= i - 7 AND p <= i)) > 0) AS cv
+                FROM c)
+              SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tok,
+                CAST(len(list_filter(cv, x -> x)) AS BIGINT) AS n_removed,
+                coalesce(list_aggregate(
+                  list_transform(
+                    list_filter(range(len(tk)), i -> NOT cv[i+1]),
+                    i -> tk[i+1]),
+                  'string_agg', ' '), '') AS cleaned_text
+              FROM cov ORDER BY doc_id"""))
   )
 }
