@@ -990,4 +990,59 @@ object Curation {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW-pool
+    * document by log p_target(x) − log p_raw(x) under hashed
+    * bag-of-words models of a small target corpus vs the raw pool — the
+    * data-selection primitive behind domain-matched pretraining sets.
+    * Features are md5-prefix-hashed unigram buckets (cross-engine
+    * portable, the q105 conv trick; DSIR's 10⁴-bucket hashing with the
+    * same collision semantics), add-one smoothed.
+    *
+    * Determinism: bucket counts and totals are exact integers; each
+    * bucket's log-ratio is rounded to integer micro-nats ONCE, at the
+    * dimension — per-doc scores are then integer sums of (tf × unats),
+    * order-independent under any partitioning (the q117/q127
+    * discipline). Output per raw doc: n_tok, w_unats (Σ tf·unats),
+    * w_per_tok_unats (floor of the per-token mean) — feed the weights
+    * to [[prioritySample]] for the resampling step.
+    *
+    * Scale shape: tokenize → one map-side-combined (doc, bucket) tf
+    * agg (collapsed BEFORE any join — the q99 discipline); the bucket
+    * dimension is ≤ nBuckets rows (counts, totals, log-ratios all
+    * dimension-sized) and BROADCASTS back onto the tf frame; one
+    * doc-keyed rollup. The corpus shuffles once, as (doc, bucket, tf)
+    * triples. The tf frame is localCheckpoint'd — it feeds the bucket
+    * dimension and the doc rollup. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")
+    val base = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+    val tf = base.groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts = tf.groupBy(col("b")).agg(
+      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), col("tf")).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val dim = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("ct") + 1).cast("double") / (col("nt") + nBuckets)) -
+               log((col("cr") + 1).cast("double") / (col("nr") + nBuckets)))
+          * 1e6, 0).cast("long").as("unats"))
+    tf.filter(!col("is_t"))
+      .join(broadcast(dim), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("unats")).as("w_unats"))
+      .select(col("doc_id"), col("n_tok"), col("w_unats"),
+        floor(col("w_unats").cast("double") / col("n_tok")).cast("long")
+          .as("w_per_tok_unats"))
+  }
 }

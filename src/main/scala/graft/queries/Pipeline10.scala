@@ -372,6 +372,51 @@ object Pipeline10 {
                     list_filter(range(len(tk)), i -> NOT cv[i+1]),
                     i -> tk[i+1]),
                   'string_agg', ' '), '') AS cleaned_text
-              FROM cov ORDER BY doc_id"""))
+              FROM cov ORDER BY doc_id""")),
+
+    // DSIR importance weights (Xie et al. 2023): raw-pool docs scored
+    // by log p_target − log p_raw under hashed bag-of-words models
+    // (Curation.dsirWeights scaladoc). Target slice = doc_id % 5 == 0.
+    // Bucket log-ratios round to integer micro-nats at the dimension,
+    // so per-doc sums are order-independent and the oracle replays
+    // hashing, smoothing, the two logs, and the rollup exactly.
+    QEntry("q162_dsir_weights",
+      (s, d) => graft.pipeline.Curation.dsirWeights(
+          Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("doc_id") % 5 === 0, nBuckets = 4096)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+                SELECT doc_id, (doc_id % 5 = 0) AS is_t,
+                  unnest(string_split_regex(lower(text), '\s+')) AS term
+                FROM documents),
+              bt AS (
+                SELECT doc_id, is_t,
+                  ('0x' || substr(md5(term), 1, 8))::BIGINT % 4096 AS b
+                FROM tk),
+              tf AS (
+                SELECT doc_id, is_t, b, count(*) AS tf
+                FROM bt GROUP BY 1, 2, 3),
+              cnt AS (
+                SELECT b,
+                  sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct,
+                  sum(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS cr
+                FROM tf GROUP BY b),
+              tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+              dim AS (
+                SELECT b, CAST(round(
+                  (ln(CAST(ct + 1 AS DOUBLE) / (nt + 4096)) -
+                   ln(CAST(cr + 1 AS DOUBLE) / (nr + 4096))) * 1e6)
+                  AS BIGINT) AS unats
+                FROM cnt, tot),
+              agg AS (
+                SELECT tf.doc_id,
+                  CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+                  CAST(sum(tf.tf * dim.unats) AS BIGINT) AS w_unats
+                FROM tf JOIN dim USING (b)
+                WHERE NOT tf.is_t GROUP BY 1)
+              SELECT doc_id, n_tok, w_unats,
+                CAST(floor(CAST(w_unats AS DOUBLE) / n_tok) AS BIGINT)
+                  AS w_per_tok_unats
+              FROM agg ORDER BY doc_id"""))
   )
 }
