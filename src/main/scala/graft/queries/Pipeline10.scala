@@ -417,6 +417,42 @@ object Pipeline10 {
               SELECT doc_id, n_tok, w_unats,
                 CAST(floor(CAST(w_unats AS DOUBLE) / n_tok) AS BIGINT)
                   AS w_per_tok_unats
-              FROM agg ORDER BY doc_id"""))
+              FROM agg ORDER BY doc_id""")),
+
+    // Token-budget cut: greedily keep documents in priority order until
+    // a global token budget is spent — the "how much of the pool fits
+    // this run" line every training job draws. Priority here is
+    // longest-first (n_chars DESC, doc_id) — any total order plugs in
+    // (q162's DSIR weights are the natural upgrade). The global running
+    // sum is the GlobalCumSum two-pass (no single-partition window —
+    // operators/GlobalCumSum scaladoc); the oracle replays it as the
+    // classic window cumsum.
+    QEntry("q163_budget_cut",
+      (s, d) => {
+        val budget = 20000L
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+        graft.operators.GlobalCumSum.runningSum(
+            t, col("n_tok"), "cum_tok",
+            col("n_chars").desc, col("doc_id"))
+          .select(col("doc_id"), col("n_tok"), col("cum_tok"),
+            (col("cum_tok") <= budget).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, n_chars,
+                  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tok,
+                  sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tok
+                FROM t)
+              SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+                cum_tok <= 20000 AS kept
+              FROM c ORDER BY doc_id"""))
   )
 }
