@@ -453,6 +453,97 @@ object Pipeline10 {
                 FROM t)
               SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
                 cum_tok <= 20000 AS kept
-              FROM c ORDER BY doc_id"""))
+              FROM c ORDER BY doc_id""")),
+
+    // MinHash estimator calibration: per candidate pair, the 16-perm
+    // signature-agreement estimate vs the TRUE 3-gram Jaccard, with the
+    // absolute error — the "how tight is my sketch" eval an index owner
+    // runs before trusting LSH thresholds (the estimator behind
+    // q37/q145; E[matches/16] = J is the Broder 1997 identity this
+    // audits empirically). Candidate set = adjacent doc ids (the q31
+    // convention — spans the similarity range). Portable md5-prefix
+    // hashes + affine perms (the q51 convention) so DuckDB replays
+    // signature, agreement count, exact Jaccard, and the error.
+    QEntry("q164_minhash_calibration", {
+      val P = 4294967311L // smallest prime > 2^32
+      val perms = Seq(
+        (1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L),
+        (49979687L, 11L), (67867967L, 222L), (86028121L, 3333L), (104395301L, 44444L),
+        (122949823L, 5L), (141650939L, 66L), (160481183L, 777L), (179424673L, 8888L),
+        (198491317L, 99L), (217645177L, 101L), (236887691L, 2027L), (256203161L, 30011L))
+      (s, d) => {
+        // distinct AFTER hashing too: a 32-bit md5-prefix collision
+        // inside one doc would otherwise make the Spark set-intersect
+        // and the oracle's membership count disagree on multiplicity
+        val hs = array_distinct(transform(
+          graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true),
+          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))
+        val sig = array(perms.map { case (a, b) =>
+          array_min(transform(col("hs"), h => (h * a + b) % P))
+        }: _*)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+          .select(col("doc_id"), hs.as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), col("hs"), sig.as("sig"))
+          .localCheckpoint() // both sides of the pair join
+        docs.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("sig").as("sa"))
+          .join(docs.select((col("doc_id") - 1).as("a_id"),
+            col("hs").as("hb"), col("sig").as("sb")), "a_id")
+          .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+            size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+              m => m)).cast("long").as("matches"),
+            size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+            (size(col("ha")) + size(col("hb"))).cast("long").as("szsum"))
+          .select(col("a_id"), col("b_id"),
+            expr("(matches * 10000) div 16").as("est_bp"),
+            expr("(inter * 10000) div (szsum - inter)").as("true_bp"),
+            abs(expr("(matches * 10000) div 16") -
+              expr("(inter * 10000) div (szsum - inter)")).as("err_bp"))
+          .orderBy(col("a_id"))
+      }
+    },
+      Some {
+        val P = 4294967311L
+        val perms = Seq(
+          (1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L),
+          (49979687L, 11L), (67867967L, 222L), (86028121L, 3333L), (104395301L, 44444L),
+          (122949823L, 5L), (141650939L, 66L), (160481183L, 777L), (179424673L, 8888L),
+          (198491317L, 99L), (217645177L, 101L), (236887691L, 2027L), (256203161L, 30011L))
+        val sigList = perms.map { case (a, b) =>
+          s"list_min(list_transform(hs, x -> (x*$a+$b)%$P))"
+        }.mkString("[", ",\n                  ", "]")
+        s"""WITH t AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM t WHERE len(toks) >= 3),
+            h AS (
+              SELECT doc_id, list_distinct(list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+              FROM sh),
+            sg AS (
+              SELECT doc_id, hs,
+                $sigList AS sig
+              FROM h),
+            pr AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(list_sum(list_transform(range(16),
+                  j -> CASE WHEN a.sig[j+1] = b.sig[j+1] THEN 1 ELSE 0 END))
+                  AS BIGINT) AS matches,
+                CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x)))
+                  AS BIGINT) AS inter,
+                CAST(len(a.hs) + len(b.hs) AS BIGINT) AS szsum
+              FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1)
+            SELECT a_id, b_id,
+              (matches * 10000) // 16 AS est_bp,
+              (inter * 10000) // (szsum - inter) AS true_bp,
+              abs((matches * 10000) // 16 -
+                  (inter * 10000) // (szsum - inter)) AS err_bp
+            FROM pr ORDER BY a_id"""
+      })
   )
 }
