@@ -1015,6 +1015,46 @@ object Curation {
     * doc-keyed rollup. The corpus shuffles once, as (doc, bucket, tf)
     * triples. The tf frame is localCheckpoint'd — it feeds the bucket
     * dimension and the doc rollup. */
+  /** Luhn checksum validity of an all-digit token (ISO/IEC 7812 — the
+    * mod-10 test every real card number passes): digits from the RIGHT,
+    * every second doubled with 9-subtraction, sum ≡ 0 (mod 10). One
+    * in-row fold; callers guard with a digit-run regex so the casts
+    * never see non-digits (ANSI-safe). */
+  def luhnValid(tok: Column): Column = {
+    val digits = transform(reverse(split(tok, "")), c => c.cast("int"))
+    val summed = aggregate(
+      zip_with(digits, sequence(lit(1), size(digits)), (d, i) =>
+        when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)),
+      lit(0), (acc, x) => acc + x)
+    pmod(summed, lit(10)) === 0
+  }
+
+  /** Checksum-verified card-number redaction — the precision upgrade
+    * over the regex tier ([[redactPii]]): a 13–19 digit run is redacted
+    * ONLY if it passes the Luhn test, so order ids, timestamps packed
+    * as digits, and random numerics survive while real PANs are
+    * scrubbed (regex-only PII passes flag them all — the
+    * false-positive cost this stage exists to remove). Token-wise
+    * rebuild: candidates = whitespace tokens matching the digit-run
+    * shape; valid ones become `<CC>`. Zero-shuffle projection (every
+    * test is an in-row fold), streams unchanged. Audit counts per doc:
+    * candidates seen, Luhn-valid redacted. */
+  def redactCreditCards(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val isCand = (t: Column) => t.rlike("^[0-9]{13,19}$")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"),
+        size(filter(col("tk"), t => isCand(t))).cast("long")
+          .as("n_candidates"),
+        size(filter(col("tk"), t => isCand(t) && luhnValid(t))).cast("long")
+          .as("n_redacted"),
+        array_join(transform(col("tk"), t =>
+          when(isCand(t) && luhnValid(t), lit("<CC>")).otherwise(t)), " ")
+          .as("redacted"))
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 4096): DataFrame = {
     require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")

@@ -544,6 +544,99 @@ object Pipeline10 {
               abs((matches * 10000) // 16 -
                   (inter * 10000) // (szsum - inter)) AS err_bp
             FROM pr ORDER BY a_id"""
-      })
+      }),
+
+    // Checksum-verified card-number redaction: 13–19 digit runs are
+    // scrubbed ONLY if they pass the Luhn mod-10 test — the precision
+    // upgrade over regex-tier PII (q129), keeping order ids and packed
+    // timestamps while removing real PANs. The gate plants one token
+    // per doc_id%6 slice: a valid Visa16, an off-by-one INVALID twin
+    // (the regex-vs-checksum distinction the gate exists to pin), a
+    // valid 15-digit Amex, and a 12-digit non-candidate. The oracle
+    // replays the Luhn fold digit by digit.
+    QEntry("q165_luhn_cc_redact",
+      (s, d) => {
+        val planted = concat(col("text"),
+          when(col("doc_id") % 6 === 0, " 4532015112830366")
+            .when(col("doc_id") % 6 === 1, " 4532015112830367")
+            .when(col("doc_id") % 6 === 2, " 379354508162306")
+            .when(col("doc_id") % 6 === 3, " 123456789012")
+            .otherwise(""))
+        graft.pipeline.Curation.redactCreditCards(
+            Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val luhn = (v: String) =>
+          s"""list_sum(list_transform(range(length($v)), i ->
+             CASE WHEN (i+1) % 2 = 0 THEN
+               CASE WHEN CAST(reverse($v)[i+1] AS INT) * 2 > 9
+                    THEN CAST(reverse($v)[i+1] AS INT) * 2 - 9
+                    ELSE CAST(reverse($v)[i+1] AS INT) * 2 END
+             ELSE CAST(reverse($v)[i+1] AS INT) END)) % 10 = 0"""
+        s"""WITH r AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 6 = 0 THEN ' 4532015112830366'
+                     WHEN doc_id % 6 = 1 THEN ' 4532015112830367'
+                     WHEN doc_id % 6 = 2 THEN ' 379354508162306'
+                     WHEN doc_id % 6 = 3 THEN ' 123456789012'
+                     ELSE '' END AS raw
+              FROM documents),
+            t AS (SELECT doc_id, string_split(raw, ' ') AS tk FROM r),
+            f AS (
+              SELECT doc_id, tk,
+                list_transform(tk,
+                  x -> regexp_matches(x, '^[0-9]{13,19}$$')) AS cand,
+                list_transform(tk,
+                  x -> CASE WHEN regexp_matches(x, '^[0-9]{13,19}$$')
+                       THEN ${luhn("x")} ELSE false END)
+                  AS val
+              FROM t)
+            SELECT doc_id,
+              CAST(len(list_filter(cand, x -> x)) AS BIGINT) AS n_candidates,
+              CAST(len(list_filter(val, x -> x)) AS BIGINT) AS n_redacted,
+              list_aggregate(list_transform(range(len(tk)),
+                i -> CASE WHEN val[i+1] THEN '<CC>' ELSE tk[i+1] END),
+                'string_agg', ' ') AS redacted
+            FROM f ORDER BY doc_id"""
+      }),
+
+    // Behavioral-sequence training samples from the event log: per
+    // user, each event with >= 3 predecessors becomes a (context of
+    // the previous 3 event types, next-type target) pair — the
+    // sequence-model dataset extraction every activity/recommendation
+    // pipeline runs over its clickstream. One user-keyed window (the
+    // q42 sessionize discipline — partitioned, never global); event
+    // time flows as the int64-nanos `ts` (the q41 convention).
+    QEntry("q166_next_event_samples",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t3", lag(col("event_type"), 3).over(w))
+          .withColumn("t2", lag(col("event_type"), 2).over(w))
+          .withColumn("t1", lag(col("event_type"), 1).over(w))
+          .filter(col("t3").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            concat(col("t3"), lit(">"), col("t2"), lit(">"), col("t1"))
+              .as("ctx"),
+            col("event_type").as("target"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                FROM events),
+              l AS (
+                SELECT event_id, user_id, event_type AS target,
+                  lag(event_type, 3) OVER w AS t3,
+                  lag(event_type, 2) OVER w AS t2,
+                  lag(event_type, 1) OVER w AS t1
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+              SELECT event_id, user_id,
+                t3 || '>' || t2 || '>' || t1 AS ctx, target
+              FROM l WHERE t3 IS NOT NULL ORDER BY event_id"""))
   )
 }

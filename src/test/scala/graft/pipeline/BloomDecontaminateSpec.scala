@@ -35,6 +35,16 @@ class BloomDecontaminateSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("plan: bloom filter guards the scan; bench side never broadcasts") {
+    val plan = TextAnalysis.contaminationBloomToks(docsToks, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom pre-filter missing from the plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"verify join broadcast the bench side — the exact operator's shape, " +
+        s"not the bloom path's:\n$plan")
+  }
+
   test("planted benchmark overlap is found; clean docs stay absent") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", false), // shares 5-gram w/ bench
