@@ -637,6 +637,49 @@ object Pipeline10 {
                 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
               SELECT event_id, user_id,
                 t3 || '>' || t2 || '>' || t1 AS ctx, target
-              FROM l WHERE t3 IS NOT NULL ORDER BY event_id"""))
+              FROM l WHERE t3 IS NOT NULL ORDER BY event_id""")),
+
+    // Hour-over-hour event-type drift monitor: KL(P_h ‖ P_{h-1}) in
+    // integer micro-nats per event over a DENSE hour grid (missing
+    // hours = all-zero distributions — silence is drift), add-one
+    // smoothed over the global type alphabet (Monitor.typeDriftByHour
+    // scaladoc). One corpus agg; everything after is dimension-sized.
+    QEntry("q167_drift_monitor",
+      (s, d) => graft.pipeline.Monitor.typeDriftByHour(Tables.events(s, d))
+        .orderBy(col("hour")),
+      Some("""WITH e AS (
+                SELECT epoch_us(ts) // 3600000000 AS hour, event_type
+                FROM events),
+              cnt AS (
+                SELECT hour, event_type, count(*) AS c
+                FROM e GROUP BY 1, 2),
+              ty AS (SELECT DISTINCT event_type FROM cnt),
+              ntc AS (SELECT count(*) AS nt FROM ty),
+              hb AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM cnt),
+              hr AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM hb),
+              grid AS (
+                SELECT hr.hour, ty.event_type, coalesce(cnt.c, 0) AS c
+                FROM hr CROSS JOIN ty
+                LEFT JOIN cnt ON cnt.hour = hr.hour
+                 AND cnt.event_type = ty.event_type),
+              tot AS (SELECT hour, sum(c) AS n FROM grid GROUP BY hour),
+              cur AS (
+                SELECT g.hour, g.event_type, g.c, t.n, ntc.nt
+                FROM grid g JOIN tot t USING (hour) CROSS JOIN ntc),
+              j AS (
+                SELECT a.hour, a.n,
+                  CAST(a.c * round(
+                    (ln(CAST(a.c + 1 AS DOUBLE) / (a.n + a.nt)) -
+                     ln(CAST(b.c + 1 AS DOUBLE) / (b.n + b.nt))) * 1e6)
+                    AS BIGINT) AS term
+                FROM cur a JOIN cur b
+                  ON b.hour = a.hour - 1 AND b.event_type = a.event_type)
+              SELECT hour, hour * 3600000000 AS hour_start_us,
+                CAST(max(n) AS BIGINT) AS n_events,
+                CAST(sum(term) AS BIGINT) AS kl_sum_unats,
+                CASE WHEN max(n) > 0
+                  THEN CAST(floor(CAST(sum(term) AS DOUBLE) / max(n)) AS BIGINT)
+                  ELSE 0 END AS kl_unats_per_event
+              FROM j GROUP BY hour ORDER BY hour"""))
   )
 }
