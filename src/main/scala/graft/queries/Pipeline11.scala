@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 continuation pack: eval-set construction and model-eval
+  * reporting over the curation surface. Conventions unchanged.
+  */
+object Pipeline11 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Deterministic per-stratum eval split with EXACT quotas: take
+    // min(quota, |stratum|) docs per source in md5(doc_id) order — the
+    // "balanced 10k-doc eval set" builder. Complements q87 (rate-based
+    // stratified sampling): quotas guarantee per-stratum counts, rates
+    // don't. Rank-within-stratum via the groupPercentileRank two-pass
+    // (GlobalRank + broadcast offsets — no per-source window funnel);
+    // the md5 order makes the pick reproducible on any cluster size
+    // and stable across reruns.
+    QEntry("q168_eval_split_quota",
+      (s, d) => {
+        val quota = 25
+        graft.pipeline.Curation.groupPercentileRank(
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("source"),
+                md5(col("doc_id").cast("string")).as("ok")),
+            "source", "ok", "doc_id")
+          .select(col("grp").as("source"), col("id").as("doc_id"),
+            col("rank_in_grp"),
+            (col("rank_in_grp") <= quota).as("in_eval"))
+          .orderBy(col("source"), col("rank_in_grp"))
+      },
+      Some("""WITH r AS (
+                SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rank_in_grp
+                FROM documents)
+              SELECT source, doc_id, rank_in_grp,
+                rank_in_grp <= 25 AS in_eval
+              FROM r ORDER BY source, rank_in_grp""")),
+
+    // Language-ID confusion matrix + per-label accuracy: the q33
+    // n-gram classifier evaluated against the fixture labels — every
+    // (labeled, predicted) cell with counts and per-label accuracy in
+    // basis points. The eval view a langid owner reads before trusting
+    // the filter; one corpus projection + one dimension-sized agg.
+    QEntry("q169_langid_confusion",
+      (s, d) => {
+        val ls = graft.pipeline.TextAnalysis.langScores(col("text"))
+        Tables.documents(s, d)
+          .select(col("lang").as("labeled"), ls.getField("pred").as("pred"))
+          .groupBy(col("labeled"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("n_labeled",
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("labeled"))))
+          .select(col("labeled"), col("pred"), col("n"),
+            floor(col("n") * 10000.0 / col("n_labeled")).cast("long")
+              .as("cell_bp"))
+          .orderBy(col("labeled"), col("pred"))
+      },
+      Some {
+        def occ(m: String) =
+          s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+        val en = s"${occ(" the ")} + ${occ(" and ")} + ${occ(" with ")}"
+        val es = s"${occ(" el ")} + ${occ(" los ")} + ${occ(" con ")}"
+        val de = s"${occ(" der ")} + ${occ(" und ")} + ${occ(" mit ")}"
+        val fr = s"${occ(" le ")} + ${occ(" les ")} + ${occ(" avec ")}"
+        s"""WITH padded AS (
+              SELECT doc_id, lang, concat(' ', lower(text), ' ') AS p
+              FROM documents),
+            pr AS (
+              SELECT lang AS labeled,
+                CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+                     WHEN $es >= $de AND $es >= $fr THEN 'es'
+                     WHEN $de >= $fr THEN 'de'
+                     ELSE 'fr' END AS pred
+              FROM padded),
+            cm AS (
+              SELECT labeled, pred, count(*) AS n
+              FROM pr GROUP BY 1, 2),
+            tot AS (
+              SELECT labeled, sum(n) AS n_labeled FROM cm GROUP BY 1)
+            SELECT cm.labeled, cm.pred, cm.n,
+              CAST(floor(cm.n * 10000.0 / tot.n_labeled) AS BIGINT)
+                AS cell_bp
+            FROM cm JOIN tot USING (labeled)
+            ORDER BY labeled, pred"""
+      })
+  )
+}
