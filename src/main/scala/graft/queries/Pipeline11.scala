@@ -87,6 +87,47 @@ object Pipeline11 {
                 AS cell_bp
             FROM cm JOIN tot USING (labeled)
             ORDER BY labeled, pred"""
-      })
+      }),
+
+    // Tokenizer fertility per language: subwords-per-word under the
+    // trained BPE (q137's 4-merge tokenizer applied via q141's shared
+    // segmentation) weighted by each language's actual word usage —
+    // the tokenizer-equity metric (a language with higher fertility
+    // pays proportionally more sequence length per word). Per-(lang,
+    // word) counts join the corpus-distinct segmented vocabulary on
+    // the word key; the oracle replays the ENTIRE train+apply chain
+    // and the weighted rollup.
+    QEntry("q170_bpe_fertility",
+      (s, d) => {
+        val seg = graft.pipeline.TextAnalysis.bpeSegment(
+            Tables.documents(s, d), "text", nMerges = 4)
+          .select(col("wd"), col("n_syms"))
+        val lwc = Tables.documents(s, d)
+          .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("wd"))
+          .groupBy(col("lang"), col("wd")).agg(count(lit(1)).as("c"))
+        lwc.join(seg, "wd")
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("n_syms")).as("n_subwords"))
+          .select(col("lang"), col("n_tokens"), col("n_subwords"),
+            expr("(n_subwords * 10000) div n_tokens").as("fertility_bp"))
+          .orderBy(col("lang"))
+      },
+      Some(Pipeline9.bpeChainSql(4,
+        """SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * n_syms) AS BIGINT) AS n_subwords,
+             CAST((sum(c * n_syms) * 10000) // sum(c) AS BIGINT)
+               AS fertility_bp
+           FROM (
+             SELECT lang, wd, count(*) AS c FROM (
+               SELECT lang,
+                 unnest(string_split_regex(lower(text), '\s+')) AS wd
+               FROM documents)
+             GROUP BY 1, 2) lwc
+           JOIN (
+             SELECT wd, CAST(count(*) AS BIGINT) AS n_syms
+             FROM s4 GROUP BY wd) ws USING (wd)
+           GROUP BY lang ORDER BY lang""")))
   )
 }

@@ -21,7 +21,7 @@ object Pipeline9 {
     * consecutive matches; keep = even offsets), drop consumed
     * positions, renumber. range(64) bounds char positions (max fixture
     * word is 8 chars — the q126 convention). */
-  private def bpeChainSql(nMerges: Int, finalSelect: String): String = {
+  private[queries] def bpeChainSql(nMerges: Int, finalSelect: String): String = {
     val stepBlocks = (1 to nMerges).map { t =>
       val p = t - 1
       s"""pc$t AS (
