@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline11 {
 
+  private val stopList =
+    graft.pipeline.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
   val entries: Seq[QEntry] = Seq(
 
     // Deterministic per-stratum eval split with EXACT quotas: take
@@ -128,6 +131,69 @@ object Pipeline11 {
            JOIN (
              SELECT wd, CAST(count(*) AS BIGINT) AS n_syms
              FROM s4 GROUP BY wd) ws USING (wd)
-           GROUP BY lang ORDER BY lang""")))
+           GROUP BY lang ORDER BY lang"""))),
+
+    // Dataset card: the one-row corpus summary a release ships with —
+    // doc/token/char totals, language and source cardinalities, exact-
+    // duplicate mass (docs minus distinct texts), and the quality-gate
+    // pass share (q89 rules) in basis points. One corpus scan with
+    // in-row token counts feeding a single global aggregate; the
+    // distinct-text count is the q30 digest agg folded in via
+    // count_distinct on the md5.
+    QEntry("q171_dataset_card",
+      (s, d) => {
+        val q = graft.pipeline.Curation.qualityFlags(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"),
+            size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"),
+            md5(col("text")).as("digest"),
+            q.getField("keep").as("keep"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            count_distinct(col("lang")).as("n_langs"),
+            count_distinct(col("source")).as("n_sources"),
+            (count(lit(1)) - count_distinct(col("digest"))).as("n_exact_dups"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_pass"))
+          .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("n_langs"), col("n_sources"), col("n_exact_dups"),
+            col("n_quality_pass"),
+            expr("(n_quality_pass * 10000) div n_docs").as("quality_pass_bp"))
+      },
+      Some(s"""WITH t AS (
+                SELECT doc_id, lang, source, n_chars, md5(text) AS digest,
+                  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                    AS n_tok,
+                  string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents),
+              f AS (
+                SELECT *,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS sum_tok_len,
+                  CAST(len(list_filter(toks, x -> x IN ($stopList)))
+                    AS BIGINT) AS n_stop,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+                FROM t),
+              k AS (
+                SELECT *,
+                  (n_tok >= 10 AND n_tok <= 90
+                   AND sum_tok_len >= n_tok * 3 AND sum_tok_len <= n_tok * 10
+                   AND n_stop * 100 >= n_tok
+                   AND n_distinct * 10 >= n_tok * 4) AS keep
+                FROM f)
+              SELECT
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(*) - count(DISTINCT digest) AS BIGINT)
+                  AS n_exact_dups,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality_pass,
+                CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000)
+                  // count(*) AS BIGINT) AS quality_pass_bp
+              FROM k"""))
   )
 }
