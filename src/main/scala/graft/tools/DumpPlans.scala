@@ -58,7 +58,6 @@ object DumpPlans {
     "q132_span_corrupt" -> "span corruption: tokens/zip/fold staged as attributes (per-element lambda capture avoided); zero shuffle before the output sort",
     "q154_c4_line_filter" -> "C4 line rules: every rule a HOF fold inside the row — zero shuffle before the output sort",
     "q155_line_dedup" -> "corpus line dedup: md5-keyed count->filter two-pass; the shuffle carries (32-hex, doc_id), never line text",
-    "q158_bloom_decontaminate" -> "bloom decontamination: might_contain guards the corpus scan; verify join shuffle-hash (bench side NEVER broadcast as a hash relation)",
     "q159_knn_graph" -> "mutual k-NN graph: bucket-keyed shuffle-hash join both sides (query side forced off-broadcast), edge-set self-join for mutualization",
     "q161_substring_dedup" -> "substring dedup: positional hash explode, dup-window dim joins back keyed, coverage+rebuild in-row (count_in_sorted binary search)",
     "q163_budget_cut" -> "budget cut: GlobalCumSum two-pass — range partition, pid-local running-sum window, broadcast offsets; no single-partition window over data")
