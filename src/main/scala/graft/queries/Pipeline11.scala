@@ -194,6 +194,93 @@ object Pipeline11 {
                   AS n_quality_pass,
                 CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000)
                   // count(*) AS BIGINT) AS quality_pass_bp
-              FROM k"""))
+              FROM k""")),
+
+    // Dedup-collapsed mutual k-NN graph — the q152 collapse applied to
+    // the q159 graph: distinct quantized vectors collapse to min-id
+    // representatives FIRST (bucket occupancy = distinct vectors; the
+    // sf~1 replica measured plain q159 at 32× for 10× data because
+    // byte-identical duplicates square inside buckets), the mutual
+    // graph builds over reps only, and every member inherits its rep's
+    // degree with the dup-group membership reported alongside (the
+    // q152 edge-set contract: member×member pairs never expand).
+    QEntry("q172_knn_graph_deduped",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            graft.expressions.functions.quantize_vec(col("embedding"), 10000.0)
+              .as("qe"))
+          .withColumn("k", md5(concat_ws(",", col("qe").cast("array<string>"))))
+        val reps = q.groupBy(col("k"))
+          .agg(min(struct(col("vec_id"), col("qe"))).as("r"))
+          .select(col("k"), col("r.vec_id").as("vec_id"), col("r.qe").as("qe"))
+          .localCheckpoint() // feeds member join + both ANN sides
+        val knn = graft.pipeline.Similarity.cosineTopKBucketedQ(
+            reps.select(col("vec_id").as("q_id"), col("qe")),
+            reps.select(col("vec_id"), col("qe")), nBits = 4, k = 4,
+            knownQueryCount = Some(Long.MaxValue))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id").as("a"), col("vec_id").as("b"))
+          .localCheckpoint() // both sides of the mutual join
+        val mutual = knn
+          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+          .filter(col("a") < col("b"))
+        val deg = mutual
+          .select(explode(array(col("a"), col("b"))).as("rep_id"))
+          .groupBy(col("rep_id")).agg(count(lit(1)).as("mutual_degree"))
+        q.select(col("k"), col("vec_id"))
+          .join(reps.select(col("k"), col("vec_id").as("rep_id")), "k")
+          .join(deg, Seq("rep_id"), "left")
+          .select(col("vec_id"), col("rep_id"),
+            coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH qz AS (
+                SELECT vec_id, list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              qk AS (
+                SELECT vec_id, qe,
+                  md5(list_aggregate(list_transform(qe,
+                    x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS k
+                FROM qz),
+              reps AS (
+                SELECT k, min(vec_id) AS rep_id FROM qk GROUP BY k),
+              rv AS (
+                SELECT reps.k, reps.rep_id AS vec_id, qk.qe
+                FROM reps JOIN qk
+                  ON qk.k = reps.k AND qk.vec_id = reps.rep_id),
+              bk AS (SELECT vec_id, qe, ${Pipeline2.duckBucketBits(4)} AS bucket
+                     FROM rv),
+              cand AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                    i -> q.qe[i+1] * c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM bk q JOIN bk c ON q.bucket = c.bucket),
+              ranked AS (
+                SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM cand),
+              knn AS (
+                SELECT q_id AS a, vec_id AS b FROM ranked
+                WHERE rn <= 4 AND q_id <> vec_id),
+              mutual AS (
+                SELECT k1.a, k1.b FROM knn k1
+                JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+                WHERE k1.a < k1.b),
+              ends AS (
+                SELECT a AS rep_id FROM mutual
+                UNION ALL SELECT b FROM mutual),
+              deg AS (
+                SELECT rep_id, CAST(count(*) AS BIGINT) AS mutual_degree
+                FROM ends GROUP BY rep_id)
+              SELECT qk.vec_id, reps.rep_id,
+                coalesce(deg.mutual_degree, 0) AS mutual_degree
+              FROM qk JOIN reps ON reps.k = qk.k
+              LEFT JOIN deg ON deg.rep_id = reps.rep_id
+              ORDER BY qk.vec_id"""))
   )
 }
