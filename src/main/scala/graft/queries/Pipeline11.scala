@@ -281,6 +281,114 @@ object Pipeline11 {
                 coalesce(deg.mutual_degree, 0) AS mutual_degree
               FROM qk JOIN reps ON reps.k = qk.k
               LEFT JOIN deg ON deg.rep_id = reps.rep_id
-              ORDER BY qk.vec_id"""))
+              ORDER BY qk.vec_id""")),
+
+    // Crawl-policy enforcement — the composition a frontier applies
+    // before a page enters the corpus: canonical domain (q160's
+    // normalization chain) → domain blocklist anti-join (a tiny
+    // broadcast dim: the opt-out/robots list) → per-domain cap
+    // (keep the first `cap` docs per domain in doc_id order — q58's
+    // keep-first-k, domain-keyed window). Output = survivors with
+    // their domain and in-domain rank, plus the drop reason for the
+    // capped (blocked docs vanish via the anti-join, exactly like a
+    // robots opt-out).
+    QEntry("q173_crawl_policy",
+      (s, d) => {
+        import s.implicits._
+        val cap = 60
+        val canon = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(lower(col("url_raw")), "^[a-z]+://", ""),
+          "[?#].*$", ""), "^www\\.", ""), "/$", "")
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, "https://").otherwise("HTTP://"),
+          when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+          col("source"), lit(".Example.COM"),
+          lit("/p/"), (col("doc_id") % 50).cast("string"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("url_raw"))
+          .select(col("doc_id"),
+            regexp_replace(canon, "/.*$", "").as("domain"))
+        val blocklist = Seq("src1.example.com").toDF("domain")
+        docs.join(broadcast(blocklist), Seq("domain"), "left_anti")
+          .withColumn("rank_in_domain",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("domain")).orderBy(col("doc_id"))))
+          .filter(col("rank_in_domain") <= cap)
+          .orderBy(col("domain"), col("rank_in_domain"))
+      },
+      Some("""WITH r AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+                  || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                  || source || '.Example.COM'
+                  || '/p/' || CAST(doc_id % 50 AS VARCHAR) AS url_raw
+                FROM documents),
+              c AS (
+                SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(lower(url_raw), '^[a-z]+://', ''),
+                          '[?#].*$', ''),
+                        '^www\.', ''),
+                      '/$', ''),
+                    '/.*$', '') AS domain
+                FROM r),
+              keep AS (
+                SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                    AS rank_in_domain
+                FROM c WHERE domain <> 'src1.example.com')
+              SELECT domain, doc_id, rank_in_domain
+              FROM keep WHERE rank_in_domain <= 60
+              ORDER BY domain, rank_in_domain""")),
+
+    // URL-keyed keep-latest upsert across crawl snapshots: two derived
+    // crawls of the same canonical URL space (crawl 0 = the %3 != 2
+    // slice, crawl 1 = the %2 == 0 slice re-fetched later), collapsed
+    // to one row per URL by LATEST (crawl, doc_id) — the CDC-merge
+    // semantic a crawl store applies on ingest (q131's snapshot diff
+    // tells you WHAT changed; this materializes the merged table). One
+    // hash agg on the URL key via max_by over the (crawl, doc_id)
+    // struct — no window, no join.
+    QEntry("q174_url_upsert",
+      (s, d) => {
+        val url = concat(col("source"), lit(".example.com/p/"),
+          (col("doc_id") % 97).cast("string"))
+        val docs = Tables.documents(s, d)
+        val c0 = docs.filter(col("doc_id") % 3 =!= 2)
+          .select(url.as("url"), lit(0).as("crawl"), col("doc_id"),
+            col("n_chars"))
+        val c1 = docs.filter(col("doc_id") % 2 === 0)
+          .select(url.as("url"), lit(1).as("crawl"), col("doc_id"),
+            col("n_chars"))
+        c0.union(c1)
+          .groupBy(col("url"))
+          .agg(count(lit(1)).as("n_versions"),
+            max_by(struct(col("crawl"), col("doc_id"), col("n_chars")),
+              col("crawl") * lit(10000000000L) + col("doc_id")).as("w"))
+          .select(col("url"), col("n_versions"),
+            col("w.crawl").as("crawl"), col("w.doc_id").as("doc_id"),
+            col("w.n_chars").as("n_chars"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH u AS (
+                SELECT source || '.example.com/p/' ||
+                  CAST(doc_id % 97 AS VARCHAR) AS url,
+                  0 AS crawl, doc_id, n_chars
+                FROM documents WHERE doc_id % 3 <> 2
+                UNION ALL
+                SELECT source || '.example.com/p/' ||
+                  CAST(doc_id % 97 AS VARCHAR) AS url,
+                  1 AS crawl, doc_id, n_chars
+                FROM documents WHERE doc_id % 2 = 0)
+              SELECT url,
+                CAST(count(*) AS BIGINT) AS n_versions,
+                CAST(max_by(crawl, crawl * 10000000000 + doc_id) AS INT)
+                  AS crawl,
+                max_by(doc_id, crawl * 10000000000 + doc_id) AS doc_id,
+                max_by(n_chars, crawl * 10000000000 + doc_id) AS n_chars
+              FROM u GROUP BY url ORDER BY url"""))
   )
 }
