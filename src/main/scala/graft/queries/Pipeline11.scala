@@ -389,6 +389,56 @@ object Pipeline11 {
                   AS crawl,
                 max_by(doc_id, crawl * 10000000000 + doc_id) AS doc_id,
                 max_by(n_chars, crawl * 10000000000 + doc_id) AS n_chars
-              FROM u GROUP BY url ORDER BY url"""))
+              FROM u GROUP BY url ORDER BY url""")),
+
+    // Vocabulary pruning with <unk> remap: tokens below the corpus
+    // frequency cutoff (count >= 5, the q99 vocab discipline) are
+    // replaced in-place — the closed-vocab preprocessing step. The
+    // rewrite is ZERO-SHUFFLE on the corpus side: the kept vocab
+    // collapses to ONE row holding its sorted xxhash64 set (millions
+    // of terms = a few MB of longs), broadcasts, and each token is a
+    // binary search inside the row (the q84 count_in_sorted trick) —
+    // the rare-term long tail never materializes as a join dim. The
+    // oracle replays membership on the raw STRINGS, so the gate also
+    // proves the hash compression semantically invisible.
+    QEntry("q175_vocab_prune",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        val vocabRow = docs
+          .select(explode(col("tk")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .agg(sort_array(collect_set(xxhash64(col("term")))).as("vh"))
+        val inVocab = (t: org.apache.spark.sql.Column) =>
+          graft.expressions.functions.count_in_sorted(
+            array(xxhash64(t)), col("vh")) > 0
+        docs.crossJoin(broadcast(vocabRow))
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_tok"),
+            size(filter(col("tk"), t => !inVocab(t))).cast("long").as("n_unk"),
+            array_join(transform(col("tk"),
+              t => when(inVocab(t), t).otherwise(lit("<unk>"))), " ")
+              .as("pruned_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                FROM documents),
+              uc AS (
+                SELECT term, count(*) AS c
+                FROM (SELECT unnest(tk) AS term FROM t) GROUP BY 1),
+              c AS (
+                SELECT doc_id, tk,
+                  (SELECT list(term) FROM uc WHERE c >= 5) AS vl
+                FROM t)
+              SELECT doc_id,
+                CAST(len(tk) AS BIGINT) AS n_tok,
+                CAST(len(list_filter(tk, x -> NOT list_contains(vl, x)))
+                  AS BIGINT) AS n_unk,
+                list_aggregate(list_transform(tk,
+                  x -> CASE WHEN list_contains(vl, x) THEN x
+                       ELSE '<unk>' END), 'string_agg', ' ') AS pruned_text
+              FROM c ORDER BY doc_id"""))
   )
 }
