@@ -439,6 +439,97 @@ object Pipeline11 {
                 list_aggregate(list_transform(tk,
                   x -> CASE WHEN list_contains(vl, x) THEN x
                        ELSE '<unk>' END), 'string_agg', ' ') AS pruned_text
-              FROM c ORDER BY doc_id"""))
+              FROM c ORDER BY doc_id""")),
+
+    // Heaps-law vocabulary growth: distinct-vocabulary size after the
+    // first N docs, at doubling prefix cuts — the curve that predicts
+    // vocab (and embedding-table) size at 100 TB from small prefixes.
+    // One insight makes it one pass: vocab_at(N) = #terms whose FIRST
+    // document id < N — so a single per-term min(doc_id) aggregate
+    // feeds every cut as a conditional sum; no per-prefix rescans.
+    QEntry("q176_heaps_curve",
+      (s, d) => {
+        val cuts = Seq(62L, 125L, 250L, 500L)
+        val firstDoc = Tables.documents(s, d)
+          .select(explode(array_distinct(split(lower(col("text")), "\\s+")))
+            .as("term"), col("doc_id"))
+          .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+        firstDoc.agg(
+          count(lit(1)).as("n_terms_total"),
+          cuts.map(t => sum(when(col("first_doc") < t, 1L).otherwise(0L))
+            .as(s"vocab_at_$t")): _*)
+      },
+      Some("""WITH fd AS (
+                SELECT term, min(doc_id) AS first_doc FROM (
+                  SELECT doc_id,
+                    unnest(list_distinct(
+                      string_split_regex(lower(text), '\s+'))) AS term
+                  FROM documents)
+                GROUP BY term)
+              SELECT
+                CAST(count(*) AS BIGINT) AS n_terms_total,
+                CAST(sum(CASE WHEN first_doc < 62 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vocab_at_62,
+                CAST(sum(CASE WHEN first_doc < 125 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vocab_at_125,
+                CAST(sum(CASE WHEN first_doc < 250 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vocab_at_250,
+                CAST(sum(CASE WHEN first_doc < 500 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS vocab_at_500
+              FROM fd""")),
+
+    // Packing-efficiency report: the q88 packer audited — per (source,
+    // bin): token fill vs budget; rolled up per source to bin count,
+    // min/avg/max fill in bp (start-offset binning lets a boundary-
+    // spanning doc overflow its bin — the report SHOWS that instead of
+    // hiding it) and the total padding a trainer would burn. The
+    // "how much compute is padding" view every packing choice owes.
+    QEntry("q177_pack_efficiency",
+      (s, d) => {
+        val budget = 256
+        val packed = graft.pipeline.Curation.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok")),
+          "doc_id", "source", "n_tok", budget)
+        packed.groupBy(col("source"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("bin_tok")).as("tokens"),
+            min(expr(s"(bin_tok * 10000) div $budget")).as("min_fill_bp"),
+            expr(s"(sum(bin_tok) * 10000) div (count(1) * $budget)")
+              .as("avg_fill_bp"),
+            max(expr(s"(bin_tok * 10000) div $budget")).as("max_fill_bp"),
+            sum(greatest(lit(0L), lit(budget.toLong) - col("bin_tok")))
+              .as("padding_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+              p AS (
+                SELECT source, n_tok,
+                  CAST(floor((sum(n_tok) OVER (PARTITION BY source
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tok) / 256.0) AS BIGINT) AS bin_id
+                FROM t),
+              b AS (
+                SELECT source, bin_id, count(*) AS n_docs,
+                  sum(n_tok) AS bin_tok
+                FROM p GROUP BY 1, 2)
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_bins,
+                CAST(sum(bin_tok) AS BIGINT) AS tokens,
+                CAST(min((bin_tok * 10000) // 256) AS BIGINT) AS min_fill_bp,
+                CAST((sum(bin_tok) * 10000) // (count(*) * 256) AS BIGINT)
+                  AS avg_fill_bp,
+                CAST(max((bin_tok * 10000) // 256) AS BIGINT) AS max_fill_bp,
+                CAST(sum(greatest(0, 256 - bin_tok)) AS BIGINT)
+                  AS padding_tokens
+              FROM b GROUP BY source ORDER BY source"""))
   )
 }
