@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank — the weighted-iteration graph primitive
+  * (domain authority for crawl prioritization, near-dup-graph node
+  * importance for keep-best selection). Complements
+  * `Dedup.components`' min-label propagation with a VALUE-propagating
+  * iteration: each round is one edge-keyed join + one destination-keyed
+  * sum — the classic Pregel step expressed as dataflow, no driver-side
+  * graph state.
+  *
+  * Determinism (the suite's integer discipline): ranks live in integer
+  * units of `scale` (default 10¹²); each edge contribution is
+  * floor(pr·85 / (100·outdeg)) — floored PER EDGE, so the
+  * destination sum is order-independent under any partitioning, and a
+  * SQL oracle replays every round exactly. (Classic float PageRank
+  * sums in arrival order — irreproducible across partitionings; the
+  * per-edge floor trades ≤ outdeg units of mass per node per round for
+  * bit-exactness.)
+  *
+  * Scale shape: out-degrees are one keyed agg; the edge table (joined
+  * with its out-degree once, checkpointed) is the only corpus-sized
+  * frame, reused every round; each round shuffles O(E) contributions
+  * keyed by destination and checkpoints the O(V) rank frame (the
+  * components per-round lineage-cut discipline — without it round t
+  * replans rounds 1..t-1). The two driver scalars are counts for
+  * sizing (N for the damping base), not data.
+  *
+  * Dangling nodes (no out-edges) simply contribute nothing — their
+  * mass is dropped, not redistributed (the common large-scale
+  * simplification; callers needing strict mass conservation add a
+  * dangling-sum broadcast per round). */
+object PageRank {
+
+  def run(edges: DataFrame, // (src, dst), self-edges allowed (ignored)
+      nodes: DataFrame,     // (id)
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val n = nodes.count()
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val ewd = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint() // reused every round; lineage = the edge build
+    val base = (scale * 15L) / (100L * n)
+    var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ewd.join(pr, ewd("src") === pr("id"))
+        .select(col("dst"), expr("(pr * 85) div (100 * od)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(base) + coalesce(col("cs"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

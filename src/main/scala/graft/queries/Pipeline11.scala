@@ -530,6 +530,74 @@ object Pipeline11 {
                 CAST(max((bin_tok * 10000) // 256) AS BIGINT) AS max_fill_bp,
                 CAST(sum(greatest(0, 256 - bin_tok)) AS BIGINT)
                   AS padding_tokens
-              FROM b GROUP BY source ORDER BY source"""))
+              FROM b GROUP BY source ORDER BY source""")),
+
+    // Integer-exact PageRank, 3 iterations, over a derived link graph
+    // (three deterministic link rules per page — quadratic residues
+    // give varied in-degrees; self-links dropped, so out-degrees vary
+    // too). Per-edge floored contributions make every round
+    // order-independent and SQL-replayable (operators/PageRank
+    // scaladoc); the oracle chains the three rounds as CTEs.
+    QEntry("q178_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+          .localCheckpoint() // nodes: counted for N + joined every round
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 1) % n).as("dst"))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * col("doc_id")) % n))
+          .union(docs.select(col("doc_id"), expr("doc_id div 2")))
+        graft.operators.PageRank.run(
+            edges, docs.select(col("doc_id").as("id")), iters = 3)
+          .select(col("id").as("doc_id"), col("pr").as("pr_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+              e0 AS (
+                SELECT doc_id AS src,
+                  (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION
+                SELECT doc_id,
+                  (doc_id * doc_id) % (SELECT n FROM nn)
+                FROM documents
+                UNION
+                SELECT doc_id, doc_id // 2 FROM documents),
+              e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+              od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+              p0 AS (
+                SELECT doc_id AS id,
+                  1000000000000 // (SELECT n FROM nn) AS pr
+                FROM documents),
+              c1 AS (
+                SELECT e.dst, sum((p0.pr * 85) // (100 * od.od)) AS cs
+                FROM e JOIN od USING (src) JOIN p0 ON p0.id = e.src
+                GROUP BY e.dst),
+              p1 AS (
+                SELECT d.doc_id AS id,
+                  (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+                    + coalesce(c1.cs, 0) AS pr
+                FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+              c2 AS (
+                SELECT e.dst, sum((p1.pr * 85) // (100 * od.od)) AS cs
+                FROM e JOIN od USING (src) JOIN p1 ON p1.id = e.src
+                GROUP BY e.dst),
+              p2 AS (
+                SELECT d.doc_id AS id,
+                  (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+                    + coalesce(c2.cs, 0) AS pr
+                FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id),
+              c3 AS (
+                SELECT e.dst, sum((p2.pr * 85) // (100 * od.od)) AS cs
+                FROM e JOIN od USING (src) JOIN p2 ON p2.id = e.src
+                GROUP BY e.dst),
+              p3 AS (
+                SELECT d.doc_id AS id,
+                  (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+                    + coalesce(c3.cs, 0) AS pr
+                FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id)
+              SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
+              FROM p3 ORDER BY doc_id"""))
   )
 }
