@@ -598,6 +598,81 @@ object Pipeline11 {
                     + coalesce(c3.cs, 0) AS pr
                 FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id)
               SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_micro
-              FROM p3 ORDER BY doc_id"""))
+              FROM p3 ORDER BY doc_id""")),
+
+    // Contrastive-batch construction with an in-batch-negative
+    // constraint: batches where no two examples share a source, so
+    // in-batch negatives are never same-source near-positives (the
+    // CLIP-style batch hygiene rule). Construction IS the constraint:
+    // batch b = the b-th doc of every source in md5 order — rank-in-
+    // source via the groupPercentileRank two-pass, position-in-batch
+    // via a batch-keyed window over the (≤ #sources)-row batches.
+    // Deterministic on any cluster size.
+    QEntry("q179_contrastive_batches",
+      (s, d) => {
+        val ranked = graft.pipeline.Curation.groupPercentileRank(
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("source"),
+                md5(concat(lit("cb:"), col("doc_id").cast("string"))).as("ok")),
+            "source", "ok", "doc_id")
+          .select(col("grp").as("source"), col("id").as("doc_id"),
+            col("rank_in_grp").as("batch_id"))
+        ranked.withColumn("pos_in_batch",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("batch_id")).orderBy(col("source"))))
+          .orderBy(col("batch_id"), col("pos_in_batch"))
+      },
+      Some("""WITH r AS (
+                SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('cb:' || doc_id), doc_id) AS batch_id
+                FROM documents)
+              SELECT source, doc_id, batch_id,
+                row_number() OVER (PARTITION BY batch_id ORDER BY source)
+                  AS pos_in_batch
+              FROM r ORDER BY batch_id, pos_in_batch""")),
+
+    // Per-user EWMA of event values (alpha = 0.2 as the exact integer
+    // recurrence e_t = (2·x_t + 8·e_{t-1}) div 10, seeded with the
+    // first observation) — the smoothed-activity signal ops dashboards
+    // track per entity. The fold is SEQUENTIAL by nature, so it runs
+    // INSIDE the row over the per-user ordered array (bounded by
+    // per-user event counts — the q42 sessionize bound), one user-
+    // keyed agg total; cents are positive so div == floor-div
+    // cross-engine. Oracle replays via list_reduce over the same
+    // ordered list.
+    QEntry("q180_user_ewma",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("cents")))).as("xs"))
+          .select(col("user_id"), col("n_events"),
+            transform(col("xs"), x => x.getField("cents")).as("cs"))
+          .select(col("user_id"), col("n_events"),
+            element_at(col("cs"), -1).as("last_cents"),
+            aggregate(
+              slice(col("cs"), lit(2), greatest(size(col("cs")) - 1, lit(0))),
+              element_at(col("cs"), 1),
+              (acc, x) => floor((x * 2 + acc * 8) / lit(10)).cast("long"))
+              .as("ewma_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+              l AS (
+                SELECT user_id, count(*) AS n_events,
+                  list(cents ORDER BY us, event_id) AS cs
+                FROM e GROUP BY user_id)
+              SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                cs[len(cs)] AS last_cents,
+                CAST(list_reduce(cs, (acc, x) -> (2*x + 8*acc) // 10)
+                  AS BIGINT) AS ewma_cents
+              FROM l ORDER BY user_id"""))
   )
 }
