@@ -673,6 +673,83 @@ object Pipeline11 {
                 cs[len(cs)] AS last_cents,
                 CAST(list_reduce(cs, (acc, x) -> (2*x + 8*acc) // 10)
                   AS BIGINT) AS ewma_cents
-              FROM l ORDER BY user_id"""))
+              FROM l ORDER BY user_id""")),
+
+    // KMV (k-minimum-values) distinct sketch, k = 64, over per-source
+    // 3-gram shingle sets — the MERGEABLE distinct-count sketch
+    // (union sketches = merge min-sets), here with a DETERMINISTIC
+    // md5-derived hash so, unlike HLL (q65's accuracy contract), the
+    // whole sketch AND its estimate replay bit-for-bit in the oracle:
+    // est = (k−1)·2³² div h_k when the set has >= k values, else the
+    // exact count. Per source: estimate vs exact distinct with the
+    // signed error in bp. Scale shape: distinct (source, h) → source-
+    // keyed rank window → the k-row-per-source sketch; the full
+    // distinct set never collects anywhere.
+    QEntry("q181_kmv_sketch",
+      (s, d) => {
+        val k = 64
+        val sh = Tables.documents(s, d)
+          .select(col("source"), explode(
+            graft.expressions.functions.ngram_shingles(
+              split(lower(col("text")), "\\s+"), 3, distinct = true)).as("g"))
+          .distinct()
+          .select(col("source"),
+            expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)")
+              .as("h"))
+          .distinct() // 32-bit prefix collisions: one h per (source, h)
+          .localCheckpoint() // feeds the sketch ranks AND the exact counts
+        val kth = sh.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+          .groupBy(col("source"))
+          .agg(max(col("h")).as("hk"), count(lit(1)).as("nk"))
+        val exact = sh.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_exact"))
+        kth.join(exact, "source")
+          .select(col("source"), col("n_exact"),
+            when(col("nk") < k, col("nk"))
+              .otherwise(expr(s"(${k - 1} * 4294967296) div hk"))
+              .as("n_est"))
+          .select(col("source"), col("n_exact"), col("n_est"),
+            // err can be NEGATIVE: floor of the double quotient, not an
+            // integer div (Spark div truncates toward zero, DuckDB //
+            // floors — they disagree below zero)
+            floor((col("n_est") - col("n_exact")).cast("double") * 10000
+              / col("n_exact")).cast("long").as("err_bp"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+                SELECT source, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              g AS (
+                SELECT DISTINCT source,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS g
+                FROM t WHERE len(toks) >= 3),
+              h AS (
+                SELECT DISTINCT source,
+                  ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+                FROM g),
+              r AS (
+                SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM h),
+              kth AS (
+                SELECT source, max(h) AS hk, count(*) AS nk
+                FROM r WHERE rn <= 64 GROUP BY source),
+              ex AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+                FROM h GROUP BY source),
+              est AS (
+                SELECT kth.source, ex.n_exact,
+                  CASE WHEN kth.nk < 64 THEN kth.nk
+                       ELSE (63 * 4294967296) // kth.hk END AS n_est
+                FROM kth JOIN ex USING (source))
+              SELECT source, n_exact, CAST(n_est AS BIGINT) AS n_est,
+                CAST(floor((n_est - n_exact) * 10000.0 / n_exact) AS BIGINT)
+                  AS err_bp
+              FROM est ORDER BY source"""))
   )
 }
