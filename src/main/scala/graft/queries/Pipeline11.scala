@@ -750,6 +750,76 @@ object Pipeline11 {
               SELECT source, n_exact, CAST(n_est AS BIGINT) AS n_est,
                 CAST(floor((n_est - n_exact) * 10000.0 / n_exact) AS BIGINT)
                   AS err_bp
-              FROM est ORDER BY source"""))
+              FROM est ORDER BY source""")),
+
+    // Hard-negative mining: per query vector, the highest-cosine
+    // OTHER-label neighbor (the hard negative a contrastive trainer
+    // wants) and the highest-cosine same-label neighbor (the positive)
+    // — one corpus scan against the broadcast query slice, two
+    // label-conditioned q_id-keyed rank windows. Integer dots; the
+    // cosine ordering is the IEEE-deterministic q36 convention, so the
+    // oracle replays both rankings exactly.
+    QEntry("q182_hard_negatives",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            graft.expressions.functions.quantize_vec(col("embedding"), 10000.0)
+              .as("qe"))
+          .withColumn("n2",
+            graft.expressions.functions.dot_long(col("qe"), col("qe")))
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("qe").as("qq"), col("n2").as("nq"))
+        val scored = emb.crossJoin(broadcast(queries))
+          .withColumn("dot",
+            graft.expressions.functions.dot_long(col("qq"), col("qe")))
+          .withColumn("cos",
+            col("dot") / (sqrt(col("nq")) * sqrt(col("n2"))))
+        val neg = scored.filter(col("label") =!= col("q_label"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("q_id"), col("q_label"),
+            col("vec_id").as("neg_id"), col("label").as("neg_label"),
+            col("dot").as("neg_dot"))
+        val pos = scored.filter(col("label") === col("q_label") &&
+            col("vec_id") =!= col("q_id"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("q_id"), col("vec_id").as("pos_id"),
+            col("dot").as("pos_dot"))
+        neg.join(pos, "q_id").orderBy(col("q_id"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id, label, list_transform(embedding,
+                  v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
+                FROM embeddings),
+              n2 AS (
+                SELECT vec_id, label, qe,
+                  CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS n2
+                FROM qz),
+              q AS (
+                SELECT vec_id AS q_id, label AS q_label, qe AS qq, n2 AS nq
+                FROM n2 WHERE vec_id % 50 = 0),
+              sc AS (
+                SELECT q.q_id, q.q_label, c.vec_id, c.label,
+                  CAST(list_sum(list_transform(range(len(q.qq)),
+                    i -> q.qq[i+1] * c.qe[i+1])) AS BIGINT) AS dot,
+                  q.nq, c.n2
+                FROM q, n2 c),
+              neg AS (
+                SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label,
+                  dot AS neg_dot,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(nq) * sqrt(n2)) DESC, vec_id) AS rn
+                FROM sc WHERE label <> q_label),
+              pos AS (
+                SELECT q_id, vec_id AS pos_id, dot AS pos_dot,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(nq) * sqrt(n2)) DESC, vec_id) AS rn
+                FROM sc WHERE label = q_label AND vec_id <> q_id)
+              SELECT n.q_id, n.q_label, n.neg_id, n.neg_label, n.neg_dot,
+                p.pos_id, p.pos_dot
+              FROM neg n JOIN pos p ON p.q_id = n.q_id AND p.rn = 1
+              WHERE n.rn = 1 ORDER BY n.q_id"""))
   )
 }
