@@ -820,6 +820,35 @@ object Pipeline11 {
               SELECT n.q_id, n.q_label, n.neg_id, n.neg_label, n.neg_dot,
                 p.pos_id, p.pos_dot
               FROM neg n JOIN pos p ON p.q_id = n.q_id AND p.rn = 1
-              WHERE n.rn = 1 ORDER BY n.q_id"""))
+              WHERE n.rn = 1 ORDER BY n.q_id""")),
+
+    // Z-order (Morton) values over (user bucket, hour bucket) — the
+    // multi-column data-skipping layout key (sources/ZOrder scaladoc;
+    // ZOrderSpec proves the file-level min/max pruning property on
+    // real parquet). This row pins the interleave math cross-engine
+    // and the z-curve ordering rank the writer sorts by.
+    QEntry("q183_zorder_values",
+      (s, d) => {
+        val a = pmod(col("user_id"), lit(64L))
+        val b = pmod(expr("(ts div 1000) div 3600000000"), lit(64L))
+        Tables.events(s, d)
+          .select(col("event_id"), a.as("a"), b.as("b"))
+          .select(col("event_id"), col("a"), col("b"),
+            graft.sources.ZOrder.zValue(col("a"), col("b"), 6).as("zv"))
+          .orderBy(col("event_id"))
+      },
+      Some {
+        val terms = (0 until 6).map { i =>
+          s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" | ")
+        s"""WITH t AS (
+              SELECT event_id,
+                user_id % 64 AS a,
+                (epoch_us(ts) // 3600000000) % 64 AS b
+              FROM events)
+            SELECT event_id, a, b,
+              CAST($terms AS BIGINT) AS zv
+            FROM t ORDER BY event_id"""
+      })
   )
 }
