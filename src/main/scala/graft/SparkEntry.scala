@@ -20,7 +20,8 @@ object SparkEntry {
       Profiling.entries ++ Pipeline.entries ++ Pipeline2.entries ++
       Pipeline3.entries ++ Pipeline4.entries ++ Pipeline5.entries ++
       Pipeline6.entries ++ Pipeline7.entries ++ Pipeline8.entries ++
-      Pipeline9.entries ++ Pipeline10.entries ++ Pipeline11.entries
+      Pipeline9.entries ++ Pipeline10.entries ++ Pipeline11.entries ++
+      Pipeline12.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

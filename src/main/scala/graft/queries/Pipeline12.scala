@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 closing pack: distribution-stability monitoring and graph
+  * analytics. Conventions unchanged (integer micro-nats, md5
+  * determinism, total output orders).
+  */
+object Pipeline12 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Population Stability Index between the first and second half of
+    // the event stream, per event_type, over fixed value-decile
+    // buckets: PSI = Σ_buckets (p−q)·ln(p/q) — THE model-monitoring
+    // drift metric, in the suite's integer discipline: counts exact,
+    // add-one smoothing, per-bucket ln rounded to micro-nats BEFORE
+    // the (p−q)-weighted sum, the weight itself carried as exact
+    // integer cross-products so the total is order-independent.
+    // Scale shape: one corpus agg to (type, half, bucket) counts;
+    // everything after is dimension-sized. Fixed bucket edges (cents
+    // deciles of the fixture's [0, 500] value range) — data-
+    // independent, so the operator streams.
+    QEntry("q184_psi_drift",
+      (s, d) => {
+        val half = (col("event_id") % 2).as("half") // deterministic A/B split
+        val bucket = least(lit(9L), expr("cents div 5000")).as("bucket")
+        val cnt = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"), half)
+          .select(col("event_type"), col("half"), bucket)
+          .groupBy(col("event_type"), col("half"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds grid + totals
+        val grid = cnt.select(col("event_type")).distinct()
+          .crossJoin(s.range(0, 10).select(col("id").as("bucket")))
+          .crossJoin(s.range(0, 2).select(col("id").as("half")))
+          .join(cnt, Seq("event_type", "half", "bucket"), "left")
+          .select(col("event_type"), col("half"), col("bucket"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val tot = grid.groupBy(col("event_type"), col("half"))
+          .agg(sum(col("c")).as("n"))
+        val wide = grid.join(tot, Seq("event_type", "half"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(when(col("half") === 0, col("c")).otherwise(0L)).as("ca"),
+            max(when(col("half") === 0, col("n"))).as("na"),
+            sum(when(col("half") === 1, col("c")).otherwise(0L)).as("cb"),
+            max(when(col("half") === 1, col("n"))).as("nb"))
+        // p = (ca+1)/(na+10), q = (cb+1)/(nb+10); term: (p−q)·ln(p/q)
+        // carried as integer cross-products: (ca+1)(nb+10) − (cb+1)(na+10)
+        // over the common denominator, times the rounded micro-nat ln.
+        wide.select(col("event_type"), col("bucket"),
+            ((col("ca") + 1) * (col("nb") + 10) -
+             (col("cb") + 1) * (col("na") + 10)).as("num"),
+            ((col("na") + 10) * (col("nb") + 10)).as("den"),
+            round(log(((col("ca") + 1) * (col("nb") + 10)).cast("double") /
+              ((col("cb") + 1) * (col("na") + 10))) * 1e6, 0)
+              .cast("long").as("lr_unats"))
+          .groupBy(col("event_type"))
+          .agg(max(col("den")).as("den"),
+            sum(col("num") * col("lr_unats")).as("psi_num_unats"))
+          .select(col("event_type"),
+            // PSI in micro-nats: the exact integer numerator divided by
+            // the common denominator, floored on the double quotient
+            floor(col("psi_num_unats").cast("double") / col("den"))
+              .cast("long").as("psi_unats"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+                SELECT event_type, event_id % 2 AS half,
+                  least(9, CAST(round(value * 100) AS BIGINT) // 5000)
+                    AS bucket
+                FROM events),
+              cnt AS (
+                SELECT event_type, half, bucket, count(*) AS c
+                FROM e GROUP BY 1, 2, 3),
+              ty AS (SELECT DISTINCT event_type FROM cnt),
+              grid AS (
+                SELECT ty.event_type, h.half, b.bucket,
+                  coalesce(cnt.c, 0) AS c
+                FROM ty
+                CROSS JOIN (VALUES (0), (1)) h(half)
+                CROSS JOIN range(10) b(bucket)
+                LEFT JOIN cnt ON cnt.event_type = ty.event_type
+                 AND cnt.half = h.half AND cnt.bucket = b.bucket),
+              tot AS (
+                SELECT event_type, half, sum(c) AS n
+                FROM grid GROUP BY 1, 2),
+              wide AS (
+                SELECT g.event_type, g.bucket,
+                  sum(CASE WHEN g.half = 0 THEN g.c ELSE 0 END) AS ca,
+                  max(CASE WHEN g.half = 0 THEN t.n END) AS na,
+                  sum(CASE WHEN g.half = 1 THEN g.c ELSE 0 END) AS cb,
+                  max(CASE WHEN g.half = 1 THEN t.n END) AS nb
+                FROM grid g JOIN tot t
+                  ON t.event_type = g.event_type AND t.half = g.half
+                GROUP BY 1, 2),
+              term AS (
+                SELECT event_type, bucket,
+                  (ca + 1) * (nb + 10) - (cb + 1) * (na + 10) AS num,
+                  (na + 10) * (nb + 10) AS den,
+                  CAST(round(ln(CAST((ca + 1) * (nb + 10) AS DOUBLE) /
+                    ((cb + 1) * (na + 10))) * 1e6) AS BIGINT) AS lr_unats
+                FROM wide)
+              SELECT event_type,
+                CAST(floor(CAST(sum(num * lr_unats) AS DOUBLE) / max(den))
+                  AS BIGINT) AS psi_unats
+              FROM term GROUP BY event_type ORDER BY event_type""")),
+
+    // Triangle counting by the degree-ordered "forward" algorithm
+    // (Schank & Wagner 2005): orient every edge from the lower-rank
+    // endpoint to the higher (rank = (degree, id) — the orientation
+    // that bounds out-degrees by O(√E)), join the oriented edge set
+    // with itself on the wedge vertex, and close each wedge against
+    // the original edges. Two keyed joins, no vertex ever enumerates
+    // its full neighborhood² unless it is genuinely high-degree in the
+    // oriented graph. Same derived link graph as q178, symmetrized.
+    QEntry("q185_triangles",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+          .localCheckpoint()
+        val n = docs.count()
+        val raw = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 1) % n).as("dst"))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * col("doc_id")) % n))
+          .union(docs.select(col("doc_id"), expr("doc_id div 2")))
+          .filter(col("src") =!= col("dst"))
+        // undirected edge set, canonical (lo, hi), deduped
+        val und = raw.select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct()
+          .localCheckpoint() // feeds degrees, orientation, and closure
+        val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+        // orient by (degree, id): a -> b iff (dg_a, a) < (dg_b, b)
+        val oriented = und
+          .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+          .select(
+            when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+              struct(col("u").as("a"), col("v").as("b")))
+              .otherwise(struct(col("v").as("a"), col("u").as("b")))
+              .as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .localCheckpoint() // two consumers of the wedge join
+        val wedges = oriented.select(col("a"), col("b").as("w1"))
+          .join(oriented.select(col("a"), col("b").as("w2")), "a")
+          .filter(col("w1") < col("w2"))
+        val tri = wedges.join(und,
+          col("u") === col("w1") && col("v") === col("w2"))
+        tri.select(explode(array(col("a"), col("w1"), col("w2"))).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+          .join(docs, Seq("doc_id"), "right")
+          .select(col("doc_id"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+              raw AS (
+                SELECT doc_id AS src,
+                  (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+                FROM documents
+                UNION ALL SELECT doc_id,
+                  (doc_id * doc_id) % (SELECT n FROM nn) FROM documents
+                UNION ALL SELECT doc_id, doc_id // 2 FROM documents),
+              und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM raw WHERE src <> dst),
+              deg AS (
+                SELECT x, count(*) AS dg FROM (
+                  SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+                GROUP BY x),
+              ori AS (
+                SELECT CASE WHEN (du.dg, und.u) < (dv.dg, und.v)
+                       THEN und.u ELSE und.v END AS a,
+                  CASE WHEN (du.dg, und.u) < (dv.dg, und.v)
+                       THEN und.v ELSE und.u END AS b
+                FROM und
+                JOIN deg du ON du.x = und.u
+                JOIN deg dv ON dv.x = und.v),
+              wedge AS (
+                SELECT o1.a, o1.b AS w1, o2.b AS w2
+                FROM ori o1 JOIN ori o2 ON o1.a = o2.a
+                WHERE o1.b < o2.b),
+              tri AS (
+                SELECT w.a, w.w1, w.w2
+                FROM wedge w JOIN und ON und.u = w.w1 AND und.v = w.w2),
+              pern AS (
+                SELECT x AS doc_id, count(*) AS n_triangles FROM (
+                  SELECT a AS x FROM tri
+                  UNION ALL SELECT w1 FROM tri
+                  UNION ALL SELECT w2 FROM tri)
+                GROUP BY x)
+              SELECT d.doc_id,
+                coalesce(p.n_triangles, 0) AS n_triangles
+              FROM documents d LEFT JOIN pern p ON p.doc_id = d.doc_id
+              ORDER BY d.doc_id"""))
+  )
+}
