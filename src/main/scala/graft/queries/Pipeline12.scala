@@ -194,6 +194,126 @@ object Pipeline12 {
               SELECT d.doc_id,
                 coalesce(p.n_triangles, 0) AS n_triangles
               FROM documents d LEFT JOIN pern p ON p.doc_id = d.doc_id
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // Semi-supervised pseudo-labeling: 2 rounds of majority-vote label
+    // propagation over the mutual k-NN graph (q159's integer-exact
+    // chain) — seeds (vec_id % 3 == 0) keep their true label (clamped),
+    // the rest adopt the plurality of their labeled neighbors each
+    // round (ties → smallest label; still-isolated nodes stay -1).
+    // The cheap-label amplifier every classifier-filter pipeline runs
+    // before training on weak labels. Per round: one edge-keyed join +
+    // one (node, label) vote agg + one argmax window — the PageRank
+    // round shape with votes instead of mass.
+    QEntry("q186_label_propagation",
+      (s, d) => {
+        val corpusQ = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            graft.expressions.functions.quantize_vec(col("embedding"), 10000.0)
+              .as("qe"))
+          .localCheckpoint()
+        val knn = graft.pipeline.Similarity.cosineTopKBucketedQ(
+            corpusQ.select(col("vec_id").as("q_id"), col("qe")),
+            corpusQ.select(col("vec_id"), col("qe")), nBits = 4, k = 4,
+            knownQueryCount = Some(Long.MaxValue))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id").as("a"), col("vec_id").as("b"))
+          .localCheckpoint()
+        val mutual = knn
+          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        val seeds = corpusQ.select(col("vec_id"),
+          (col("vec_id") % 3 === 0).as("is_seed"), col("label"))
+        var lab = seeds.select(col("vec_id"),
+          when(col("is_seed"), col("label")).otherwise(lit(-1L)).as("lab"))
+        for (_ <- 1 to 2) {
+          val votes = mutual
+            .join(lab.select(col("vec_id").as("b"), col("lab")), "b")
+            .filter(col("lab") =!= -1L)
+            .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("v"))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+                .orderBy(col("v").desc, col("lab"))))
+            .filter(col("rn") === 1)
+            .select(col("a").as("vec_id"), col("lab").as("voted"))
+          lab = seeds.join(votes, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              when(col("is_seed"), col("label"))
+                .otherwise(coalesce(col("voted"), lit(-1L))).as("lab"))
+            .localCheckpoint()
+        }
+        seeds.join(lab, "vec_id")
+          .select(col("vec_id"),
+            when(col("is_seed"), col("label")).otherwise(-1L).as("seed_label"),
+            col("lab").as("final_label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH qz AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))
+                    AS qe
+                FROM embeddings),
+              bk AS (SELECT vec_id, label, qe,
+                       ${Pipeline2.duckBucketBits(4)} AS bucket
+                     FROM qz),
+              cand AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                    i -> q.qe[i+1] * c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x)) AS BIGINT) AS nb
+                FROM bk q JOIN bk c ON q.bucket = c.bucket),
+              ranked AS (
+                SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS rn
+                FROM cand),
+              knn AS (
+                SELECT q_id AS a, vec_id AS b FROM ranked
+                WHERE rn <= 4 AND q_id <> vec_id),
+              mu AS (
+                SELECT k1.a, k1.b FROM knn k1
+                JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a),
+              sd AS (
+                SELECT vec_id, (vec_id % 3 = 0) AS is_seed, label FROM qz),
+              l0 AS (
+                SELECT vec_id,
+                  CASE WHEN is_seed THEN label ELSE -1 END AS lab
+                FROM sd),
+              v1 AS (
+                SELECT mu.a, l0.lab, count(*) AS v
+                FROM mu JOIN l0 ON l0.vec_id = mu.b
+                WHERE l0.lab <> -1 GROUP BY 1, 2),
+              w1 AS (
+                SELECT a AS vec_id, lab AS voted,
+                  row_number() OVER (PARTITION BY a
+                    ORDER BY v DESC, lab) AS rn
+                FROM v1),
+              l1 AS (
+                SELECT sd.vec_id,
+                  CASE WHEN sd.is_seed THEN sd.label
+                       ELSE coalesce(w1.voted, -1) END AS lab
+                FROM sd LEFT JOIN w1
+                  ON w1.vec_id = sd.vec_id AND w1.rn = 1),
+              v2 AS (
+                SELECT mu.a, l1.lab, count(*) AS v
+                FROM mu JOIN l1 ON l1.vec_id = mu.b
+                WHERE l1.lab <> -1 GROUP BY 1, 2),
+              w2 AS (
+                SELECT a AS vec_id, lab AS voted,
+                  row_number() OVER (PARTITION BY a
+                    ORDER BY v DESC, lab) AS rn
+                FROM v2),
+              l2 AS (
+                SELECT sd.vec_id,
+                  CASE WHEN sd.is_seed THEN sd.label
+                       ELSE coalesce(w2.voted, -1) END AS lab
+                FROM sd LEFT JOIN w2
+                  ON w2.vec_id = sd.vec_id AND w2.rn = 1)
+              SELECT sd.vec_id,
+                CASE WHEN sd.is_seed THEN sd.label ELSE -1 END AS seed_label,
+                l2.lab AS final_label
+              FROM sd JOIN l2 ON l2.vec_id = sd.vec_id
+              ORDER BY sd.vec_id"""))
   )
 }
