@@ -314,6 +314,62 @@ object Pipeline12 {
                 CASE WHEN sd.is_seed THEN sd.label ELSE -1 END AS seed_label,
                 l2.lab AS final_label
               FROM sd JOIN l2 ON l2.vec_id = sd.vec_id
-              ORDER BY sd.vec_id"""))
+              ORDER BY sd.vec_id""")),
+
+    // Cross-source quantile normalization: each doc's score is
+    // remapped to the GLOBAL score at its within-source percentile —
+    // the rank-based calibration that makes per-domain quality scores
+    // comparable before one global cut (a raw threshold keeps whole
+    // domains whose scorer runs hot and drops domains whose scorer
+    // runs cold). Within-source percentile via groupPercentileRank;
+    // global value-at-rank via the GlobalRank two-pass; one keyed join
+    // on the integer rank index — no single-partition window anywhere.
+    QEntry("q187_quantile_normalize",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("long").as("score"))
+          .localCheckpoint() // feeds both rank passes + the count
+        val n = scored.count()
+        val ranked = graft.pipeline.Curation.groupPercentileRank(
+          scored, "source", "score", "doc_id")
+        val globalAt = graft.operators.GlobalRank.rowNumber(
+            scored.select(col("score"), col("doc_id")),
+            "grk", col("score"), col("doc_id"))
+          .select(col("grk").cast("long").as("gidx"),
+            col("score").as("norm_score"))
+        ranked.select(col("grp").as("source"), col("id").as("doc_id"),
+            col("score"), col("pct_bp"),
+            (expr(s"(pct_bp * ${n - 1}) div 10000") + 1).as("gidx"))
+          .join(globalAt, "gidx")
+          .select(col("doc_id"), col("source"), col("score"),
+            col("pct_bp"), col("norm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+                FROM documents),
+              nn AS (SELECT count(*) AS n FROM t),
+              r AS (
+                SELECT doc_id, source, score,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY score, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY source) AS ng
+                FROM t),
+              p AS (
+                SELECT doc_id, source, score,
+                  CASE WHEN ng > 1
+                    THEN CAST(floor((rk - 1) * 10000 / (ng - 1)) AS BIGINT)
+                    ELSE 0 END AS pct_bp
+                FROM r),
+              g AS (
+                SELECT CAST(row_number() OVER (ORDER BY score, doc_id)
+                    AS BIGINT) AS gidx,
+                  score AS norm_score
+                FROM t)
+              SELECT p.doc_id, p.source, p.score, p.pct_bp, g.norm_score
+              FROM p JOIN g
+                ON g.gidx = (p.pct_bp * (SELECT n - 1 FROM nn)) // 10000 + 1
+              ORDER BY p.doc_id"""))
   )
 }
