@@ -370,6 +370,57 @@ object Pipeline12 {
               SELECT p.doc_id, p.source, p.score, p.pct_bp, g.norm_score
               FROM p JOIN g
                 ON g.gidx = (p.pct_bp * (SELECT n - 1 FROM nn)) // 10000 + 1
-              ORDER BY p.doc_id"""))
+              ORDER BY p.doc_id""")),
+
+    // Deterministic Poissonized bootstrap: 8 resampling replicas of the
+    // per-source mean doc length — the uncertainty bars a corpus report
+    // puts on its metrics. Each (replica, doc) draws a Poisson(1)-ish
+    // weight from an md5 bucket through the inverse-CDF table
+    // {0: .3679, 1: .7358, 2: .9197, 3: .9810, 4: 1} (the streaming
+    // bootstrap trick: independent per-row weights, no global
+    // resample pass); replica means are exact integer ratios. One
+    // corpus-×-8 projection + one keyed agg; fully replayable because
+    // the "randomness" is md5.
+    QEntry("q188_bootstrap_ci",
+      (s, d) => {
+        val u = conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        val w = when(col("u") < 1580030169L, 0L)   // 0.36788 * 2^32
+          .when(col("u") < 3160060338L, 1L)        // 0.73576 * 2^32
+          .when(col("u") < 3949913977L, 2L)        // 0.91970 * 2^32
+          .when(col("u") < 4213198523L, 3L)        // 0.98101 * 2^32
+          .otherwise(4L)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            explode(sequence(lit(0), lit(7))).as("r"))
+          .withColumn("u", u).withColumn("w", w)
+          .groupBy(col("source"), col("r"))
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("n_chars")).as("sum_chars"))
+          .select(col("source"), col("r"), col("n_eff"),
+            expr("(sum_chars * 100) div n_eff").as("mean_chars_c"))
+          .orderBy(col("source"), col("r"))
+      },
+      Some("""WITH x AS (
+                SELECT doc_id, source, n_chars, r.r
+                FROM documents CROSS JOIN range(8) r(r)),
+              uw AS (
+                SELECT source, r,
+                  ('0x' || substr(md5(r || ':' || doc_id), 1, 8))::BIGINT AS u,
+                  n_chars
+                FROM x),
+              w AS (
+                SELECT source, r, n_chars,
+                  CASE WHEN u < 1580030169 THEN 0
+                       WHEN u < 3160060338 THEN 1
+                       WHEN u < 3949913977 THEN 2
+                       WHEN u < 4213198523 THEN 3
+                       ELSE 4 END AS w
+                FROM uw)
+              SELECT source, CAST(r AS INT) AS r,
+                CAST(sum(w) AS BIGINT) AS n_eff,
+                CAST((sum(w * n_chars) * 100) // sum(w) AS BIGINT)
+                  AS mean_chars_c
+              FROM w GROUP BY source, r ORDER BY source, r"""))
   )
 }
