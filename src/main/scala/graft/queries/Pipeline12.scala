@@ -204,7 +204,11 @@ object Pipeline12 {
     // The cheap-label amplifier every classifier-filter pipeline runs
     // before training on weak labels. Per round: one edge-keyed join +
     // one (node, label) vote agg + one argmax window — the PageRank
-    // round shape with votes instead of mass.
+    // round shape with votes instead of mass. On a dup-heavy corpus,
+    // compose with the q172 collapse first (identical vectors carry
+    // identical labels, so members inherit their rep's vote) — the
+    // plain chain inherits q159's duplicate-bucket blowup, measured in
+    // SCALE.md's sf≈1 table.
     QEntry("q186_label_propagation",
       (s, d) => {
         val corpusQ = Tables.embeddings(s, d)
@@ -421,6 +425,142 @@ object Pipeline12 {
                 CAST(sum(w) AS BIGINT) AS n_eff,
                 CAST((sum(w * n_chars) * 100) // sum(w) AS BIGINT)
                   AS mean_chars_c
-              FROM w GROUP BY source, r ORDER BY source, r"""))
+              FROM w GROUP BY source, r ORDER BY source, r""")),
+
+    // Source-overlap matrix: exact 3-gram-shingle Jaccard between every
+    // source pair — "how much do my sources duplicate each other", the
+    // corpus-composition diligence before weighting a mixture (two
+    // mirrors of the same crawl would otherwise be double-counted).
+    // Distinct (source, shingle) collapses FIRST; the pair join is
+    // keyed on the shingle and emits source-pair counts (dimension² ≤
+    // a few hundred rows) — the corpus never self-joins at doc grain.
+    QEntry("q189_source_overlap",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("source"), explode(
+            graft.expressions.functions.ngram_shingles(
+              split(lower(col("text")), "\\s+"), 3, distinct = true)).as("g"))
+          .distinct()
+          .localCheckpoint() // feeds sizes + both sides of the pair join
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("source").as("sa"), col("g"))
+          .join(sh.select(col("source").as("sb"), col("g")), "g")
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+          .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+          .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+            expr("(inter * 10000) div (na + nb - inter)").as("jaccard_bp"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some("""WITH t AS (
+                SELECT source, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT source,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS g
+                FROM t WHERE len(toks) >= 3),
+              sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+              it AS (
+                SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+                FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT it.sa, it.sb, it.inter,
+                za.n AS na, zb.n AS nb,
+                (it.inter * 10000) // (za.n + zb.n - it.inter) AS jaccard_bp
+              FROM it
+              JOIN sz za ON za.source = it.sa
+              JOIN sz zb ON zb.source = it.sb
+              ORDER BY it.sa, it.sb""")),
+
+    // Cohort retention: users bucketed by first-seen DAY (the cohort),
+    // activity counted per (cohort, day-offset) as distinct active
+    // users — the product-analytics table every activity dataset owes.
+    // Two keyed aggs (first-seen per user, distinct (user, day)) + one
+    // user-keyed join; day arithmetic in exact integer epoch-days.
+    QEntry("q190_cohort_retention",
+      (s, d) => {
+        val day = expr("((ts div 1000) div 3600000000) div 24").as("day")
+        val ev = Tables.events(s, d).select(col("user_id"), day)
+          .distinct()
+          .localCheckpoint() // feeds first-seen AND the activity join
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH e AS (
+                SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 3600000000) // 24 AS day
+                FROM events),
+              f AS (
+                SELECT user_id, min(day) AS cohort_day
+                FROM e GROUP BY user_id)
+              SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+              FROM e JOIN f USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Ordered funnel: per user, the earliest strictly-ordered
+    // view → click → purchase chain (each stage's time = the first
+    // occurrence AFTER the previous stage — min-over-threshold, not
+    // just min per type), with per-stage reach counts as the output.
+    // The conversion diligence metric; one user-keyed agg collecting
+    // per-type time arrays (bounded per user), the chain walk an
+    // in-row fold over sorted arrays.
+    QEntry("q191_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val agged = ev.groupBy(col("user_id"))
+          .agg(
+            sort_array(collect_list(when(col("event_type") === "view",
+              col("ts")))).as("tv"),
+            sort_array(collect_list(when(col("event_type") === "click",
+              col("ts")))).as("tc"),
+            sort_array(collect_list(when(col("event_type") === "purchase",
+              col("ts")))).as("tp"))
+        val t1 = element_at(col("tv"), 1)
+        val t2 = array_min(filter(col("tc"), x => x > col("t1")))
+        val t3 = array_min(filter(col("tp"), x => x > col("t2")))
+        agged
+          .withColumn("t1", when(size(col("tv")) > 0, t1))
+          .withColumn("t2", when(col("t1").isNotNull, t2))
+          .withColumn("t3", when(col("t2").isNotNull, t3))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click_after"),
+            sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_purchase_after"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+              t1 AS (
+                SELECT user_id, min(us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+              t2 AS (
+                SELECT e.user_id, min(e.us) AS t2
+                FROM e JOIN t1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.us > t1.t1
+                GROUP BY e.user_id),
+              t3 AS (
+                SELECT e.user_id, min(e.us) AS t3
+                FROM e JOIN t2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.us > t2.t2
+                GROUP BY e.user_id),
+              u AS (SELECT DISTINCT user_id FROM e)
+              SELECT
+                CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+                CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
+                CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_click_after,
+                CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase_after"""))
   )
 }
