@@ -561,6 +561,73 @@ object Pipeline12 {
                 CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
                 CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
                 CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_click_after,
-                CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase_after"""))
+                CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase_after""")),
+
+    // Entity resolution end to end: the record-linkage composition —
+    // typo'd duplicate registrations (the q76 derivation: every 10th
+    // customer re-registers under key+10⁷ with one char dropped) →
+    // SymSpell deletion-signature blocking + exact edit-distance match
+    // (FuzzyJoin, lossless blocking proven by q76's brute-force gate)
+    // → connected components over the match graph (pointer-doubling
+    // propagation) → canonical record = min key per cluster. Output:
+    // every record with its canonical id and cluster size — the master
+    // -data table a dedup'd CRM ships.
+    QEntry("q192_entity_resolution",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"))
+        val p = (expr("c_custkey div 10") % length(col("c_name"))).cast("int")
+        val typo = concat(col("c_name").substr(lit(1), p),
+          col("c_name").substr(p + 2, length(col("c_name"))))
+        val records = cust
+          .union(cust.filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              typo.as("c_name")))
+          .localCheckpoint() // both fuzzy-join sides + nodes + final join
+        val pairs = graft.operators.FuzzyJoin.editDistance1(
+            records.select(col("c_custkey").as("k"), col("c_name").as("n")),
+            "k", "n", records, "c_custkey", "c_name")
+          .filter(col("left_id") < col("right_id"))
+          .select(col("left_id").as("a_id"), col("right_id").as("b_id"))
+        val comp = graft.pipeline.Dedup.components(
+          pairs, records.select(col("c_custkey").as("id")))
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "component")
+          .select(col("id").as("record_id"),
+            col("component").as("canonical_id"), col("cluster_size"))
+          .orderBy(col("record_id"))
+      },
+      Some("""WITH RECURSIVE r AS (
+                SELECT c_custkey, c_name FROM customer
+                UNION ALL
+                SELECT c_custkey + 10000000,
+                  substr(c_name, 1,
+                    CAST((c_custkey // 10) % length(c_name) AS BIGINT)) ||
+                  substr(c_name,
+                    CAST((c_custkey // 10) % length(c_name) AS BIGINT) + 2)
+                FROM customer WHERE c_custkey % 10 = 0),
+              e AS (
+                SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+                FROM r a JOIN r b
+                  ON a.c_custkey < b.c_custkey
+                 AND levenshtein(a.c_name, b.c_name) <= 1),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM e
+                        UNION ALL SELECT b_id, a_id FROM e),
+              comp(id, lbl) AS (
+                SELECT c_custkey, c_custkey FROM r
+                UNION
+                SELECT edges.dst, comp.lbl
+                FROM comp JOIN edges ON edges.src = comp.id),
+              cm AS (
+                SELECT id, min(lbl) AS canonical_id
+                FROM comp GROUP BY id),
+              sz AS (
+                SELECT canonical_id, count(*) AS cluster_size
+                FROM cm GROUP BY canonical_id)
+              SELECT cm.id AS record_id, cm.canonical_id,
+                CAST(sz.cluster_size AS BIGINT) AS cluster_size
+              FROM cm JOIN sz USING (canonical_id)
+              ORDER BY record_id"""))
   )
 }
