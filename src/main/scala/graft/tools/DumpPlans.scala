@@ -60,7 +60,12 @@ object DumpPlans {
     "q155_line_dedup" -> "corpus line dedup: md5-keyed count->filter two-pass; the shuffle carries (32-hex, doc_id), never line text",
     "q159_knn_graph" -> "mutual k-NN graph: bucket-keyed shuffle-hash join both sides (query side forced off-broadcast), edge-set self-join for mutualization",
     "q161_substring_dedup" -> "substring dedup: positional hash explode, dup-window dim joins back keyed, coverage+rebuild in-row (count_in_sorted binary search)",
-    "q163_budget_cut" -> "budget cut: GlobalCumSum two-pass — range partition, pid-local running-sum window, broadcast offsets; no single-partition window over data")
+    "q163_budget_cut" -> "budget cut: GlobalCumSum two-pass — range partition, pid-local running-sum window, broadcast offsets; no single-partition window over data",
+    "q172_knn_graph_deduped" -> "dedup-collapsed k-NN graph: md5-key collapse agg, reps-only bucket join, member degree inheritance — distinct-vector bucket occupancy",
+    "q175_vocab_prune" -> "vocab prune: 1-row sorted-hash vocab broadcast, per-token binary search in-row — zero-shuffle corpus rewrite",
+    "q178_pagerank" -> "PageRank round: edge-keyed join + dst-keyed sum over the checkpointed edge+outdeg frame; per-edge floored contributions",
+    "q181_kmv_sketch" -> "KMV: source-keyed rank window keeps k rows per source; the distinct set never collects",
+    "q192_entity_resolution" -> "entity resolution: deletion-signature equi-join blocking, exact verify, label-propagation components, canonical rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
