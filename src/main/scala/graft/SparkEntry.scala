@@ -21,7 +21,8 @@ object SparkEntry {
       Pipeline3.entries ++ Pipeline4.entries ++ Pipeline5.entries ++
       Pipeline6.entries ++ Pipeline7.entries ++ Pipeline8.entries ++
       Pipeline9.entries ++ Pipeline10.entries ++ Pipeline11.entries ++
-      Pipeline12.entries ++ Pipeline13.entries ++ Pipeline14.entries
+      Pipeline12.entries ++ Pipeline13.entries ++ Pipeline14.entries ++
+      Pipeline15.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-3, third pack: leakage-safe splits over near-dup
+  * components, byte-weighted medians, Markov behavior modeling, and
+  * point-in-time churn features. Conventions unchanged.
+  */
+object Pipeline15 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Leakage-safe eval split: near-duplicate COMPONENTS (not docs) are
+    // the unit of assignment — every member of a connected near-dup
+    // cluster lands in the same fold, so eval can't see a paraphrase of
+    // a training doc (the q93 split-leakage audit's fix, composed from
+    // the production components operator over the rare-shingle graph).
+    // Fold = md5 of the component label mod 5: deterministic on any
+    // cluster size. Output is the per-fold census; the co-fold property
+    // itself is spec-asserted. Scale shape: the components rounds are
+    // the cost (O(log diameter) keyed joins — measured in SCALE.md);
+    // the fold projection and census are one hash + one keyed agg.
+    QEntry("q205_groupsafe_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // stricter edge rule than the q198/q199 link graph: shingles in
+        // EXACTLY 2 docs, and >= 3 of them shared — near-dup evidence,
+        // not mere topic overlap (the [2,4]-df graph is one giant
+        // component at the fixture, which would make every fold empty
+        // but one)
+        val sh = docs.select(col("doc_id"), explode(
+            graft.expressions.functions.ngram_shingles(
+              split(lower(col("text")), "\\s+"), 3, distinct = true))
+            .as("g"))
+          .distinct()
+        val df2 = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") === 2).select(col("g"))
+        val keyed = sh.join(df2, "g")
+        val edges = keyed
+          .join(keyed.select(col("g"), col("doc_id").as("b_id")), "g")
+          .filter(col("doc_id") < col("b_id"))
+          .groupBy(col("doc_id").as("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("ns"))
+          .filter(col("ns") >= 3)
+          .select(col("a_id"), col("b_id"))
+        val comp = graft.pipeline.Dedup.components(
+          edges, docs.select(col("doc_id").as("id")))
+        comp.select(col("id"), col("component"),
+            expr("CAST(conv(substring(md5(CAST(component AS STRING)), " +
+              "1, 4), 16, 10) AS BIGINT) % 5").as("fold"))
+          .groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("component")).as("n_components"))
+          .orderBy(col("fold"))
+      },
+      Some("""WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents),
+              sh AS (
+                SELECT DISTINCT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS g
+                FROM t WHERE len(toks) >= 3),
+              rare AS (
+                SELECT g FROM sh GROUP BY g HAVING count(*) = 2),
+              e0 AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a JOIN rare USING (g)
+                JOIN sh b ON b.g = a.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+              edges AS (
+                SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+              walk(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT edges.dst, walk.lbl
+                FROM walk JOIN edges ON edges.src = walk.id),
+              comp AS (
+                SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+              f AS (
+                SELECT id, component,
+                  ('0x' || substr(md5(component::VARCHAR), 1, 4))::BIGINT
+                    % 5 AS fold
+                FROM comp)
+              SELECT fold, count(*) AS n_docs,
+                count(DISTINCT component) AS n_components
+              FROM f GROUP BY fold ORDER BY fold""")),
+
+    // Byte-weighted median document length per source: the smallest
+    // token count L such that docs of length <= L hold at least half
+    // the source's BYTES — "the median byte lives in a doc of what
+    // length", the capacity-planning quantile an ingest owner reads
+    // (the unweighted median over-weights tiny docs). Exact integers:
+    // weights pre-aggregated to the (source, len) DIMENSION before any
+    // window — the per-source scan-order pass runs over ~100 distinct
+    // lengths, never over the corpus (the scalable weighted-quantile
+    // trick; a raw per-source ordered window would funnel 100 TB
+    // sources through single tasks).
+    QEntry("q206_weighted_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("len"))
+        val byLen = Tables.documents(s, d)
+          .select(col("source"),
+            size(split(lower(col("text")), "\\s+")).cast("long").as("len"),
+            col("n_chars"))
+          .groupBy(col("source"), col("len"))
+          .agg(sum(col("n_chars")).as("sw"))
+        byLen
+          .withColumn("cum", sum(col("sw")).over(w))
+          .withColumn("tot", sum(col("sw")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("source"))
+          .agg(min(col("len")).as("wmedian_len"), max(col("tot")).as("tot_w"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                    AS len,
+                  n_chars
+                FROM documents),
+              byLen AS (
+                SELECT source, len, sum(n_chars) AS sw
+                FROM d GROUP BY 1, 2),
+              c AS (
+                SELECT source, len,
+                  sum(sw) OVER (PARTITION BY source ORDER BY len) AS cum,
+                  sum(sw) OVER (PARTITION BY source) AS tot
+                FROM byLen)
+              SELECT source, CAST(min(len) AS BIGINT) AS wmedian_len,
+                CAST(max(tot) AS BIGINT) AS tot_w
+              FROM c WHERE cum * 2 >= tot
+              GROUP BY source ORDER BY source""")),
+
+    // Markov behavior model: event-type transition matrix from per-user
+    // ordered sequences (lag over the user-keyed window — the q166
+    // sample-extraction shape), row-normalized to integer ppm, then two
+    // power-iteration steps from the uniform start — the approximate
+    // stationary mix in the suite's scaled-integer discipline (each
+    // step: π·P in exact int64 products div 1e6, then Σ = 1e6 renorm).
+    // Output: per event type, the transition row total and π after two
+    // steps. The matrix is |types|² = dimension-sized; the corpus cost
+    // is one user-keyed window.
+    QEntry("q207_markov_stationary",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds rows + two iteration joins
+        val rows = trans.groupBy(col("prev")).agg(sum(col("c")).as("rt"))
+        val p = trans.join(rows, "prev")
+          .select(col("prev"), col("next"),
+            expr("(c * 1000000) div rt").as("p_ppm"))
+          .localCheckpoint()
+        val types = p.select(col("prev").as("t")).distinct()
+          .localCheckpoint()
+        val nTypes = 5L // the fixture's event-type dimension
+        def step(pi: org.apache.spark.sql.DataFrame) = {
+          val raw = p.join(pi, p("prev") === pi("t"))
+            .groupBy(col("next").as("t2"))
+            .agg(sum(expr("(pi * p_ppm) div 1000000")).as("raw"))
+          val seeded = types.join(raw, types("t") === col("t2"), "left")
+            .select(col("t"), coalesce(col("raw"), lit(0L)).as("raw"))
+          val tot = seeded.agg(sum(col("raw")).as("tr"))
+          seeded.crossJoin(broadcast(tot))
+            .select(col("t"), expr("(raw * 1000000) div tr").as("pi"))
+        }
+        val pi0 = types.select(col("t"),
+          lit(1000000L / nTypes).as("pi"))
+        val pi2 = step(step(pi0))
+        pi2.join(rows.select(col("prev").as("t"), col("rt")), Seq("t"))
+          .select(col("t").as("event_type"), col("rt").as("n_transitions"),
+            col("pi").as("stationary_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH seq AS (
+                SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+                FROM events),
+              trans AS (
+                SELECT prev, event_type AS next, count(*) AS c
+                FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+              rows_ AS (
+                SELECT prev, sum(c) AS rt FROM trans GROUP BY prev),
+              p AS (
+                SELECT t.prev, t.next, (t.c * 1000000) // r.rt AS p_ppm
+                FROM trans t JOIN rows_ r ON r.prev = t.prev),
+              types AS (SELECT DISTINCT prev AS t FROM p),
+              pi0 AS (SELECT t, 200000 AS pi FROM types),
+              r1 AS (
+                SELECT ty.t,
+                  coalesce((SELECT sum((pi0.pi * p.p_ppm) // 1000000)
+                            FROM p JOIN pi0 ON pi0.t = p.prev
+                            WHERE p.next = ty.t), 0) AS raw
+                FROM types ty),
+              pi1 AS (
+                SELECT t, (raw * 1000000) // (SELECT sum(raw) FROM r1)
+                  AS pi
+                FROM r1),
+              r2 AS (
+                SELECT ty.t,
+                  coalesce((SELECT sum((pi1.pi * p.p_ppm) // 1000000)
+                            FROM p JOIN pi1 ON pi1.t = p.prev
+                            WHERE p.next = ty.t), 0) AS raw
+                FROM types ty),
+              pi2 AS (
+                SELECT t, (raw * 1000000) // (SELECT sum(raw) FROM r2)
+                  AS pi
+                FROM r2)
+              SELECT pi2.t AS event_type, CAST(r.rt AS BIGINT)
+                  AS n_transitions,
+                CAST(pi2.pi AS BIGINT) AS stationary_ppm
+              FROM pi2 JOIN rows_ r ON r.prev = pi2.t
+              ORDER BY event_type""")),
+
+    // Point-in-time churn dataset: cutoff = last observed day − 7;
+    // label = "no activity AFTER the cutoff"; every feature computed
+    // ONLY from events at or before it (n_events, active days, recency,
+    // mean spend in integer cents) — the leakage discipline that makes
+    // a churn model trainable at all (a feature that peeks past the
+    // cutoff predicts its own label). One corpus scan split by the
+    // cutoff into two user-keyed aggs joined on user.
+    QEntry("q208_churn_features",
+      (s, d) => {
+        val dayUs = 86400L * 1000000L
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            expr(s"(ts div 1000) div $dayUs").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .localCheckpoint() // feeds span + both sides of the cutoff
+        val span = ev.agg(max(col("day")).as("hi"))
+          .select((col("hi") - 7).as("cutoff"))
+        val withCut = ev.crossJoin(broadcast(span))
+        val feat = withCut.filter(col("day") <= col("cutoff"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("day")).as("n_active_days"),
+            max(col("day")).as("last_day"),
+            max(col("cutoff")).as("cutoff"),
+            sum(col("cents")).as("sum_cents"))
+          .select(col("user_id"), col("n_events"), col("n_active_days"),
+            (col("cutoff") - col("last_day")).as("days_since_last"),
+            expr("sum_cents div n_events").as("mean_cents"))
+        val future = withCut.filter(col("day") > col("cutoff"))
+          .select(col("user_id")).distinct()
+          .withColumn("active_after", lit(1L))
+        feat.join(future, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_events"), col("n_active_days"),
+            col("days_since_last"), col("mean_cents"),
+            (coalesce(col("active_after"), lit(0L)) === 0L)
+              .cast("long").as("churned"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+              cut AS (SELECT max(day) - 7 AS cutoff FROM ev),
+              feat AS (
+                SELECT user_id, count(*) AS n_events,
+                  count(DISTINCT day) AS n_active_days,
+                  max(cutoff) - max(day) AS days_since_last,
+                  sum(cents) // count(*) AS mean_cents
+                FROM ev, cut WHERE day <= cutoff
+                GROUP BY user_id),
+              fut AS (
+                SELECT DISTINCT user_id FROM ev, cut WHERE day > cutoff)
+              SELECT f.user_id, CAST(n_events AS BIGINT) AS n_events,
+                CAST(n_active_days AS BIGINT) AS n_active_days,
+                CAST(days_since_last AS BIGINT) AS days_since_last,
+                CAST(mean_cents AS BIGINT) AS mean_cents,
+                CAST(CASE WHEN fut.user_id IS NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS churned
+              FROM feat f LEFT JOIN fut ON fut.user_id = f.user_id
+              ORDER BY f.user_id"""))
+  )
+}
