@@ -124,4 +124,41 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameFeature(
+      media_id: Long,
+      frame_idx: Long,
+      f0: Long, f1: Long, f2: Long, f3: Long) // STUB: byte-stripe sums
+
+  /** Per-frame feature extraction over the [[sampleFrames]] chunking:
+    * the STUB "feature" is the 4-dim byte-stripe sum (dim j sums the
+    * bytes at chunk offsets ≡ j mod 4) — a real frame encoder plugs
+    * into the same loop and the batch shape stands. Integer features,
+    * so the pooled clip vector is oracle-replayable end to end. Same
+    * iterator discipline as [[sampleFrames]]: one frame of memory per
+    * payload, fan-out never materialized. */
+  def frameFeatures(
+      cells: Dataset[MediaCell],
+      frameBytes: Int,
+      everyK: Int): Dataset[FrameFeature] = {
+    require(frameBytes > 0 && everyK > 0, s"bad sampling: $frameBytes/$everyK")
+    import cells.sparkSession.implicits._
+    cells.mapPartitions { it =>
+      it.flatMap { c =>
+        val n = c.payload.length
+        val nFrames = (n.toLong + frameBytes - 1) / frameBytes
+        (0L until nFrames by everyK.toLong).iterator.map { i =>
+          val from = (i * frameBytes).toInt
+          val until = math.min(from + frameBytes, n)
+          val f = new Array[Long](4)
+          var p = from
+          while (p < until) {
+            f((p - from) % 4) += c.payload(p) & 0xff
+            p += 1
+          }
+          FrameFeature(c.media_id, i, f(0), f(1), f(2), f(3))
+        }
+      }
+    }
+  }
 }
