@@ -22,7 +22,8 @@ object SparkEntry {
       Pipeline6.entries ++ Pipeline7.entries ++ Pipeline8.entries ++
       Pipeline9.entries ++ Pipeline10.entries ++ Pipeline11.entries ++
       Pipeline12.entries ++ Pipeline13.entries ++ Pipeline14.entries ++
-      Pipeline15.entries ++ Pipeline16.entries ++ Pipeline17.entries
+      Pipeline15.entries ++ Pipeline16.entries ++ Pipeline17.entries ++
+      Pipeline18.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at
