@@ -65,7 +65,11 @@ object DumpPlans {
     "q175_vocab_prune" -> "vocab prune: 1-row sorted-hash vocab broadcast, per-token binary search in-row — zero-shuffle corpus rewrite",
     "q178_pagerank" -> "PageRank round: edge-keyed join + dst-keyed sum over the checkpointed edge+outdeg frame; per-edge floored contributions",
     "q181_kmv_sketch" -> "KMV: source-keyed rank window keeps k rows per source; the distinct set never collects",
-    "q192_entity_resolution" -> "entity resolution: deletion-signature equi-join blocking, exact verify, label-propagation components, canonical rollup")
+    "q192_entity_resolution" -> "entity resolution: deletion-signature equi-join blocking, exact verify, label-propagation components, canonical rollup",
+    "q195_rag_chunks" -> "RAG chunking: scan + explode only — zero joins, zero windows before the output sort; the embarrassingly-parallel preprocessing shape",
+    "q206_weighted_median" -> "weighted median: corpus pre-aggregated to the (source, len) dimension BEFORE any window; the ordered pass runs over ~100 rows per source",
+    "q210_late_arrival" -> "late-arrival audit: two-pass global running max — block maxima + tiny prefix-max dim broadcast + block-keyed window; no single-partition window over events",
+    "q217_join_cardinality" -> "join stats: exact size from two degree aggs (no join executed on the fact side), histogram estimate on 8-row frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
