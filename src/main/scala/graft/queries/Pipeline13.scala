@@ -53,13 +53,13 @@ object Pipeline13 {
 
   /** Positional n-gram array (multiset — duplicates kept, unlike the
     * dedup family's distinct shingles: ROUGE/BLEU clip on COUNTS). */
-  private def grams(c: String, n: Int) =
+  private[graft] def grams(c: String, n: Int) =
     expr(s"transform(sequence(1, size($c) - ${n - 1}), " +
       s"i -> array_join(slice($c, i, $n), ' '))")
 
   /** The deterministic lossy "candidate": the doc with every 3rd token
     * dropped — a generation stand-in the oracle derives identically. */
-  private val candidate =
+  private[graft] val candidate =
     expr("filter(transform(toks, (t, i) -> struct(t AS t, i AS i)), " +
       "s -> (s.i + 1) % 3 != 0).t")
 
