@@ -282,4 +282,35 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"expected partial+final agg:\n$plan")
   }
+
+  test("q195 RAG chunks: scan + explode only — no join, no window") {
+    val plan = finalPlan(query("q195_rag_chunks"))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"expected exactly 1 scan:\n$plan")
+  }
+
+  test("q206 weighted median: windows only over the (source, len) dim") {
+    val plan = finalPlan(query("q206_weighted_median"))
+    // the corpus must be aggregated to the value dimension BEFORE any
+    // window — so every window spec partitions on source
+    val specs = "windowspecdefinition\\([^\n]{0,40}".r.findAllIn(plan).toList
+    assert(specs.nonEmpty, s"no windows:\n$plan")
+    assert(specs.forall(_.contains("source")),
+      s"window not source-partitioned:\n$specs")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"no pre-aggregation before the window:\n$plan")
+  }
+
+  test("q210 late arrival: no corpus-wide single-partition window") {
+    val plan = finalPlan(query("q210_late_arrival"))
+    // the in-block running max partitions on blk; the only global-order
+    // window runs over the O(#blocks) prefix-max dimension
+    val specs = "windowspecdefinition\\([^\n]{0,60}".r.findAllIn(plan).toList
+    assert(specs.exists(_.contains("blk")),
+      s"no block-partitioned window:\n$specs")
+    assert(specs.count(s => !s.contains("blk")) <= 1,
+      s"more than the one prefix-max dim window runs unpartitioned:\n$specs")
+  }
 }
