@@ -365,6 +365,40 @@ object SemKernels {
     } else (Invalid, t)
   }
 
+  private def ipv4(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    val parts = t.split("\\.", -1)
+    val shape = parts.length == 4 && parts.forall(p =>
+      p.length >= 1 && p.length <= 3 && allDigits(p, 0, p.length))
+    if (!shape) return (Invalid, t)
+    val octs = parts.map(Integer.parseInt)
+    if (octs.exists(_ > 255)) return (Plausible, t)
+    val canonical = octs.mkString(".")
+    if (raw == t && t == canonical) (Valid, t)
+    else (ValidBadFormat, canonical)
+  }
+
+  private val MoneyCanon = Pattern.compile("^\\$(0|[1-9][0-9]*)\\.[0-9]{2}$")
+  private val MoneyComma =
+    Pattern.compile("^\\$[1-9][0-9]{0,2}(,[0-9]{3})+\\.[0-9]{2}$")
+  private val MoneyNoDollar =
+    Pattern.compile("^(0|[1-9][0-9]*)(,[0-9]{3})*\\.[0-9]{2}$")
+  private val MoneyIsh = Pattern.compile("^\\$?[0-9][0-9,]*(\\.[0-9]+)?$")
+
+  private def money(raw: String): (Int, String) = {
+    if (isNullLike(raw)) return (NullLike, "")
+    val t = SpaceTrim(raw)
+    if (MoneyCanon.matcher(t).matches()) {
+      if (raw == t) (Valid, t) else (ValidBadFormat, t)
+    } else if (MoneyComma.matcher(t).matches() ||
+      MoneyNoDollar.matcher(t).matches()) {
+      val bare = t.replace(",", "").replaceFirst("^\\$", "")
+      (ValidBadFormat, "$" + bare)
+    } else if (MoneyIsh.matcher(t).matches()) (Plausible, t)
+    else (Invalid, t)
+  }
+
   /** Dispatch by kernel id (stable — referenced from generated code). */
   def eval(kernel: Int, raw: UTF8String): InternalRow = {
     val s = if (raw == null) null else raw.toString
@@ -381,6 +415,8 @@ object SemKernels {
       case 9 => email(s)
       case 10 => url(s)
       case 11 => isodate(s)
+      case 12 => ipv4(s)
+      case 13 => money(s)
       case k => sys.error(s"unknown kernel $k")
     }
     InternalRow(code, UTF8String.fromString(norm))
@@ -422,7 +458,8 @@ object SemVerdict {
   val kernels: Map[String, Int] = Map(
     "phone" -> 0, "phone_v1" -> 1, "state" -> 2, "boro" -> 3,
     "lat" -> 4, "long" -> 5, "coords" -> 6, "zip_quick" -> 7, "zip" -> 8,
-    "email" -> 9, "url" -> 10, "isodate" -> 11)
+    "email" -> 9, "url" -> 10, "isodate" -> 11, "ipv4" -> 12,
+    "money" -> 13)
 
   /** Input is cast to string first (the when-tree validators get this
     * implicitly from Catalyst; a bare Expression child does not). */

@@ -59,7 +59,13 @@ object Detector {
     // runs appear in many non-date columns.
     TypeSpec("email", Validators.emailVerdict, Validators.emailHit, 1),
     TypeSpec("url", Validators.urlVerdict, Validators.urlHit, 1),
-    TypeSpec("isodate", Validators.isoDateVerdict, Validators.isoDateHit, 5))
+    TypeSpec("isodate", Validators.isoDateVerdict, Validators.isoDateHit, 5),
+    // Second extension pair: a valid dotted quad is selective enough
+    // for the D1 threshold; money shapes (esp. the bare `1234.56`
+    // missing-$ variant) collide with generic decimal columns, so it
+    // takes the reference's >=5 quirk like zip/lat/long.
+    TypeSpec("ipv4", Validators.ipv4Verdict, Validators.ipv4Hit, 1),
+    TypeSpec("money", Validators.moneyVerdict, Validators.moneyHit, 5))
 
   /** [[defaultSpecs]] with each classification validator swapped for its
     * fused single-expression kernel ([[graft.expressions.SemVerdict]]) —

@@ -545,6 +545,73 @@ object Validators {
         .otherwise(lit(false)))
   }
 
+  private val Ipv4ShapeRe = "^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"
+
+  /** IPv4: 4 null-like; 1 canonical dotted quad (no leading zeros, no
+    * padding); 2 same address, fixable format (leading zeros / padding —
+    * norm re-joins the parsed octets); 5 dotted-quad shape with an
+    * octet > 255 (shaped but impossible, the isodate month-13
+    * convention); 3 otherwise. Octet casts are guarded by the shape
+    * regex (ANSI-safe — ≤ 3 digits each). */
+  def ipv4Verdict(c: Column): Column = {
+    val s = c.cast("string")
+    once(trim(s) -> Str) { case Seq(t) =>
+      val shape = t.rlike(Ipv4ShapeRe)
+      def oct(i: Int): Column = get(split(t, "\\."), lit(i)).cast("int")
+      publish(when(isNullLike(c), verdict(NullLike, lit("")))
+        .when(shape, {
+          val valid = (0 to 3).map(i => oct(i) <= 255).reduce(_ && _)
+          val canonical = concat_ws(".",
+            (0 to 3).map(i => oct(i).cast("string")): _*)
+          when(valid && s === t && t === canonical, verdict(Valid, t))
+            .when(valid, verdict(ValidBadFormat, canonical))
+            .otherwise(verdict(Plausible, t))
+        })
+        .otherwise(verdict(Invalid, t)))
+    }
+  }
+
+  def ipv4Hit(c: Column): Column = {
+    val t = trim(c.cast("string"))
+    def oct(i: Int): Column = get(split(t, "\\."), lit(i)).cast("int")
+    !isNullLike(c) &&
+      when(t.rlike(Ipv4ShapeRe),
+        (0 to 3).map(i => oct(i) <= 255).reduce(_ && _))
+      .otherwise(lit(false))
+  }
+
+  private val MoneyCanonRe = "^\\$(0|[1-9][0-9]*)\\.[0-9]{2}$"
+  private val MoneyCommaRe = "^\\$[1-9][0-9]{0,2}(,[0-9]{3})+\\.[0-9]{2}$"
+  private val MoneyNoDollarRe = "^(0|[1-9][0-9]*)(,[0-9]{3})*\\.[0-9]{2}$"
+  private val MoneyIshRe = "^\\$?[0-9][0-9,]*(\\.[0-9]+)?$"
+
+  /** Money amount: 4 null-like; 1 canonical `$123.45` (no commas, no
+    * padding); 2 same amount, fixable format (thousands commas /
+    * missing `$` / padding — norm is the canonical form); 5 money-
+    * shaped but off-convention decimals (`$12.3`, `$1.2345`) or bare
+    * comma-grouped integers; 3 otherwise. */
+  def moneyVerdict(c: Column): Column = {
+    val s = c.cast("string")
+    once(trim(s) -> Str) { case Seq(t) =>
+      val canonNorm = concat(lit("$"),
+        regexp_replace(regexp_replace(t, ",", ""), "^\\$", ""))
+      publish(when(isNullLike(c), verdict(NullLike, lit("")))
+        .when(t.rlike(MoneyCanonRe),
+          when(s === t, verdict(Valid, t))
+            .otherwise(verdict(ValidBadFormat, t)))
+        .when(t.rlike(MoneyCommaRe) || t.rlike(MoneyNoDollarRe),
+          verdict(ValidBadFormat, canonNorm))
+        .when(t.rlike(MoneyIshRe), verdict(Plausible, t))
+        .otherwise(verdict(Invalid, t)))
+    }
+  }
+
+  def moneyHit(c: Column): Column = {
+    val t = trim(c.cast("string"))
+    !isNullLike(c) && (t.rlike(MoneyCanonRe) || t.rlike(MoneyCommaRe) ||
+      t.rlike(MoneyNoDollarRe))
+  }
+
   /** All named scalar validators, for the generic detector/profiler. */
   val all: Map[String, Column => Column] = Map(
     "phone" -> phoneVerdict _,
@@ -561,5 +628,7 @@ object Validators {
     "zip" -> (c => zipDictVerdict(c)),
     "email" -> emailVerdict _,
     "url" -> urlVerdict _,
-    "isodate" -> isoDateVerdict _)
+    "isodate" -> isoDateVerdict _,
+    "ipv4" -> ipv4Verdict _,
+    "money" -> moneyVerdict _)
 }

@@ -294,6 +294,70 @@ object Profiling {
                 FROM customer WHERE c_custkey < 100"""
           }
         rows.mkString("", " UNION ALL ", " ORDER BY col_name, semtype")
+      }),
+
+    // --- second extension pair (ipv4 / money): same validate+oracle
+    // harness, the fused kernels pinned by the same oracles (the q44
+    // pattern), and D1/D2 detection over a control column. ---
+
+    QEntry("q223_ipv4_validate",
+      validateQuery(Synth.ipv4, Validators.ipv4Verdict),
+      Some(validateOracle(Synth.ipv4Sql, Synth.ipv4CodeSql, Synth.ipv4NormSql))),
+
+    QEntry("q224_money_validate",
+      validateQuery(Synth.money, Validators.moneyVerdict),
+      Some(validateOracle(Synth.moneySql, Synth.moneyCodeSql, Synth.moneyNormSql))),
+
+    // Both fused kernels in one projection — proves the codegen'd path
+    // lands the identical verdicts the when-trees do, cell-for-cell.
+    QEntry("q225_fused_net_validate",
+      (s, d) => {
+        val ip = graft.expressions.SemVerdict.verdict(col("ip_raw"), "ipv4")
+        val mo = graft.expressions.SemVerdict.verdict(col("m_raw"), "money")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), Synth.ipv4.as("ip_raw"),
+            Synth.money.as("m_raw"))
+          .select(col("c_custkey"),
+            ip.getField("code").as("ip_code"), ip.getField("norm").as("ip_norm"),
+            mo.getField("code").as("m_code"), mo.getField("norm").as("m_norm"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey,
+                ${Synth.ipv4CodeSql} AS ip_code, ${Synth.ipv4NormSql} AS ip_norm,
+                ${Synth.moneyCodeSql} AS m_code, ${Synth.moneyNormSql} AS m_norm
+               FROM customer ORDER BY c_custkey""")),
+
+    // Detection with the two new TypeSpecs over their columns plus a
+    // zip-shaped control column that must NOT fire (no decimals, no
+    // dots — both hit predicates reject it).
+    QEntry("q226_detect_net",
+      (s, d) => {
+        val table = Tables.customer(s, d).select(
+          col("c_custkey"),
+          Synth.ipv4.as("ipv4_col"), Synth.money.as("money_col"),
+          Synth.zip.as("control_col"))
+          .orderBy(col("c_custkey"))
+        val specs = Detector.defaultSpecs
+          .filter(sp => sp.semType == "ipv4" || sp.semType == "money")
+        val detected = Detector.detect(table, specs, sampleN = 100,
+          candidateCols = Some(Seq("ipv4_col", "money_col", "control_col")))
+        import s.implicits._
+        detected.sortBy(x => (x.column, x.semType)).toDF()
+          .select(col("column").as("col_name"), col("semType").as("semtype"),
+            col("hits"), col("sampled"))
+          .orderBy(col("col_name"), col("semtype"))
+      },
+      Some {
+        val rows = Seq(
+          ("ipv4_col", "ipv4", "c_custkey % 8 IN (0, 1, 2, 7)"),
+          ("money_col", "money", "c_custkey % 8 IN (0, 1, 2, 3, 7)"))
+          .map { case (c, t, pred) =>
+            s"""SELECT '$c' AS col_name, '$t' AS semtype,
+                 CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                 count(*) AS sampled
+                FROM customer WHERE c_custkey < 100"""
+          }
+        rows.mkString("", " UNION ALL ", " ORDER BY col_name, semtype")
       })
   )
 }

@@ -362,4 +362,96 @@ object Synth {
        WHEN 2 THEN '2021-13-40' WHEN 3 THEN ''
        WHEN 4 THEN 'yesterday' WHEN 5 THEN '2021-02-29'
        WHEN 6 THEN '2021-04-12' ELSE '1999-12-31' END"""
+
+  // -------- ipv4 (covers codes 1,2,3,4,5) --------
+  // m=0 10.0.<k%256>.<k%200>          -> 1
+  // m=1 ' 10.0.0.1 ' (padded)         -> 2 (norm trimmed canonical)
+  // m=2 010.001.002.<k%10, 3-padded>  -> 2 (leading zeros stripped)
+  // m=3 999.1.1.1                     -> 5 (octet > 255)
+  // m=4 'n/a'                         -> 4
+  // m=5 ''                            -> 4
+  // m=6 10.0.<k%100> (3 octets)       -> 3
+  // m=7 192.168.<k%256>.<k%100>       -> 1
+  def ipv4: Column = {
+    val m = k % 8
+    when(m === 0, concat(lit("10.0."), (k % 256).cast("string"),
+        lit("."), (k % 200).cast("string")))
+      .when(m === 1, lit(" 10.0.0.1 "))
+      .when(m === 2, concat(lit("010.001.002."),
+        lpad((k % 10).cast("string"), 3, "0")))
+      .when(m === 3, lit("999.1.1.1"))
+      .when(m === 4, lit("n/a"))
+      .when(m === 5, lit(""))
+      .when(m === 6, concat(lit("10.0."), (k % 100).cast("string")))
+      .otherwise(concat(lit("192.168."), (k % 256).cast("string"),
+        lit("."), (k % 100).cast("string")))
+  }
+  val ipv4Sql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('10.0.', cast(c_custkey % 256 AS VARCHAR), '.',
+         cast(c_custkey % 200 AS VARCHAR))
+       WHEN 1 THEN ' 10.0.0.1 '
+       WHEN 2 THEN concat('010.001.002.',
+         lpad(cast(c_custkey % 10 AS VARCHAR), 3, '0'))
+       WHEN 3 THEN '999.1.1.1' WHEN 4 THEN 'n/a' WHEN 5 THEN ''
+       WHEN 6 THEN concat('10.0.', cast(c_custkey % 100 AS VARCHAR))
+       ELSE concat('192.168.', cast(c_custkey % 256 AS VARCHAR), '.',
+         cast(c_custkey % 100 AS VARCHAR)) END"""
+  val ipv4CodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 5
+       WHEN 4 THEN 4 WHEN 5 THEN 4 WHEN 6 THEN 3 ELSE 1 END"""
+  val ipv4NormSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN concat('10.0.', cast(c_custkey % 256 AS VARCHAR), '.',
+         cast(c_custkey % 200 AS VARCHAR))
+       WHEN 1 THEN '10.0.0.1'
+       WHEN 2 THEN concat('10.1.2.', cast(c_custkey % 10 AS VARCHAR))
+       WHEN 3 THEN '999.1.1.1' WHEN 4 THEN '' WHEN 5 THEN ''
+       WHEN 6 THEN concat('10.0.', cast(c_custkey % 100 AS VARCHAR))
+       ELSE concat('192.168.', cast(c_custkey % 256 AS VARCHAR), '.',
+         cast(c_custkey % 100 AS VARCHAR)) END"""
+
+  // -------- money (covers codes 1,2,3,4,5) --------
+  // m=0 $<10+k%90>.25                  -> 1
+  // m=1 ' $<10+k%90>.25 ' (padded)     -> 2 (norm trimmed)
+  // m=2 $1,234.50                      -> 2 (norm '$1234.50')
+  // m=3 <10+k%90>.75 (no $)            -> 2 (norm '$<>.75')
+  // m=4 $12.3 (one decimal)            -> 5
+  // m=5 'free'                         -> 3
+  // m=6 'n/a'                          -> 4
+  // m=7 $0.99                          -> 1
+  def money: Column = {
+    val m = k % 8
+    val amt = ((k % 90) + 10).cast("string")
+    when(m === 0, concat(lit("$"), amt, lit(".25")))
+      .when(m === 1, concat(lit(" $"), amt, lit(".25 ")))
+      .when(m === 2, lit("$1,234.50"))
+      .when(m === 3, concat(amt, lit(".75")))
+      .when(m === 4, lit("$12.3"))
+      .when(m === 5, lit("free"))
+      .when(m === 6, lit("n/a"))
+      .otherwise(lit("$0.99"))
+  }
+  private val amtSql = "cast((c_custkey % 90) + 10 AS VARCHAR)"
+  val moneySql: String =
+    s"""CASE c_custkey % 8
+       WHEN 0 THEN concat('$$', $amtSql, '.25')
+       WHEN 1 THEN concat(' $$', $amtSql, '.25 ')
+       WHEN 2 THEN '$$1,234.50'
+       WHEN 3 THEN concat($amtSql, '.75')
+       WHEN 4 THEN '$$12.3' WHEN 5 THEN 'free' WHEN 6 THEN 'n/a'
+       ELSE '$$0.99' END"""
+  val moneyCodeSql: String =
+    """CASE c_custkey % 8
+       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2
+       WHEN 4 THEN 5 WHEN 5 THEN 3 WHEN 6 THEN 4 ELSE 1 END"""
+  val moneyNormSql: String =
+    s"""CASE c_custkey % 8
+       WHEN 0 THEN concat('$$', $amtSql, '.25')
+       WHEN 1 THEN concat('$$', $amtSql, '.25')
+       WHEN 2 THEN '$$1234.50'
+       WHEN 3 THEN concat('$$', $amtSql, '.75')
+       WHEN 4 THEN '$$12.3' WHEN 5 THEN 'free' WHEN 6 THEN ''
+       ELSE '$$0.99' END"""
 }

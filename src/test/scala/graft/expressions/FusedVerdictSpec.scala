@@ -34,6 +34,10 @@ class FusedVerdictSpec extends SparkSpec {
     "2020-01-06", "2021-13-40", "2021-02-29", "2020-02-29",
     "04/15/2021", "13/01/2021", "20210412", "99999999", "00000101",
     "1999-12-31", "yesterday", "2021-1-1", "2021-04-31", "12/31/1999",
+    "10.0.0.1", " 10.0.0.1 ", "010.001.002.003", "999.1.1.1", "10.0.0",
+    "256.256.256.256", "1.2.3.4.5", "0.0.0.0", "192.168.001.1",
+    "$12.25", " $12.25 ", "$1,234.50", "1234.56", "$12.3", "$0.99",
+    "free", "12,34", "$01.00", "0.99", "1,234.56", "$1,23.45",
     null.asInstanceOf[String])
 
   private val junkGen: Gen[String] = Gen.oneOf(
