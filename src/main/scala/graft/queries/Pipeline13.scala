@@ -32,24 +32,17 @@ object Pipeline13 {
       .localCheckpoint() // every caller re-scans the edge frame
   }
 
-  /** k-core peel, `rounds` unrolled iterations (q199 runs 4; the spec
-    * runs 5 and asserts the extra peel removes nobody). */
+  /** k-core peel over the fixture link graph — the generic operator
+    * ([[graft.operators.GraphOps.kcorePeel]]) on [[linkEdges]] (q199
+    * runs 4 rounds; the spec runs 5 and asserts the extra peel removes
+    * nobody; ScaleBench drives the same operator on a 10M-edge synthetic
+    * graph). */
   private[graft] def kcore(s: org.apache.spark.sql.SparkSession,
-      d: String, rounds: Int, kk: Int = 2): org.apache.spark.sql.DataFrame = {
-    var edges = linkEdges(s, d, symmetric = true)
-    for (_ <- 1 to rounds) {
-      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= kk).select(col("src").as("k"))
-        .localCheckpoint()
-      edges = edges
-        .join(keep, edges("src") === keep("k"), "leftsemi")
-        .join(keep, edges("dst") === keep("k"), "leftsemi")
-        .localCheckpoint()
-    }
-    edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("doc_id"), col("core_deg"))
+      d: String, rounds: Int, kk: Int = 2): org.apache.spark.sql.DataFrame =
+    graft.operators.GraphOps
+      .kcorePeel(linkEdges(s, d, symmetric = true), kk, rounds)
+      .select(col("id").as("doc_id"), col("core_deg"))
       .orderBy(col("doc_id"))
-  }
 
   /** Positional n-gram array (multiset — duplicates kept, unlike the
     * dedup family's distinct shingles: ROUGE/BLEU clip on COUNTS). */
@@ -500,41 +493,15 @@ object Pipeline13 {
     // materializes its neighborhood, and the renorm total is a 1-row
     // broadcast.
     QEntry("q198_hits",
-      (s, d) => {
-        val edges = linkEdges(s, d, symmetric = false) // low→high: a DAG
-        val verts = edges.select(col("src").as("id"))
-          .union(edges.select(col("dst"))).distinct()
-          .localCheckpoint()
-        def renorm(df: org.apache.spark.sql.DataFrame, c: String) = {
-          val tot = df.agg(sum(col(c)).as("t"))
-          df.crossJoin(broadcast(tot))
-            .select(col("id"), expr(s"($c * 1000000) div t").as(c))
-        }
-        // iteration 1: a¹(v) = Σ_{u→v} h⁰(u), h⁰ ≡ 1e6 (= in-deg·1e6)
-        val a1 = renorm(verts.join(edges.groupBy(col("dst")).agg(
-            (count(lit(1)) * 1000000L).as("raw")),
-            verts("id") === col("dst"), "left")
-          .select(col("id"), coalesce(col("raw"), lit(0L)).as("a")), "a")
-          .localCheckpoint()
-        // h¹(u) = Σ_{u→v} a¹(v)
-        val h1 = renorm(verts.join(
-            edges.join(a1, edges("dst") === a1("id"))
-              .groupBy(col("src")).agg(sum(col("a")).as("raw")),
-            verts("id") === col("src"), "left")
-          .select(verts("id"), coalesce(col("raw"), lit(0L)).as("h")), "h")
-          .localCheckpoint()
-        // iteration 2: a²(v) = Σ_{u→v} h¹(u)
-        val a2 = renorm(verts.join(
-            edges.join(h1, edges("src") === h1("id"))
-              .groupBy(col("dst")).agg(sum(col("h")).as("raw")),
-            verts("id") === col("dst"), "left")
-          .select(verts("id"), coalesce(col("raw"), lit(0L)).as("a")), "a")
-        a2.join(h1, "id")
-          .select(col("id").as("doc_id"), col("a").as("authority_ppm"),
-            col("h").as("hub_ppm"))
-          .filter(col("authority_ppm") > 0 || col("hub_ppm") > 0)
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => graft.operators.GraphOps
+        // low→high orientation: a DAG; the operator runs the a¹→h¹→a²
+        // half-steps with 1-row broadcast renorms (ScaleBench drives the
+        // same operator on a 10M-edge synthetic graph)
+        .hits(linkEdges(s, d, symmetric = false))
+        .select(col("id").as("doc_id"), col("authority_ppm"),
+          col("hub_ppm"))
+        .filter(col("authority_ppm") > 0 || col("hub_ppm") > 0)
+        .orderBy(col("doc_id")),
       Some("""WITH t AS (
                 SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                 FROM documents),

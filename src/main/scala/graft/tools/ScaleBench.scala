@@ -133,6 +133,24 @@ object ScaleBench {
     println(s"[scalebench] ppjoin pairs=$nPairs expected=${nDocs / 2} " +
       (if (nPairs == nDocs / 2) "OK" else "MISMATCH"))
 
+    // ---- k-core / HITS on the same 10M-edge graph (GraphOps) ----
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+    val coreSurvivors = phase("kcore k=3 x4 rounds 10M edges") {
+      graft.operators.GraphOps.kcorePeel(sym, kk = 3, rounds = 4).count()
+    }
+    // chain interior has degree 2 → a 3-core must shed the whole chain;
+    // star clusters keep their xxhash64-densified members
+    println(s"[scalebench] kcore survivors=$coreSurvivors " +
+      s"(nodes=$nNodes chain=$chainN)")
+    val hitsRows = phase("hits 2 iters 10M edges") {
+      graft.operators.GraphOps.hits(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .filter(col("src") < col("dst")).distinct()).count()
+    }
+    println(s"[scalebench] hits scored vertices=$hitsRows")
+
     spark.stop()
   }
 }
