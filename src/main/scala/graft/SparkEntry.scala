@@ -23,7 +23,8 @@ object SparkEntry {
       Pipeline9.entries ++ Pipeline10.entries ++ Pipeline11.entries ++
       Pipeline12.entries ++ Pipeline13.entries ++ Pipeline14.entries ++
       Pipeline15.entries ++ Pipeline16.entries ++ Pipeline17.entries ++
-      Pipeline18.entries ++ Pipeline19.entries ++ Pipeline20.entries
+      Pipeline18.entries ++ Pipeline19.entries ++ Pipeline20.entries ++
+      Pipeline21.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at
