@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-4, second pack: experimentation (CUPED-adjusted
+  * A/B readout with SRM check), discrete survival (Kaplan–Meier in the
+  * log domain), embedding truncation eval (matryoshka-style recall),
+  * and robust location estimates (trimmed/winsorized means). Integer
+  * fixed-point discipline throughout. Sign note (verified): Spark's
+  * `div` and DuckDB's `//` BOTH truncate toward zero on negative
+  * dividends (-7 div 2 = -7 // 2 = -3), so the signed CUPED
+  * adjustments below divide identically in both engines with no
+  * floor shim.
+  */
+object Pipeline22 {
+
+  private def fdiv(x: String, y: String): String =
+    s"(($x) div ($y))"
+
+  val entries: Seq[QEntry] = Seq(
+
+    // CUPED-adjusted A/B experiment readout (Deng et al. 2013): users
+    // hash-split into two arms, metric = post-period spend, covariate =
+    // pre-period spend (the same user's history — independent of
+    // assignment by construction). theta fitted on the pooled
+    // dollar-scaled deviations (integer products only — cent-scale
+    // squares would overflow int64 at sf1, the documented reason for
+    // the /100 rescale), the adjusted per-arm mean carried in
+    // micro-cents with floor division, plus the variance-reduction bp
+    // and the sample-ratio-mismatch check every experimentation
+    // pipeline runs first. Scale shape: one corpus pass to per-user
+    // (pre, post) partials; everything after lives on the user
+    // dimension, and the theta/SRM scalars are one tiny agg each.
+    QEntry("q235_cuped_abtest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val span = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .select(expr("lo + (hi - lo) div 2").as("mid"))
+        val users = ev.crossJoin(broadcast(span))
+          .select(col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            (col("ts") <= col("mid")).as("is_pre"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("is_pre"), col("cents")).otherwise(0L)).as("pre"),
+            sum(when(!col("is_pre"), col("cents")).otherwise(0L)).as("post"))
+          .withColumn("arm",
+            conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 2)
+          .localCheckpoint() // user dim feeds theta, arms, variance
+        val pooled = users.agg(
+          count(lit(1)).as("n"),
+          sum(col("pre")).as("sx"), sum(col("post")).as("sy"))
+        val withMeans = users.crossJoin(broadcast(pooled))
+          .withColumn("dx", col("pre") - expr("sx div n"))
+          .withColumn("dy", col("post") - expr("sy div n"))
+          .withColumn("dxd", expr(fdiv("dx", "100")))
+          .withColumn("dyd", expr(fdiv("dy", "100")))
+        val theta = withMeans.agg(
+          sum(col("dxd") * col("dyd")).as("sxy"),
+          sum(col("dxd") * col("dxd")).as("sxx"))
+          .select(expr(fdiv("sxy * 1000000", "sxx")).as("theta_ppm"))
+        val adj = withMeans.crossJoin(broadcast(theta))
+          .withColumn("adjd",
+            expr(fdiv("dyd * 1000000 - theta_ppm * dxd", "1000000")))
+        val varred = adj.agg(
+          sum(col("dyd") * col("dyd")).as("vy"),
+          sum(col("adjd") * col("adjd")).as("va"))
+          .select(expr("greatest(0L, (vy - va) * 10000) div vy")
+            .as("var_red_bp"))
+        val arms = adj.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("post")).as("sum_post_cents"),
+            sum(col("pre")).as("sum_pre_cents"),
+            sum(col("dx")).as("sdx"))
+        val srm = arms.agg(
+          max(when(col("arm") === 0, col("n_users"))).as("na"),
+          max(when(col("arm") === 1, col("n_users"))).as("nb"))
+          .select(expr("(abs(na - nb) * 10000) div (na + nb)")
+            .as("srm_bp"))
+        arms.crossJoin(broadcast(theta)).crossJoin(broadcast(varred))
+          .crossJoin(broadcast(srm))
+          .select(col("arm"), col("n_users"),
+            col("sum_post_cents"), col("sum_pre_cents"),
+            expr("sum_post_cents div n_users").as("mean_post_cents"),
+            expr(fdiv("sum_post_cents * 1000000 - theta_ppm * sdx",
+              "n_users")).as("adj_mean_microcents"),
+            col("theta_ppm"), col("var_red_bp"), col("srm_bp"))
+          .orderBy(col("arm"))
+      },
+      Some("""WITH span AS (
+                SELECT min(epoch_us(ts) * 1000) +
+                  (max(epoch_us(ts) * 1000) - min(epoch_us(ts) * 1000))
+                    // 2 AS mid
+                FROM events),
+              u AS (
+                SELECT user_id,
+                  sum(CASE WHEN epoch_us(ts) * 1000 <= span.mid
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS pre,
+                  sum(CASE WHEN epoch_us(ts) * 1000 > span.mid
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS post,
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2 AS arm
+                FROM events, span GROUP BY user_id, span.mid),
+              pooled AS (
+                SELECT count(*) AS n, sum(pre) AS sx, sum(post) AS sy
+                FROM u),
+              wm AS (
+                SELECT u.*, u.pre - (p.sx // p.n) AS dx,
+                  u.post - (p.sy // p.n) AS dy,
+                  (u.pre - (p.sx // p.n)) // 100 AS dxd,
+                  (u.post - (p.sy // p.n)) // 100 AS dyd
+                FROM u, pooled p),
+              th AS (
+                SELECT (sum(dxd * dyd) * 1000000) // sum(dxd * dxd)
+                  AS theta_ppm
+                FROM wm),
+              adj AS (
+                SELECT wm.*, th.theta_ppm,
+                  (dyd * 1000000 - th.theta_ppm * dxd) // 1000000 AS adjd
+                FROM wm, th),
+              vr AS (
+                SELECT greatest(0, (sum(dyd * dyd) - sum(adjd * adjd))
+                  * 10000) // sum(dyd * dyd) AS var_red_bp
+                FROM adj),
+              arms AS (
+                SELECT arm, count(*) AS n_users,
+                  sum(post) AS sum_post_cents,
+                  sum(pre) AS sum_pre_cents, sum(dx) AS sdx
+                FROM adj GROUP BY arm),
+              srm AS (
+                SELECT (abs(max(CASE WHEN arm = 0 THEN n_users END) -
+                  max(CASE WHEN arm = 1 THEN n_users END)) * 10000) //
+                  sum(n_users) AS srm_bp
+                FROM arms)
+              SELECT CAST(arm AS BIGINT) AS arm,
+                CAST(n_users AS BIGINT) AS n_users,
+                CAST(sum_post_cents AS BIGINT) AS sum_post_cents,
+                CAST(sum_pre_cents AS BIGINT) AS sum_pre_cents,
+                CAST(sum_post_cents // n_users AS BIGINT)
+                  AS mean_post_cents,
+                CAST((sum_post_cents * 1000000 - th.theta_ppm * sdx)
+                  // n_users AS BIGINT) AS adj_mean_microcents,
+                CAST(th.theta_ppm AS BIGINT) AS theta_ppm,
+                CAST(vr.var_red_bp AS BIGINT) AS var_red_bp,
+                CAST(srm.srm_bp AS BIGINT) AS srm_bp
+              FROM arms, th, vr, srm ORDER BY arm""")),
+
+    // Kaplan-Meier discrete survival: hours from a user's first event
+    // to their first HIGH-VALUE purchase (>= $80), administratively
+    // right-censored at the 7-day mark — the "time-to-conversion"
+    // curve a growth team reads, with the 54% of users who never
+    // convert in-window leaving the risk set WITHOUT a hazard
+    // contribution (the whole point of KM over a naive conversion
+    // census). Kept ENTIRELY in the log domain so no floating product
+    // chain ever forms: per-duration hazard term round(1e6·ln((r-e)/r))
+    // from exact integer at-risk/event counts, cumulative-summed as
+    // integer prefix sums (order-independent within each prefix).
+    // Scale shape: one corpus pass to per-user (t0, t_conv) partials;
+    // the life table lives on the hour-duration dimension (<= 169
+    // rows by construction), where the single ordered window is
+    // bounded however large the corpus grows.
+    QEntry("q236_kaplan_meier",
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .select(col("user_id"), col("ts"),
+            (col("event_type") === "purchase" &&
+              expr("CAST(round(value * 100) AS BIGINT)") >= 8000)
+              .as("conv"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t0"),
+            min(when(col("conv"), col("ts"))).as("tp"))
+        val durs = perUser
+          .select(
+            expr("CASE WHEN tp IS NOT NULL AND tp - t0 < " +
+              "604800000000000 THEN (tp - t0) div 3600000000000 " +
+              "ELSE 168L END").as("t"),
+            expr("CASE WHEN tp IS NOT NULL AND tp - t0 < " +
+              "604800000000000 THEN 0L ELSE 1L END").as("censored"))
+        val table = durs.groupBy(col("t"))
+          .agg(sum(lit(1) - col("censored")).as("n_events"),
+            sum(col("censored")).as("n_censored"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("t")) // duration dimension — bounded by the window
+        val atRisk = table
+          .withColumn("leaving", col("n_events") + col("n_censored"))
+          .withColumn("n_risk",
+            sum(col("leaving")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.currentRow,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        atRisk
+          .withColumn("term", expr(
+            "CASE WHEN n_events > 0 THEN CAST(round(ln(CAST(" +
+              "greatest(n_risk - n_events, 1L) AS DOUBLE) / n_risk) " +
+              "* 1e6) AS BIGINT) ELSE 0L END"))
+          .withColumn("log_surv_unats",
+            sum(col("term")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .select(col("t"), col("n_risk"), col("n_events"),
+            col("n_censored"), col("log_surv_unats"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH pu AS (
+                SELECT user_id, min(epoch_us(ts) * 1000) AS t0,
+                  min(CASE WHEN event_type = 'purchase' AND
+                    CAST(round(value * 100) AS BIGINT) >= 8000
+                    THEN epoch_us(ts) * 1000 END) AS tp
+                FROM events GROUP BY user_id),
+              durs AS (
+                SELECT CASE WHEN tp IS NOT NULL AND tp - t0 <
+                    604800000000000 THEN (tp - t0) // 3600000000000
+                    ELSE 168 END AS t,
+                  CASE WHEN tp IS NOT NULL AND tp - t0 <
+                    604800000000000 THEN 0 ELSE 1 END AS censored
+                FROM pu),
+              tb AS (
+                SELECT t, sum(1 - censored) AS n_events,
+                  sum(censored) AS n_censored
+                FROM durs GROUP BY t),
+              ar AS (
+                SELECT t, n_events, n_censored,
+                  sum(n_events + n_censored) OVER (ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS n_risk
+                FROM tb),
+              tm AS (
+                SELECT t, n_risk, n_events, n_censored,
+                  CASE WHEN n_events > 0 THEN CAST(round(ln(
+                    CAST(greatest(n_risk - n_events, 1) AS DOUBLE) /
+                    n_risk) * 1e6) AS BIGINT) ELSE 0 END AS term
+                FROM ar)
+              SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(n_censored AS BIGINT) AS n_censored,
+                CAST(sum(term) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS log_surv_unats
+              FROM tm ORDER BY t""")),
+
+    // Matryoshka-style truncation eval: exact top-5 retrieval using
+    // only the FIRST 16 of 64 embedding dims, scored for recall against
+    // the full-dim exact top-5 — the "how much index can a prefix
+    // embedding carry" readout behind dimension-truncated serving
+    // (Kusupati et al. 2022). Both arms are the already-pinned q36
+    // brute-force shape (bounded query broadcast); truncation is a
+    // zero-shuffle slice() projection, exactly how a production reader
+    // would prune the vector column bytes before the scan fan-out.
+    QEntry("q237_matryoshka_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val full = graft.pipeline.Similarity.cosineTopK(queries, emb, 5)
+        val qTrunc = queries
+          .withColumn("embedding", slice(col("embedding"), 1, 16))
+        val cTrunc = emb
+          .select(col("vec_id"), slice(col("embedding"), 1, 16)
+            .as("embedding"))
+        val trunc = graft.pipeline.Similarity.cosineTopK(qTrunc, cTrunc, 5)
+        graft.pipeline.Similarity.annRecallAtK(trunc, full, 5)
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH qz AS (
+                SELECT vec_id,
+                  list_transform(embedding, v -> CAST(round(
+                    CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe,
+                  list_transform(embedding[1:16], v -> CAST(round(
+                    CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe16
+                FROM embeddings),
+              fsc AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe)),
+                    i -> q.qe[i+1] * c.qe[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe, x -> x*x))
+                    AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe, x -> x*x))
+                    AS BIGINT) AS nb
+                FROM qz q CROSS JOIN qz c WHERE q.vec_id % 100 = 0),
+              fullk AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id)
+                    AS rn
+                  FROM fsc) WHERE rn <= 5),
+              tsc AS (
+                SELECT q.vec_id AS q_id, c.vec_id,
+                  CAST(list_sum(list_transform(range(len(q.qe16)),
+                    i -> q.qe16[i+1] * c.qe16[i+1])) AS BIGINT) AS dot,
+                  CAST(list_sum(list_transform(q.qe16, x -> x*x))
+                    AS BIGINT) AS na,
+                  CAST(list_sum(list_transform(c.qe16, x -> x*x))
+                    AS BIGINT) AS nb
+                FROM qz q CROSS JOIN qz c WHERE q.vec_id % 100 = 0),
+              trunck AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id)
+                    AS rn
+                  FROM tsc) WHERE rn <= 5),
+              hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM trunck JOIN fullk USING (q_id, vec_id)
+                GROUP BY q_id)
+              SELECT e.q_id,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(h.n_hits, 0) * 10000 // 5 AS recall_bp
+              FROM (SELECT DISTINCT q_id FROM fullk) e
+              LEFT JOIN hits h USING (q_id)
+              ORDER BY e.q_id""")),
+
+    // Robust location estimates per order priority: plain, trimmed
+    // (drop floor(n/10) from each tail) and winsorized (clamp the same
+    // tails to the surviving extremes) means of order totals, all in
+    // integer cents. The q206 weighted-quantile discipline: the corpus
+    // reduces to the (priority, cents) value DIMENSION first, the
+    // ordered window runs on that dimension (bounded by distinct
+    // values, never corpus rows), and tail membership is computed from
+    // cumulative counts as interval overlap — no per-row rank ever
+    // materializes at corpus grain.
+    QEntry("q238_robust_means",
+      (s, d) => {
+        val dim = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("prio"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prio")).orderBy(col("cents"))
+        val cum = dim
+          .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("prio"))))
+          .withColumn("k", expr("n div 10"))
+          // kept-rank interval [k+1, n-k] overlapped with this value's
+          // rank block [cum-cnt+1, cum]
+          .withColumn("kept", expr(
+            "greatest(0L, least(cum, n - k) - greatest(cum - cnt + 1, k + 1) + 1)"))
+          .withColumn("lo_val", expr(
+            "CASE WHEN cum - cnt + 1 <= k + 1 AND cum >= k + 1 " +
+              "THEN cents END"))
+          .withColumn("hi_val", expr(
+            "CASE WHEN cum - cnt + 1 <= n - k AND cum >= n - k " +
+              "THEN cents END"))
+        cum.groupBy(col("prio"))
+          .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+            sum(col("cents") * col("cnt")).as("total"),
+            sum(col("cents") * col("kept")).as("kept_sum"),
+            max(col("lo_val")).as("p10_cents"),
+            max(col("hi_val")).as("p90_cents"))
+          .select(col("prio"), col("n"),
+            expr("total div n").as("mean_cents"),
+            expr("kept_sum div (n - 2 * k)").as("trimmed_mean_cents"),
+            expr("(kept_sum + k * p10_cents + k * p90_cents) div n")
+              .as("winsor_mean_cents"),
+            col("p10_cents"), col("p90_cents"))
+          .orderBy(col("prio"))
+      },
+      Some("""WITH dim AS (
+                SELECT o_orderpriority AS prio,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  count(*) AS cnt
+                FROM orders GROUP BY 1, 2),
+              cumt AS (
+                SELECT prio, cents, cnt,
+                  sum(cnt) OVER (PARTITION BY prio ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  sum(cnt) OVER (PARTITION BY prio) AS n
+                FROM dim),
+              kt AS (
+                SELECT *, n // 10 AS k,
+                  greatest(0, least(cum, n - (n // 10)) -
+                    greatest(cum - cnt + 1, (n // 10) + 1) + 1) AS kept,
+                  CASE WHEN cum - cnt + 1 <= (n // 10) + 1
+                    AND cum >= (n // 10) + 1 THEN cents END AS lo_val,
+                  CASE WHEN cum - cnt + 1 <= n - (n // 10)
+                    AND cum >= n - (n // 10) THEN cents END AS hi_val
+                FROM cumt)
+              SELECT prio, CAST(max(n) AS BIGINT) AS n,
+                CAST(sum(cents * cnt) // max(n) AS BIGINT) AS mean_cents,
+                CAST(sum(cents * kept) // (max(n) - 2 * max(k))
+                  AS BIGINT) AS trimmed_mean_cents,
+                CAST((sum(cents * kept) + max(k) * max(lo_val) +
+                  max(k) * max(hi_val)) // max(n) AS BIGINT)
+                  AS winsor_mean_cents,
+                CAST(max(lo_val) AS BIGINT) AS p10_cents,
+                CAST(max(hi_val) AS BIGINT) AS p90_cents
+              FROM kt GROUP BY prio ORDER BY prio"""))
+  )
+}
