@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-4, third pack: robust outlier flags (median/MAD),
+  * sequential changepoint detection (one-sided CUSUM via the
+  * prefix-sum-minus-running-min identity — no sequential recursion),
+  * market-basket association rules (support/confidence/lift), and RFM
+  * customer segmentation. Integer fixed point throughout; every
+  * ordered window runs on a bounded DIMENSION, never corpus rows.
+  */
+object Pipeline23 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // Robust outlier flags per event type: median and MAD (median
+    // absolute deviation) in integer cents, outlier = |x - med| >
+    // 3·MAD — the data-cleaning screen that survives the heavy tails
+    // that break z-scores (and complements the model-side q113 and
+    // rate-side q202 detectors). Both medians ride the q206
+    // weighted-quantile discipline: corpus → (type, cents) value
+    // dimension → cumulative window on the dimension; the deviation
+    // median re-aggregates the SAME dimension against the type's
+    // median (a dimension-sized join, no second corpus pass). Lower
+    // median (rank ceil(n/2)) keeps every statistic an observed value.
+    QEntry("q239_mad_outliers",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("cents"))
+        val dim = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // value dimension feeds both median passes
+        val cum = dim
+          .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("event_type"))))
+        val med = cum
+          .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+            col("cum") >= expr("(n + 1) div 2"))
+          .select(col("event_type"), col("cents").as("med"), col("n"))
+        val dev = dim.join(med, "event_type")
+          .select(col("event_type"), abs(col("cents") - col("med"))
+            .as("dev"), col("cnt"))
+          .groupBy(col("event_type"), col("dev"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("dev"))
+        val mad = dev
+          .withColumn("cum", sum(col("cnt")).over(wd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("event_type"))))
+          .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+            col("cum") >= expr("(n + 1) div 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        dim.join(med, "event_type").join(mad, "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), max(col("med")).as("med_cents"),
+            max(col("mad")).as("mad_cents"),
+            sum(when(abs(col("cents") - col("med")) > lit(3) * col("mad"),
+              col("cnt")).otherwise(0L)).as("n_outliers"))
+          .select(col("event_type"), col("n"), col("med_cents"),
+            col("mad_cents"), col("n_outliers"),
+            expr("(n_outliers * 10000) div n").as("outlier_bp"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (
+                SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+              cum AS (
+                SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum,
+                  sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM dim),
+              med AS (
+                SELECT event_type, cents AS med, n FROM cum
+                WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2),
+              dev AS (
+                SELECT d.event_type, abs(d.cents - m.med) AS dev,
+                  sum(d.cnt) AS cnt
+                FROM dim d JOIN med m USING (event_type) GROUP BY 1, 2),
+              dcum AS (
+                SELECT *, sum(cnt) OVER (PARTITION BY event_type
+                    ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cum,
+                  sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM dev),
+              mad AS (
+                SELECT event_type, dev AS mad FROM dcum
+                WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2)
+              SELECT d.event_type, CAST(max(m.n) AS BIGINT) AS n,
+                CAST(max(m.med) AS BIGINT) AS med_cents,
+                CAST(max(a.mad) AS BIGINT) AS mad_cents,
+                CAST(sum(CASE WHEN abs(d.cents - m.med) > 3 * a.mad
+                  THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+                CAST((sum(CASE WHEN abs(d.cents - m.med) > 3 * a.mad
+                  THEN d.cnt ELSE 0 END) * 10000) // max(m.n) AS BIGINT)
+                  AS outlier_bp
+              FROM dim d JOIN med m USING (event_type)
+              JOIN mad a USING (event_type)
+              GROUP BY d.event_type ORDER BY d.event_type""")),
+
+    // One-sided CUSUM changepoint monitor over daily event counts per
+    // type. The recursion S_t = max(0, S_{t-1} + (x_t - mu - slack))
+    // is NOT computed sequentially: with P_t the prefix sum of
+    // deviations, S_t = P_t - min(0, min_{j<=t} P_j) — two window
+    // functions over the (type, day) dimension, fully parallel (the
+    // same reflection identity a cluster needs, because a true
+    // recursion would serialize the partition). mu = per-type mean
+    // daily count in micro units, slack k = mu/20 (tuned so the
+    // statistic visibly integrates drift on the stable fixture while
+    // the 3·mu alarm stays quiet — no false positives), alarm h = 3·mu.
+    // Scale shape: corpus → per-(type, day) counts in one keyed agg;
+    // everything after is dimension-sized.
+    QEntry("q240_cusum_changepoint",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // (type, day) dimension
+        val mu = daily.groupBy(col("event_type"))
+          .agg(expr("(sum(cnt) * 1000000) div count(*)").as("mu_micro"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+        val wcum = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        daily.join(mu, "event_type")
+          .withColumn("dev",
+            expr("cnt * 1000000 - mu_micro - mu_micro div 20"))
+          .withColumn("p", sum(col("dev")).over(wcum))
+          .withColumn("s",
+            col("p") - least(lit(0L), min(col("p")).over(wcum)))
+          .select(col("event_type"), col("day"), col("cnt"),
+            col("mu_micro"), col("s").as("cusum_micro"),
+            (col("s") > lit(3L) * col("mu_micro")).cast("long")
+              .as("alarm"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  epoch_us(ts) * 1000 // 86400000000000 AS day,
+                  count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+              mu AS (
+                SELECT event_type,
+                  (sum(cnt) * 1000000) // count(*) AS mu_micro
+                FROM daily GROUP BY 1),
+              dv AS (
+                SELECT d.event_type, d.day, d.cnt, m.mu_micro,
+                  d.cnt * 1000000 - m.mu_micro - m.mu_micro // 20 AS dev
+                FROM daily d JOIN mu m USING (event_type)),
+              pf AS (
+                SELECT *, sum(dev) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS p
+                FROM dv)
+              SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+                CAST(mu_micro AS BIGINT) AS mu_micro,
+                CAST(p - least(0, min(p) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)) AS BIGINT) AS cusum_micro,
+                CAST(CASE WHEN p - least(0, min(p) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  > 3 * mu_micro THEN 1 ELSE 0 END AS BIGINT) AS alarm
+              FROM pf ORDER BY event_type, day""")),
+
+    // Market-basket association rules over order baskets: directed
+    // rules a→b with support(pair) >= 3, confidence = c_ab/c_a and
+    // lift = c_ab·N/(c_a·c_b) in integer ppm, top 20 by lift. The
+    // sequential-pattern q227 for UNORDERED co-purchase. Scale shape:
+    // the pair generation is an order-keyed self-join whose fan-out is
+    // bounded by basket size (<= 7 distinct parts per TPC-H order ⇒
+    // <= 21 pairs per order — never quadratic in the corpus), and the
+    // rule frame lives on the pair dimension after one keyed agg.
+    QEntry("q241_basket_rules",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // feeds item supports AND the pair join
+        val nOrders = li.select(col("o")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val item = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+        val pairs = li.alias("a")
+          .join(li.alias("b"),
+            col("b.o") === col("a.o") && col("b.p") > col("a.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+        val directed = pairs
+          .select(col("pa").as("ante"), col("pb").as("cons"), col("cab"))
+          .unionByName(pairs.select(col("pb").as("ante"),
+            col("pa").as("cons"), col("cab")))
+        directed
+          .join(item.select(col("p").as("ante"), col("c").as("ca")),
+            "ante")
+          .join(item.select(col("p").as("cons"), col("c").as("cc")),
+            "cons")
+          .crossJoin(broadcast(nOrders))
+          .select(col("ante"), col("cons"), col("cab"),
+            expr("(cab * 1000000) div ca").as("conf_ppm"),
+            expr("(cab * n_orders * 1000000) div (ca * cc)")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+              no AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+              item AS (SELECT p, count(*) AS c FROM li GROUP BY p),
+              pairs AS (
+                SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+                FROM li a JOIN li b ON b.o = a.o AND b.p > a.p
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+              directed AS (
+                SELECT pa AS ante, pb AS cons, cab FROM pairs
+                UNION ALL SELECT pb, pa, cab FROM pairs)
+              SELECT d.ante, d.cons, CAST(d.cab AS BIGINT) AS cab,
+                CAST((d.cab * 1000000) // ia.c AS BIGINT) AS conf_ppm,
+                CAST((d.cab * no.n_orders * 1000000) // (ia.c * ic.c)
+                  AS BIGINT) AS lift_ppm
+              FROM directed d
+              JOIN item ia ON ia.p = d.ante
+              JOIN item ic ON ic.p = d.cons
+              CROSS JOIN no
+              ORDER BY lift_ppm DESC, d.ante, d.cons LIMIT 20""")),
+
+    // RFM segmentation: per-user Recency (days since last purchase) /
+    // Frequency (purchase count) / Monetary (purchase cents), each
+    // scored 1–4 by quartile BREAKPOINTS taken on the per-metric value
+    // dimension (rank ceil(q·n/4) values — the q238 block-interval
+    // discipline, no corpus-grain ntile), then the user base censused
+    // per RFM cell. Recency scores inverted (recent = 4). Scale shape:
+    // one corpus pass to per-user partials; three dimension windows;
+    // scoring joins three 3-row broadcast breakpoint dims; final
+    // census is one keyed agg onto <= 64 cells.
+    QEntry("q242_rfm_segments",
+      (s, d) => {
+        val horizon = Tables.events(s, d)
+          .agg(expr("max(ts div 86400000000000)").as("h"))
+        val rfm = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(max(col("day")).as("last_day"),
+            count(lit(1)).as("freq"), sum(col("cents")).as("money"))
+          .crossJoin(broadcast(horizon))
+          .select(col("user_id"), (col("h") - col("last_day")).as("rec"),
+            col("freq"), col("money"))
+          .localCheckpoint() // user dim feeds 3 breakpoint passes + scoring
+        def breaks(c: String) = {
+          // rec/freq dims are bounded, but the money dim (per-user
+          // SUMS) grows with the user base — two-pass GlobalCumSum
+          // keeps the breakpoint scan partition-parallel at any scale
+          // instead of funneling a user-cardinality dim into one task.
+          val dim = rfm.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          val tot = dim.agg(sum(col("cnt")).as("n"))
+          graft.operators.GlobalCumSum
+            .runningSum(dim, col("cnt"), "cum", col("v"))
+            .crossJoin(broadcast(tot))
+            .select(col("v"), col("cum"), col("cnt"), col("n"))
+            .agg(
+              min(when(col("cum") >= expr("(n + 3) div 4"), col("v")))
+                .as(s"${c}_q1"),
+              min(when(col("cum") >= expr("(n * 2 + 3) div 4"), col("v")))
+                .as(s"${c}_q2"),
+              min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("v")))
+                .as(s"${c}_q3"))
+        }
+        def score(c: String, inverted: Boolean) = {
+          val raw = expr(
+            s"CASE WHEN $c <= ${c}_q1 THEN 1 WHEN $c <= ${c}_q2 THEN 2 " +
+              s"WHEN $c <= ${c}_q3 THEN 3 ELSE 4 END")
+          if (inverted) lit(5) - raw else raw
+        }
+        rfm.crossJoin(broadcast(breaks("rec")))
+          .crossJoin(broadcast(breaks("freq")))
+          .crossJoin(broadcast(breaks("money")))
+          .select(col("user_id"), col("money"),
+            score("rec", inverted = true).as("r_score"),
+            score("freq", inverted = false).as("f_score"),
+            score("money", inverted = false).as("m_score"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_users"),
+            expr("sum(money) div count(*)").as("avg_money_cents"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some("""WITH hz AS (
+                SELECT max(epoch_us(ts) * 1000 // 86400000000000) AS h
+                FROM events),
+              rfm AS (
+                SELECT user_id,
+                  hz.h - max(epoch_us(ts) * 1000 // 86400000000000)
+                    AS rec,
+                  count(*) AS freq,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS money
+                FROM events, hz WHERE event_type = 'purchase'
+                GROUP BY user_id, hz.h),
+              rb AS (
+                SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END)
+                    AS q1,
+                  min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END)
+                    AS q2,
+                  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END)
+                    AS q3
+                FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum, sum(cnt) OVER () AS n
+                  FROM (SELECT rec AS v, count(*) AS cnt FROM rfm
+                    GROUP BY rec))),
+              fb AS (
+                SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END)
+                    AS q1,
+                  min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END)
+                    AS q2,
+                  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END)
+                    AS q3
+                FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum, sum(cnt) OVER () AS n
+                  FROM (SELECT freq AS v, count(*) AS cnt FROM rfm
+                    GROUP BY freq))),
+              mb AS (
+                SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END)
+                    AS q1,
+                  min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN v END)
+                    AS q2,
+                  min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END)
+                    AS q3
+                FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum, sum(cnt) OVER () AS n
+                  FROM (SELECT money AS v, count(*) AS cnt FROM rfm
+                    GROUP BY money))),
+              scored AS (
+                SELECT user_id, money,
+                  5 - (CASE WHEN rec <= rb.q1 THEN 1
+                    WHEN rec <= rb.q2 THEN 2
+                    WHEN rec <= rb.q3 THEN 3 ELSE 4 END) AS r_score,
+                  CASE WHEN freq <= fb.q1 THEN 1
+                    WHEN freq <= fb.q2 THEN 2
+                    WHEN freq <= fb.q3 THEN 3 ELSE 4 END AS f_score,
+                  CASE WHEN money <= mb.q1 THEN 1
+                    WHEN money <= mb.q2 THEN 2
+                    WHEN money <= mb.q3 THEN 3 ELSE 4 END AS m_score
+                FROM rfm, rb, fb, mb)
+              SELECT CAST(r_score AS BIGINT) AS r_score,
+                CAST(f_score AS BIGINT) AS f_score,
+                CAST(m_score AS BIGINT) AS m_score,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(money) // count(*) AS BIGINT)
+                  AS avg_money_cents
+              FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+  )
+}
