@@ -24,7 +24,8 @@ object SparkEntry {
       Pipeline12.entries ++ Pipeline13.entries ++ Pipeline14.entries ++
       Pipeline15.entries ++ Pipeline16.entries ++ Pipeline17.entries ++
       Pipeline18.entries ++ Pipeline19.entries ++ Pipeline20.entries ++
-      Pipeline21.entries ++ Pipeline22.entries ++ Pipeline23.entries
+      Pipeline21.entries ++ Pipeline22.entries ++ Pipeline23.entries ++
+      Pipeline24.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at
