@@ -313,4 +313,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(specs.count(s => !s.contains("blk")) <= 1,
       s"more than the one prefix-max dim window runs unpartitioned:\n$specs")
   }
+
+  test("q239 MAD: every window partitions on event_type over the value dim") {
+    val plan = finalPlan(query("q239_mad_outliers"))
+    val specs = "windowspecdefinition\\([^\n]{0,60}".r.findAllIn(plan).toList
+    assert(specs.nonEmpty, s"no windows:\n$plan")
+    assert(specs.forall(_.contains("event_type")),
+      s"window not type-partitioned:\n$specs")
+    // corpus reduced to the (type, cents) dim BEFORE any window
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"no pre-aggregation before the window:\n$plan")
+  }
+
+  test("q241 basket rules: pair join hashes on the order key, no cartesian") {
+    val plan = finalPlan(query("q241_basket_rules"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("HashJoin"), s"pair join not a hash join:\n$plan")
+    // the only nested-loop is the 1-row n_orders scalar broadcast
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 1, s"unexpected nested-loop joins:\n$plan")
+  }
+
+  test("q242 RFM: breakpoint scans ride GlobalCumSum, no user-dim funnel") {
+    val plan = finalPlan(query("q242_rfm_segments"))
+    val specs = "windowspecdefinition\\([^\n]{0,60}".r.findAllIn(plan).toList
+    // per-partition running sums partition on __pid; the only
+    // unpartitioned windows are the O(numPartitions) offsets frames
+    // (one per metric)
+    assert(specs.exists(_.contains("__pid")),
+      s"no __pid-partitioned running sum (GlobalCumSum missing):\n$specs")
+    assert(specs.count(s => !s.contains("__pid")) <= 3,
+      s"a value-dimension window runs unpartitioned past the offsets frames:\n$specs")
+  }
 }
