@@ -54,6 +54,6 @@ object GlobalCumSum {
       .select(col("__pid"), col("__offset"))
     parted.join(broadcast(offsets), "__pid")
       .withColumn(out, col("__run") + col("__offset"))
-      .drop("__pid", "__run", "__w")
+      .drop("__pid", "__run", "__w", "__offset")
   }
 }

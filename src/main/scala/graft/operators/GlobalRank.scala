@@ -59,6 +59,6 @@ object GlobalRank {
       .select(col("__pid"), col("__offset"))
     parted.join(broadcast(offsets), "__pid")
       .withColumn(out, (col("__seq") + col("__offset") + 1).cast("int"))
-      .drop("__pid", "__seq")
+      .drop("__pid", "__seq", "__offset")
   }
 }
