@@ -69,7 +69,14 @@ object DumpPlans {
     "q195_rag_chunks" -> "RAG chunking: scan + explode only — zero joins, zero windows before the output sort; the embarrassingly-parallel preprocessing shape",
     "q206_weighted_median" -> "weighted median: corpus pre-aggregated to the (source, len) dimension BEFORE any window; the ordered pass runs over ~100 rows per source",
     "q210_late_arrival" -> "late-arrival audit: two-pass global running max — block maxima + tiny prefix-max dim broadcast + block-keyed window; no single-partition window over events",
-    "q217_join_cardinality" -> "join stats: exact size from two degree aggs (no join executed on the fact side), histogram estimate on 8-row frames")
+    "q217_join_cardinality" -> "join stats: exact size from two degree aggs (no join executed on the fact side), histogram estimate on 8-row frames",
+    "q231_countmin_freq" -> "Count-Min: fixed 4x16 cell frame from one keyed agg over the (tok, count) dim; probe is a dimension join, estimate a min-agg",
+    "q239_mad_outliers" -> "median/MAD: corpus to the (type, cents) value dim, both median passes type-partitioned windows ON the dim, deviation dim joined back keyed",
+    "q241_basket_rules" -> "basket rules: order-keyed self-join (fan-out bounded by basket size), pair-dim aggs, 1-row n_orders broadcast",
+    "q242_rfm_segments" -> "RFM: three GlobalCumSum breakpoint scans (pid-local windows + broadcast offsets), 3-row breakpoint dims broadcast back, 64-cell census",
+    "q247_auc_probe" -> "AUC: 64-row probe dim broadcast into the score projection; rank-sum over GlobalCumSum prefix totals — no corpus sort, no rank funnel",
+    "q250_ks_drift" -> "KS: merged value dim with two chained GlobalCumSum passes; D = integer cross-product gap, argmax as dim top-1",
+    "q253_revenue_pareto" -> "Lorenz deciles: two-pass desc rank via GlobalCumSum, 10-row decile dim carries shares")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
