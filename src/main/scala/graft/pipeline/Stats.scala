@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared statistical kernels behind the session-4 monitoring/eval
+  * queries (q236 Kaplan–Meier, q240 CUSUM, q247 AUC, q259 skyline).
+  * Factored so the gate queries and the randomized differential spec
+  * (Session4FuzzSpec) exercise the SAME code: each kernel here is
+  * fuzz-tested against its brute-force/sequential definition on
+  * seeded random data, and oracle-pinned through the queries.
+  *
+  * All kernels keep the suite's disciplines: integer fixed point
+  * across aggregation boundaries, ordered windows only over bounded
+  * dimensions (the caller's contract, stated per method).
+  */
+object Stats {
+
+  /** One-sided CUSUM S_t = max(0, S_{t-1} + dev_t) WITHOUT sequential
+    * recursion, via the reflection identity S_t = P_t - min(0,
+    * min_{j<=t} P_j) with P the prefix sum — two windows over the
+    * (partCols, orderCol) frame, fully parallel per partition key.
+    * Caller contract: the frame is a bounded dimension (e.g. (type,
+    * day)), not corpus rows. Adds `out` to the frame. */
+  def cusum(df: DataFrame, partCol: Column, orderCol: Column,
+      dev: Column, out: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__p", sum(dev).over(w))
+      .withColumn(out,
+        col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .drop("__p")
+  }
+
+  /** 2D skyline (minimize `minDim`, maximize `maxDim`) without an
+    * all-pairs dominance test: reduce to the (minDim, best maxDim)
+    * dimension, then survivors are the rows whose best value exceeds
+    * the EXCLUSIVE running max over strictly smaller minDim. Caller
+    * contract: minDim's value range is bounded (the q239 saturating-
+    * dimension argument). Output: (minDim, `size` = best maxDim,
+    * n_rows) — the frontier, minDim ascending. */
+  def skyline2d(df: DataFrame, minDim: Column, maxDim: Column)
+      : DataFrame = {
+    val dim = df.select(minDim.as("__x"), maxDim.as("__y"))
+      .groupBy(col("__x"))
+      .agg(max(col("__y")).as("__best"), count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dim
+      .withColumn("__rm",
+        coalesce(max(col("__best")).over(w), lit(Long.MinValue)))
+      .filter(col("__best") > col("__rm"))
+      .select(col("__x"), col("__best"), col("n_rows"))
+  }
+
+  /** Tie-aware Mann–Whitney U (doubled to stay integral): from a
+    * (s, y) scored frame, reduces to per-score blocks and computes
+    * sum over blocks of n_pos·(2·cum_before + size + 1) — twice the
+    * positive rank sum — via two-pass GlobalCumSum (no corpus sort).
+    * Returns a 1-row frame (np, nn, u2) with
+    * AUC = (u2 - np(np+1)) / (2·np·nn). */
+  def aucU2(scored: DataFrame, s: Column, y: Column): DataFrame = {
+    val dim = scored.select(s.as("__s"), y.as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("np_s"),
+        sum(lit(1L) - col("__y")).as("nn_s"))
+    val cum = graft.operators.GlobalCumSum
+      .runningSum(dim, col("np_s") + col("nn_s"), "cum", col("__s"))
+    val tot = dim.agg(sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("np"), col("nn"),
+        (col("np_s") *
+          (lit(2L) * (col("cum") - col("np_s") - col("nn_s")) +
+            col("np_s") + col("nn_s") + 1)).as("r2"))
+      .groupBy(col("np"), col("nn"))
+      .agg(sum(col("r2")).as("u2"))
+  }
+
+  /** Kaplan–Meier life table in the log domain from a (t, censored)
+    * duration frame: per-duration (n_risk, n_events, n_censored) and
+    * the cumulative log-survival in integer micro-nats (hazard term
+    * round(1e6·ln((r-e)/r)) with an epsilon floor at r = e). Caller
+    * contract: the duration dimension is bounded (hours/days in an
+    * observation window). */
+  def kmLogSurvival(durs: DataFrame, t: Column, censored: Column)
+      : DataFrame = {
+    val table = durs.select(t.as("t"), censored.as("__c"))
+      .groupBy(col("t"))
+      .agg(sum(lit(1L) - col("__c")).as("n_events"),
+        sum(col("__c")).as("n_censored"))
+    val w = Window.orderBy(col("t"))
+    val atRisk = table
+      .withColumn("__leaving", col("n_events") + col("n_censored"))
+      .withColumn("n_risk", sum(col("__leaving")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    atRisk
+      .withColumn("__term", expr(
+        "CASE WHEN n_events > 0 THEN CAST(round(ln(CAST(" +
+          "greatest(n_risk - n_events, 1L) AS DOUBLE) / n_risk) " +
+          "* 1e6) AS BIGINT) ELSE 0L END"))
+      .withColumn("log_surv_unats", sum(col("__term")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("log_surv_unats"))
+  }
+}

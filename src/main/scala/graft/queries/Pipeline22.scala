@@ -179,28 +179,8 @@ object Pipeline22 {
               "ELSE 168L END").as("t"),
             expr("CASE WHEN tp IS NOT NULL AND tp - t0 < " +
               "604800000000000 THEN 0L ELSE 1L END").as("censored"))
-        val table = durs.groupBy(col("t"))
-          .agg(sum(lit(1) - col("censored")).as("n_events"),
-            sum(col("censored")).as("n_censored"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("t")) // duration dimension — bounded by the window
-        val atRisk = table
-          .withColumn("leaving", col("n_events") + col("n_censored"))
-          .withColumn("n_risk",
-            sum(col("leaving")).over(w.rowsBetween(
-              org.apache.spark.sql.expressions.Window.currentRow,
-              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-        atRisk
-          .withColumn("term", expr(
-            "CASE WHEN n_events > 0 THEN CAST(round(ln(CAST(" +
-              "greatest(n_risk - n_events, 1L) AS DOUBLE) / n_risk) " +
-              "* 1e6) AS BIGINT) ELSE 0L END"))
-          .withColumn("log_surv_unats",
-            sum(col("term")).over(w.rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)))
-          .select(col("t"), col("n_risk"), col("n_events"),
-            col("n_censored"), col("log_surv_unats"))
+        graft.pipeline.Stats
+          .kmLogSurvival(durs, col("t"), col("censored"))
           .orderBy(col("t"))
       },
       Some("""WITH pu AS (

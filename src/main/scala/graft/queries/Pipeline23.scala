@@ -133,17 +133,11 @@ object Pipeline23 {
           .localCheckpoint() // (type, day) dimension
         val mu = daily.groupBy(col("event_type"))
           .agg(expr("(sum(cnt) * 1000000) div count(*)").as("mu_micro"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("day"))
-        val wcum = w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-        daily.join(mu, "event_type")
+        val dev = daily.join(mu, "event_type")
           .withColumn("dev",
             expr("cnt * 1000000 - mu_micro - mu_micro div 20"))
-          .withColumn("p", sum(col("dev")).over(wcum))
-          .withColumn("s",
-            col("p") - least(lit(0L), min(col("p")).over(wcum)))
+        graft.pipeline.Stats
+          .cusum(dev, col("event_type"), col("day"), col("dev"), "s")
           .select(col("event_type"), col("day"), col("cnt"),
             col("mu_micro"), col("s").as("cusum_micro"),
             (col("s") > lit(3L) * col("mu_micro")).cast("long")

@@ -70,23 +70,10 @@ object Pipeline25 {
     // of the corpus (GlobalCumSum provides the block prefix totals).
     QEntry("q247_auc_probe",
       (s, d) => {
-        val dim = probeScores(s, d)
-          .groupBy(col("s"))
-          .agg(sum(col("y")).as("np_s"),
-            sum(lit(1L) - col("y")).as("nn_s"))
-        val cum = graft.operators.GlobalCumSum
-          .runningSum(dim, col("np_s") + col("nn_s"), "cum", col("s"))
-        val tot = dim.agg(sum(col("np_s")).as("np"),
-          sum(col("nn_s")).as("nn"))
-        cum.crossJoin(broadcast(tot))
+        graft.pipeline.Stats
+          .aucU2(probeScores(s, d), col("s"), col("y"))
           .select(col("np"), col("nn"),
-            (col("np_s") *
-              (lit(2L) * (col("cum") - col("np_s") - col("nn_s")) +
-                col("np_s") + col("nn_s") + 1)).as("r2"))
-          .groupBy(col("np"), col("nn"))
-          .agg(sum(col("r2")).as("sum_r2"))
-          .select(col("np"), col("nn"),
-            expr("((sum_r2 - np * (np + 1)) * 1000000) div " +
+            expr("((u2 - np * (np + 1)) * 1000000) div " +
               "(2 * np * nn)").as("auc_ppm"))
       },
       Some(s"""WITH $ProbeSql,

@@ -22,23 +22,11 @@ object Pipeline28 {
     // fixed band, so the dim stops growing with the corpus).
     QEntry("q259_skyline",
       (s, d) => {
-        val dim = Tables.part(s, d)
-          .select(
-            expr("CAST(round(p_retailprice * 100) AS BIGINT)")
-              .as("price_cents"), col("p_size").cast("long").as("size"))
-          .groupBy(col("price_cents"))
-          .agg(max(col("size")).as("best_size"),
-            count(lit(1)).as("n_parts"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("price_cents")) // bounded price dimension
-        dim
-          .withColumn("runmax_excl",
-            coalesce(max(col("best_size")).over(w.rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              -1)), lit(Long.MinValue)))
-          .filter(col("best_size") > col("runmax_excl"))
-          .select(col("price_cents"), col("best_size").as("size"),
-            col("n_parts"))
+        graft.pipeline.Stats.skyline2d(Tables.part(s, d),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)"),
+            col("p_size").cast("long"))
+          .select(col("__x").as("price_cents"), col("__best").as("size"),
+            col("n_rows").as("n_parts"))
           .orderBy(col("price_cents"))
       },
       Some("""WITH dim AS (
