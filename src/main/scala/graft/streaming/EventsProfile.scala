@@ -121,6 +121,27 @@ object EventsProfile {
       .withWatermark("event_time", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Hourly rate monitor, shared by batch and streaming (q263's
+    * operator): per (1-hour tumbling window, type) counts joined to a
+    * STATIC per-type expectation dim (`mu_centi` = mean hourly count
+    * ×100, trained offline — the stream-static broadcast join shape),
+    * alarmed when |n − mu| > mu/2 in exact integers. Streaming state
+    * is bounded by (windows inside the watermark) × types; the
+    * expectation dim rides a broadcast — no stream-stream join, no
+    * unbounded state. */
+  def rateMonitor(withTime: DataFrame, expectation: DataFrame)
+      : DataFrame =
+    withTime
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+      .join(broadcast(expectation), "event_type")
+      .withColumn("alarm",
+        (abs(col("n") * 200 - col("mu_centi") * 2) > col("mu_centi"))
+          .cast("long"))
+
   /** Start the streaming profile over a parquet directory (file-source
     * streaming), writing to an in-memory sink named `queryName`. */
   def start(
