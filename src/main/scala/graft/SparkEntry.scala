@@ -26,7 +26,8 @@ object SparkEntry {
       Pipeline18.entries ++ Pipeline19.entries ++ Pipeline20.entries ++
       Pipeline21.entries ++ Pipeline22.entries ++ Pipeline23.entries ++
       Pipeline24.entries ++ Pipeline25.entries ++ Pipeline26.entries ++
-      Pipeline27.entries ++ Pipeline28.entries ++ Pipeline29.entries
+      Pipeline27.entries ++ Pipeline28.entries ++ Pipeline29.entries ++
+      Pipeline30.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at
