@@ -57,4 +57,43 @@ object PageRank {
     }
     pr
   }
+
+  /** Personalized PageRank: identical iteration, but the 15% restart
+    * mass teleports ONLY to the seed set (uniformly across seeds) —
+    * relevance-to-the-seeds instead of global authority, the primitive
+    * behind "similar pages to these" and seed-expanded crawl
+    * frontiers. Seeds ride a broadcast membership join; determinism
+    * and scale shape are [[run]]'s (same per-edge floors, same
+    * per-round checkpoint). Initial mass also starts on the seeds. */
+  def runPersonalized(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, // (id) subset of nodes
+      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val nSeeds = seeds.count()
+    require(nSeeds >= 1, "need a non-empty seed set")
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val ewd = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint()
+    val seeded = nodes
+      .join(broadcast(seeds.select(col("id"), lit(1L).as("__seed"))),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val base = (scale * 15L) / (100L * nSeeds)
+    val init = scale / nSeeds
+    var pr = seeded.select(col("id"),
+      (col("is_seed") * init).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ewd.join(pr, ewd("src") === pr("id"))
+        .filter(col("pr") > 0)
+        .select(col("dst"), expr("(pr * 85) div (100 * od)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      pr = seeded.join(contrib, seeded("id") === contrib("dst"), "left")
+        .select(seeded("id"),
+          (col("is_seed") * base + coalesce(col("cs"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }
