@@ -144,16 +144,22 @@ object Pipeline33 {
           .join(deg.select(col("x"), col("d").as("dx")), "x")
           .join(deg.select(col("x").as("y"), col("d").as("dy")), "y")
         ends.agg(count(lit(1)).as("m2"),
-            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-            sum(col("dx") * col("dy")).as("sxy"),
-            sum(col("dx") * col("dx")).as("sxx"),
-            sum(col("dy") * col("dy")).as("syy"))
+            coalesce(sum(col("dx")), lit(0L)).as("sx"),
+            coalesce(sum(col("dy")), lit(0L)).as("sy"),
+            coalesce(sum(col("dx") * col("dy")), lit(0L)).as("sxy"),
+            coalesce(sum(col("dx") * col("dx")), lit(0L)).as("sxx"),
+            coalesce(sum(col("dy") * col("dy")), lit(0L)).as("syy"))
+          // zero-variance guard: at small SF the thresholded graph can
+          // collapse to a few degree-1 edges — the correlation is then
+          // undefined; report 0 instead of dividing by zero under ANSI
           .select(col("m2"),
-            expr("CAST(round((CAST(m2 AS DOUBLE) * sxy - " +
+            expr("CASE WHEN m2 * sxx - sx * sx > 0 AND " +
+              "m2 * syy - sy * sy > 0 THEN " +
+              "CAST(round((CAST(m2 AS DOUBLE) * sxy - " +
               "CAST(sx AS DOUBLE) * sy) / " +
               "(sqrt(CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) " +
               "* sqrt(CAST(m2 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) " +
-              "* 1e6) AS BIGINT)").as("assortativity_ppm"))
+              "* 1e6) AS BIGINT) ELSE 0L END").as("assortativity_ppm"))
       },
       Some("""WITH li AS (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -176,13 +182,15 @@ object Pipeline33 {
                   sum(dy * dy) AS syy
                 FROM ends)
               SELECT CAST(m2 AS BIGINT) AS m2,
-                CAST(round((CAST(m2 AS DOUBLE) * sxy -
-                  CAST(sx AS DOUBLE) * sy) /
-                  (sqrt(CAST(m2 AS DOUBLE) * sxx -
-                    CAST(sx AS DOUBLE) * sx) *
-                   sqrt(CAST(m2 AS DOUBLE) * syy -
-                    CAST(sy AS DOUBLE) * sy)) * 1e6) AS BIGINT)
-                  AS assortativity_ppm
+                CAST(CASE WHEN m2 * sxx - sx * sx > 0 AND
+                    m2 * syy - sy * sy > 0 THEN
+                  round((CAST(m2 AS DOUBLE) * sxy -
+                    CAST(sx AS DOUBLE) * sy) /
+                    (sqrt(CAST(m2 AS DOUBLE) * sxx -
+                      CAST(sx AS DOUBLE) * sx) *
+                     sqrt(CAST(m2 AS DOUBLE) * syy -
+                      CAST(sy AS DOUBLE) * sy)) * 1e6)
+                  ELSE 0 END AS BIGINT) AS assortativity_ppm
               FROM mo""")),
 
     // Numeric-column correlation screen over lineitem: pairwise
