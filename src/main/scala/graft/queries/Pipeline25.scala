@@ -19,7 +19,7 @@ object Pipeline25 {
   /** Linear-probe scores: y = (label == 0), s = <qe, w> with
     * w = int-mean(pos dims) − int-mean(neg dims). One corpus pass to
     * the 64-row dim frame, one broadcast-dim join back. */
-  private def probeScores(s: SparkSession, d: String): DataFrame = {
+  private[queries] def probeScores(s: SparkSession, d: String): DataFrame = {
     val qz = Tables.embeddings(s, d)
       .select(col("vec_id"),
         (col("label") === 0).cast("long").as("y"),
@@ -41,7 +41,7 @@ object Pipeline25 {
   }
 
   /** The probe's oracle prefix, shared by q247–q249. */
-  private val ProbeSql =
+  private[queries] val ProbeSql =
     """qz AS (
         SELECT vec_id,
           CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,

@@ -9,47 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline34 {
 
-  /** The q247 probe, re-derived (kept private per pack; the Pipeline25
-    * original is oracle-pinned — this mirrors it exactly). */
+  // shared with Pipeline25 — the q247-pinned probe and its oracle
+  // prefix (single source of truth; no drift possible)
   private def probeScores(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
-    val qz = Tables.embeddings(s, d)
-      .select(col("vec_id"), (col("label") === 0).cast("long").as("y"),
-        graft.pipeline.Similarity.quantize(col("embedding")).as("qe"))
-    val dims = qz
-      .select(col("y"), posexplode(col("qe")).as(Seq("i", "v")))
-      .groupBy(col("i"))
-      .agg(
-        expr("sum(CASE WHEN y = 1 THEN v ELSE 0 END) div " +
-          "sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)").as("mp"),
-        expr("sum(CASE WHEN y = 0 THEN v ELSE 0 END) div " +
-          "sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)").as("mn"))
-      .select(col("i"), (col("mp") - col("mn")).as("w"))
-    qz.select(col("vec_id"), col("y"),
-        posexplode(col("qe")).as(Seq("i", "v")))
-      .join(broadcast(dims), "i")
-      .groupBy(col("vec_id"), col("y"))
-      .agg(sum(col("v") * col("w")).as("s"))
-  }
-
-  private val ProbeSql =
-    """qz AS (
-        SELECT vec_id,
-          CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
-          list_transform(embedding, v -> CAST(round(
-            CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
-        FROM embeddings),
-      dims AS (
-        SELECT i,
-          sum(CASE WHEN y = 1 THEN qe[i+1] ELSE 0 END) //
-            sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) -
-          (sum(CASE WHEN y = 0 THEN qe[i+1] ELSE 0 END) //
-            sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)) AS w
-        FROM qz, range(64) r(i) GROUP BY i),
-      scored AS (
-        SELECT qz.vec_id, qz.y, sum(qe[i+1] * dims.w) AS s
-        FROM qz, range(64) r(i) JOIN dims USING (i)
-        GROUP BY qz.vec_id, qz.y)"""
+      d: String) = Pipeline25.probeScores(s, d)
+  private val ProbeSql = Pipeline25.ProbeSql
 
   val entries: Seq[QEntry] = Seq(
 
