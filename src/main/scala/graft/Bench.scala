@@ -82,20 +82,15 @@ object Bench {
     val jitMs = if (jit != null && jit.isCompilationTimeMonitoringSupported)
       jit.getTotalCompilationTime else -1L
     val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs}"""
-    // The driver's BENCH capture keeps only a ~2000-char TAIL of stdout,
-    // so the round-6 line (full names + full-precision wall AND cpu maps,
-    // ~9 KB) survived only as its cpu_s suffix — per-query wall times and
-    // the total were unrecoverable from the artifact of record. The
-    // stdout line therefore has to FIT: keys shrink to their unique qNN
-    // prefix (verified unique below; falls back to full names if a clash
-    // ever appears), values round to 2 decimals, and the per-query cpu
-    // map moves to stderr + bench_full.json (full names, full precision)
-    // — the line lands ~1.6 KB, valid JSON even under tail capture.
-    def short(name: String): String = name.takeWhile(_ != '_')
-    val shortsUnique = results.map(r => short(r._1)).distinct.size == results.size
-    def key(name: String): String = if (shortsUnique) short(name) else name
-    val qs = results.map { case (k, w, _) => "\"" + key(k) + "\":" + f"$w%.2f" }
-      .mkString("{", ",", "}")
+    // The driver's BENCH capture keeps only a ~2000-char TAIL of stdout.
+    // The round-7 fix (short qNN keys, 2-decimal walls) kept the line to
+    // ~1.6 KB at 146 queries — at 284 it outgrew the tail again (~3.4 KB,
+    // BENCH_r10 "parsed": null). A per-query map on stdout loses this
+    // race at SOME tree size no matter how it is compressed, so the
+    // stdout line is now CONSTANT-SIZE: totals + distribution aggregates
+    // + the jvm block only. Per-query walls/cpu live exclusively in
+    // bench.json (the artifact of record, same totals + full per-query
+    // map) and bench_full.json (full precision + cpu map).
     val full = {
       val w = results.map { case (k, x, _) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
       val c = results.map { case (k, _, x) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
@@ -120,16 +115,24 @@ object Bench {
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
     Thread.sleep(500) // let any straggler shutdown thread flush before us
-    val metricLine = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n":${results.size},"cpu_total_s":${f"$cpuTotal%.1f"},"jvm":$jvm,"queries":$qs}"""
+    // Distribution aggregates so the constant-size line still tells a
+    // reader where the time went without the per-query map.
+    val walls = results.map(_._2).sorted
+    val p50 = if (walls.isEmpty) 0.0 else walls(walls.size / 2)
+    val (maxName, maxWall, _) =
+      if (results.isEmpty) ("", 0.0, 0.0) else results.maxBy(_._2)
+    val head = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","sf":"$sfDir","n":${results.size},"cpu_total_s":${f"$cpuTotal%.1f"},"p50_s":${f"$p50%.2f"},"max_q":"$maxName","max_s":${f"$maxWall%.2f"},"jvm":$jvm"""
+    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.2f" }
+      .mkString("{", ",", "}")
     // File artifact of record alongside the stdout line: BENCH_r09 captured
     // the line in its tail yet recorded "parsed": null (the sbt logger had
     // prefixed it with "[info] "). build.sbt now forces StdoutOutput so the
-    // line is raw, and bench.json holds the identical object for any driver
-    // that prefers a file to tail-scraping.
+    // line is raw, and bench.json holds the same object PLUS the per-query
+    // wall map for any driver that prefers a file to tail-scraping.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (metricLine + "\n").getBytes("UTF-8"))
+      (head + s""","queries":$qs}""" + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(metricLine)
+    println(head + "}")
     System.out.flush()
   }
 }

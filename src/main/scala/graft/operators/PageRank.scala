@@ -69,14 +69,22 @@ object PageRank {
       seeds: DataFrame, // (id) subset of nodes
       iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val nSeeds = seeds.count()
-    require(nSeeds >= 1, "need a non-empty seed set")
+    // Defensive seed normalization: duplicate seed ids would fan out the
+    // membership join (duplicating every rank row per round), and seed
+    // ids absent from `nodes` would silently shrink the injected mass
+    // below `scale` — dedup and restrict to real nodes BEFORE counting,
+    // so nSeeds is exactly the number of rows that receive mass.
+    val sd = seeds.select(col("id")).distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint() // counted AND broadcast below
+    val nSeeds = sd.count()
+    require(nSeeds >= 1, "need a non-empty seed set (after restricting to nodes)")
     val e = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
     val ewd = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("od")), "src")
       .localCheckpoint()
     val seeded = nodes
-      .join(broadcast(seeds.select(col("id"), lit(1L).as("__seed"))),
+      .join(broadcast(sd.select(col("id"), lit(1L).as("__seed"))),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
       .localCheckpoint()

@@ -13,9 +13,51 @@ import org.apache.spark.sql.functions._
   *
   * All kernels keep the suite's disciplines: integer fixed point
   * across aggregation boundaries, ordered windows only over bounded
-  * dimensions (the caller's contract, stated per method).
+  * dimensions — and the bound is now GUARDED, not just documented:
+  * [[boundedDim]]/[[boundedDimPerKey]] fail fast with the measured
+  * cardinality (the `ngramJaccardPairs` maxPosting pattern) instead of
+  * letting a corpus-grain misuse funnel everything through one
+  * WindowExec task whose only symptom is a log warning.
   */
 object Stats {
+
+  /** Cardinality fail-fast for an UNPARTITIONED ordered window's input:
+    * localCheckpoints the dimension frame (the guard's count and the
+    * window then share one materialization — on a cluster this is
+    * persist()/checkpoint()) and refuses to proceed past `maxRows`.
+    * A single WindowExec task sorts the whole frame, so the cap is the
+    * largest frame one task should ever hold. */
+  def boundedDim(dim: DataFrame, what: String,
+      maxRows: Long = 1000000L): DataFrame = {
+    val d = dim.localCheckpoint()
+    val n = d.count()
+    require(n <= maxRows,
+      s"$what: unpartitioned ordered window over $n rows, past the cap " +
+        s"$maxRows — this frame would sort through a SINGLE task. The " +
+        "input is corpus-grain, not a bounded value dimension; reduce to " +
+        "a dimension first (groupBy the window key) or raise maxRows if " +
+        "the cardinality is genuinely bounded")
+    d
+  }
+
+  /** [[boundedDim]] for PARTITIONED dimension windows: the hazard is the
+    * largest per-key group (one WindowExec buffer), so the guard measures
+    * max rows per key — one constant-buffer count aggregate, map-side
+    * combined — and fails with the worst key's size. */
+  def boundedDimPerKey(dim: DataFrame, keys: Seq[String], what: String,
+      maxRowsPerKey: Long = 10000000L): DataFrame = {
+    val d = dim.localCheckpoint()
+    val worst = d.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(biggest <= maxRowsPerKey,
+      s"$what: largest per-(${keys.mkString(",")}) window group holds " +
+        s"$biggest rows, past the cap $maxRowsPerKey — one WindowExec " +
+        "task would buffer it whole. The value dimension is not bounded " +
+        "for this data; coarsen the value (bucket it) or raise " +
+        "maxRowsPerKey if the cardinality is genuinely bounded")
+    d
+  }
 
   /** One-sided CUSUM S_t = max(0, S_{t-1} + dev_t) WITHOUT sequential
     * recursion, via the reflection identity S_t = P_t - min(0,
@@ -36,15 +78,19 @@ object Stats {
   /** 2D skyline (minimize `minDim`, maximize `maxDim`) without an
     * all-pairs dominance test: reduce to the (minDim, best maxDim)
     * dimension, then survivors are the rows whose best value exceeds
-    * the EXCLUSIVE running max over strictly smaller minDim. Caller
-    * contract: minDim's value range is bounded (the q239 saturating-
-    * dimension argument). Output: (minDim, `size` = best maxDim,
+    * the EXCLUSIVE running max over strictly smaller minDim. The
+    * bounded-dimension contract (the q239 saturating-dimension
+    * argument) is enforced by [[boundedDim]] — a corpus-grain minDim
+    * raises with the measured cardinality instead of single-task
+    * sorting. Output: (minDim, `size` = best maxDim,
     * n_rows) — the frontier, minDim ascending. */
-  def skyline2d(df: DataFrame, minDim: Column, maxDim: Column)
-      : DataFrame = {
-    val dim = df.select(minDim.as("__x"), maxDim.as("__y"))
-      .groupBy(col("__x"))
-      .agg(max(col("__y")).as("__best"), count(lit(1)).as("n_rows"))
+  def skyline2d(df: DataFrame, minDim: Column, maxDim: Column,
+      maxDimRows: Long = 1000000L): DataFrame = {
+    val dim = boundedDim(
+      df.select(minDim.as("__x"), maxDim.as("__y"))
+        .groupBy(col("__x"))
+        .agg(max(col("__y")).as("__best"), count(lit(1)).as("n_rows")),
+      "Stats.skyline2d", maxDimRows)
     val w = Window.orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, -1)
     dim
@@ -80,15 +126,17 @@ object Stats {
   /** Kaplan–Meier life table in the log domain from a (t, censored)
     * duration frame: per-duration (n_risk, n_events, n_censored) and
     * the cumulative log-survival in integer micro-nats (hazard term
-    * round(1e6·ln((r-e)/r)) with an epsilon floor at r = e). Caller
-    * contract: the duration dimension is bounded (hours/days in an
-    * observation window). */
-  def kmLogSurvival(durs: DataFrame, t: Column, censored: Column)
-      : DataFrame = {
-    val table = durs.select(t.as("t"), censored.as("__c"))
-      .groupBy(col("t"))
-      .agg(sum(lit(1L) - col("__c")).as("n_events"),
-        sum(col("__c")).as("n_censored"))
+    * round(1e6·ln((r-e)/r)) with an epsilon floor at r = e). The
+    * bounded duration dimension (hours/days in an observation window)
+    * is enforced by [[boundedDim]]. */
+  def kmLogSurvival(durs: DataFrame, t: Column, censored: Column,
+      maxDimRows: Long = 1000000L): DataFrame = {
+    val table = boundedDim(
+      durs.select(t.as("t"), censored.as("__c"))
+        .groupBy(col("t"))
+        .agg(sum(lit(1L) - col("__c")).as("n_events"),
+          sum(col("__c")).as("n_censored")),
+      "Stats.kmLogSurvival", maxDimRows)
     val w = Window.orderBy(col("t"))
     val atRisk = table
       .withColumn("__leaving", col("n_events") + col("n_censored"))

@@ -304,11 +304,15 @@ object Pipeline22 {
     // materializes at corpus grain.
     QEntry("q238_robust_means",
       (s, d) => {
-        val dim = Tables.orders(s, d)
-          .select(col("o_orderpriority").as("prio"),
-            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .groupBy(col("prio"), col("cents"))
-          .agg(count(lit(1)).as("cnt"))
+        // Guarded dimension (VERDICT r10 item 3): the cents-dimension
+        // bound is measured per priority, not assumed.
+        val dim = graft.pipeline.Stats.boundedDimPerKey(
+          Tables.orders(s, d)
+            .select(col("o_orderpriority").as("prio"),
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+            .groupBy(col("prio"), col("cents"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("prio"), "q238_robust_means")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("prio")).orderBy(col("cents"))
         val cum = dim

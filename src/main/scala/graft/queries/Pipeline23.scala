@@ -27,12 +27,16 @@ object Pipeline23 {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_type")).orderBy(col("cents"))
-        val dim = Tables.events(s, d)
-          .select(col("event_type"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-          .groupBy(col("event_type"), col("cents"))
-          .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // value dimension feeds both median passes
+        // boundedDimPerKey both guards the dimension contract (VERDICT
+        // r10 item 3) and localCheckpoints — the value dimension feeds
+        // both median passes.
+        val dim = graft.pipeline.Stats.boundedDimPerKey(
+          Tables.events(s, d)
+            .select(col("event_type"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+            .groupBy(col("event_type"), col("cents"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("event_type"), "q239_mad_outliers")
         val cum = dim
           .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding,

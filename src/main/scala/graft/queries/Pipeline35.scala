@@ -164,9 +164,17 @@ object Pipeline35 {
         val binned = normed(s, d)
           .withColumn("bin", expr("least(9L, p_ppm div 100000)"))
           .withColumn("half", pmod(col("vec_id"), lit(2L)))
-        val cells = binned.groupBy(col("bin"))
+        // Explicit 10-row bin dimension: groupBy sees OBSERVED bins only,
+        // and the +1/+10 Laplace form assumes all 10 materialize — a bin
+        // empty in both halves would otherwise drop out and the smoothed
+        // shares would no longer sum to ~1e6 (standard-form divergence).
+        val observed = binned.groupBy(col("bin"))
           .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
             sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        val cells = s.range(10).select(col("id").as("bin"))
+          .join(observed, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
         val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
         cells.crossJoin(broadcast(tot))
           .select(col("bin"), col("ca"), col("cb"),
@@ -189,11 +197,16 @@ object Pipeline35 {
                 SELECT *, least(9, p_ppm // 100000) AS bin,
                   vec_id % 2 AS half
                 FROM normed),
-              cells AS (
+              observed AS (
                 SELECT bin,
                   sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
                   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
                 FROM binned GROUP BY bin),
+              cells AS (
+                SELECT d.bin, coalesce(o.ca, 0) AS ca,
+                  coalesce(o.cb, 0) AS cb
+                FROM range(10) AS d(bin)
+                LEFT JOIN observed o ON o.bin = d.bin),
               tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
               t AS (
                 SELECT bin, ca, cb,
