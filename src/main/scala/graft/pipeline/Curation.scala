@@ -664,9 +664,12 @@ object Curation {
     val exKeep = batch.groupBy(md5(col("text")).as("h"))
       .agg(min(col("id")).as("id")).select(col("id"))
     val ex = ckpt(batch.join(exKeep, "id"))
-    // 3. near dedup keep-best (exact Jaccard pairs → components)
+    // 3. near dedup keep-best (exact Jaccard pairs → components).
+    // collapseExact = false: stage 2 ALREADY collapsed byte-identical
+    // docs (md5 keep-best), so the operator's default collapse would
+    // re-run the same md5 agg against a provably-distinct corpus.
     val pairs = Dedup.ngramJaccardPairs(ex, "id", "text",
-        n = jacN, tNum = jacTNum, tDen = jacTDen)
+        n = jacN, tNum = jacTNum, tDen = jacTDen, collapseExact = false)
       .select(col("a_id"), col("b_id"))
     val comp = Dedup.components(pairs, ex.select(col("id")),
       checkpointDir = checkpointDir)

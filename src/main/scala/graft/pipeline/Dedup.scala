@@ -50,6 +50,39 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_dups"))
 
+  /** Exact md5 collapse to min-id representatives — the mandatory first
+    * stage of every near-dup JOIN here (VERDICT r10 item 1, default-on):
+    * on duplication-dense corpora (the 100 TB web-crawl norm) candidate
+    * pairs grow QUADRATICALLY in duplicate density because byte-identical
+    * docs collide in every band/bucket/posting — measured 155× wall at
+    * 100× data on the sf≈10 replica (SCALE.md "Third scaling decade"),
+    * and >100× back when collapsed (q275). Returns
+    *
+    *   - reps: (doc_id, text, n_dups) — one row per distinct text,
+    *     doc_id = the group's min id;
+    *   - dupEdges: (rep_id, member_id) — one row per NON-rep member.
+    *
+    * Scale shape: one md5 hash-agg (map-side combined; the shuffle
+    * carries 16-byte digests + ids, never text) and one keyed join back.
+    * The group table is localCheckpoint'd — it feeds both outputs and is
+    * (digest, id, count)-narrow; on a real cluster persist()/
+    * checkpoint(). */
+  private[graft] def collapseExactDocs(
+      docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      md5(col(textCol)).as("__k"))
+    val groups = keyed.groupBy(col("__k"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+      .localCheckpoint()
+    val joined = keyed.join(groups, "__k")
+    val reps = joined.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"), col("n_dups"))
+    val dupEdges = joined.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id"), col("doc_id").as("member_id"))
+    (reps, dupEdges)
+  }
+
   /** Distinct lower-cased whitespace tokens per doc. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -214,10 +247,48 @@ object Dedup {
         .start()
   }
 
+  /** Output assembly shared by the collapsed text near-dup joins
+    * ([[minhashNearDupPairs]], [[ngramJaccardPairs]]): rep pairs become
+    * `kind='near'` rows carrying `implied_pairs` = n_dups(a)·n_dups(b)
+    * (the full member×member cross-pair count WITHOUT materializing it —
+    * re-inflating would undo the collapse), and each non-rep member gets
+    * one `kind='dup'` (rep, member) row with inter = uni = the rep's set
+    * size (identical text ⇒ Jaccard 1) and implied_pairs = 1. Dup rows
+    * are restricted to `dupSize`'s reps — the groups the UNCOLLAPSED
+    * operator could pair at all (e.g. docs long enough to shingle), so
+    * expanding this output reproduces the uncollapsed pair set exactly
+    * (CollapseDefaultSpec pins it). */
+  private[graft] def assembleCollapsed(
+      nearPairs: DataFrame, // (a_id, b_id, inter, uni) over reps
+      nDups: DataFrame, // (doc_id, n_dups)
+      dupEdges: DataFrame, // (rep_id, member_id)
+      dupSize: DataFrame): DataFrame = { // (doc_id, sz) per eligible rep
+    val near = nearPairs
+      .join(nDups.select(col("doc_id").as("a_id"), col("n_dups").as("__na")), "a_id")
+      .join(nDups.select(col("doc_id").as("b_id"), col("n_dups").as("__nb")), "b_id")
+      .select(lit("near").as("kind"), col("a_id"), col("b_id"),
+        col("inter"), col("uni"), (col("__na") * col("__nb")).as("implied_pairs"))
+    val dup = dupEdges
+      .join(dupSize.select(col("doc_id").as("rep_id"), col("sz")), "rep_id")
+      .select(lit("dup").as("kind"), col("rep_id").as("a_id"),
+        col("member_id").as("b_id"), col("sz").as("inter"),
+        col("sz").as("uni"), lit(1L).as("implied_pairs"))
+    near.union(dup)
+  }
+
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
-    * pairs; pairs are then verified with exact token Jaccard. Returns
-    * (a_id, b_id, inter, uni) for verified pairs with
-    * inter/uni >= threshold.
+    * pairs; pairs are then verified with exact token Jaccard.
+    *
+    * COLLAPSES exact duplicates first BY DEFAULT ([[collapseExactDocs]] —
+    * byte-identical docs collide in every band, so in-bucket pair
+    * generation is quadratic in duplicate density; at web-crawl
+    * duplication the uncollapsed default was the measured scale-killer).
+    * Returns (kind, a_id, b_id, inter, uni, implied_pairs): `near` rep
+    * pairs with inter/uni >= threshold, `dup` (rep, member) membership
+    * edges. `collapseExact = false` keeps the raw all-pairs core —
+    * (a_id, b_id, inter, uni), no kind column — for corpora already
+    * exact-deduped upstream (e.g. [[Curation.curationPipeline]] stage 3,
+    * which runs its own md5 keep-best at stage 2).
     *
     * Tuning: collision probability for similarity J is
     * 1-(1-J^(numHashes/bands))^bands — pick bands so that candidates
@@ -230,7 +301,36 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 4,
       shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      val (reps, dupEdges) = collapseExactDocs(docs, idCol, textCol)
+      val near = minhashCore(reps, "doc_id", "text", numHashes, bands,
+        shingleK, threshold)
+      // dup-edge eligibility = the rep can shingle (>= shingleK RAW
+      // tokens — shorter docs produce a null signature and the
+      // uncollapsed operator can never pair them, so neither do we);
+      // the self-pair's inter/uni is the DISTINCT token count (what
+      // verifyJaccard measures).
+      val dupSize = reps
+        .filter(size(split(lower(col("text")), "\\s+")) >= shingleK)
+        .select(col("doc_id"),
+          size(array_distinct(split(lower(col("text")), "\\s+")))
+            .cast("long").as("sz"))
+      return assembleCollapsed(near,
+        reps.select(col("doc_id"), col("n_dups")), dupEdges, dupSize)
+    }
+    minhashCore(docs, idCol, textCol, numHashes, bands, shingleK, threshold)
+  }
+
+  private def minhashCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleK: Int,
+      threshold: Double): DataFrame = {
     // Checkpointed because the cap's count pass and the collect pass
     // both consume it — the MinHash signature lineage is the expensive
     // part and the bucket rows are tiny (doc_id, band, int sig); on a
@@ -425,7 +525,17 @@ object Dedup {
     * if the vocabulary is too degenerate for prefix filtering. Callers
     * that only want to inspect or compose the plan (never execute it)
     * should pass `maxPosting = 0` knowing the checkpoint still runs, or
-    * defer construction until execution time. */
+    * defer construction until execution time.
+    *
+    * COLLAPSES exact duplicates first BY DEFAULT ([[collapseExactDocs]];
+    * the operator is exact, so oversized buckets can't be dropped — but
+    * byte-identical docs square the candidate count through every shared
+    * posting, the measured 155× sf≈10 pathology). Returns
+    * (kind, a_id, b_id, inter, uni, implied_pairs): `near` rep pairs at
+    * Jaccard >= tNum/tDen, `dup` (rep, member) edges with
+    * inter = uni = the rep's gram-set size. `collapseExact = false`
+    * keeps the raw core — (a_id, b_id, inter, uni), no kind column —
+    * for corpora already exact-deduped upstream. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -433,7 +543,32 @@ object Dedup {
       n: Int = 2,
       tNum: Int = 4,
       tDen: Int = 5,
-      maxPosting: Int = 100000): DataFrame = {
+      maxPosting: Int = 100000,
+      collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      val (reps, dupEdges) = collapseExactDocs(docs, idCol, textCol)
+      val (near, grams) = ngramCore(reps, "doc_id", "text", n, tNum, tDen, maxPosting)
+      // dup-edge eligibility = the rep shingles at all (>= n tokens);
+      // its self-pair verifies to inter = uni = |gram set|.
+      val dupSize = grams
+        .select(col("doc_id"), size(col("gs")).cast("long").as("sz"))
+      return assembleCollapsed(near,
+        reps.select(col("doc_id"), col("n_dups")), dupEdges, dupSize)
+    }
+    ngramCore(docs, idCol, textCol, n, tNum, tDen, maxPosting)._1
+  }
+
+  /** The prefix-filter join over an already-distinct corpus; returns
+    * (verified pairs, the checkpointed gram frame) so the collapsed
+    * wrapper can derive dup-row sizes without re-shingling. */
+  private def ngramCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tNum: Int,
+      tDen: Int,
+      maxPosting: Int): (DataFrame, DataFrame) = {
     require(n >= 1 && tNum > 0 && tNum <= tDen, s"bad n-gram join params: n=$n, t=$tNum/$tDen")
     // Staged projections (memory: q50/q51) — each HOF lambda reads a
     // materialized attribute, never an inline subtree.
@@ -520,8 +655,8 @@ object Dedup {
       .filter(least(col("pr.sa") - col("pr.pa"), col("pr.sb") - col("pr.pb")) >= alpha)
       .select(col("pr.a_id").as("a_id"), col("pr.b_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, grams.select(col("doc_id"), col("gs").as("toks")), 0.0)
-      .filter(col("inter") * tDen >= col("uni") * tNum)
+    (verifyJaccard(cand, grams.select(col("doc_id"), col("gs").as("toks")), 0.0)
+      .filter(col("inter") * tDen >= col("uni") * tNum), grams)
   }
 
   /** SimHash near-dup pairs via banded hamming LSH — the step that turns
@@ -535,8 +670,15 @@ object Dedup {
     * positives exactly. Same one-pass bucket shape as
     * [[minhashNearDupPairs]]: group per bucket, emit in-group
     * combinations — no self-join (which would recompute the signature
-    * lineage twice), degenerate buckets capped (mass exact-dups are
-    * [[exactGroups]]' job).
+    * lineage twice), degenerate buckets capped.
+    *
+    * COLLAPSES exact duplicates first BY DEFAULT (same rationale as
+    * [[minhashNearDupPairs]]: identical docs share every band slice, so
+    * bucket pair fan-out squares in duplicate density). Returns
+    * (kind, a_id, b_id, hamming, implied_pairs): `near` rep pairs within
+    * maxHamming, `dup` (rep, member) edges at hamming 0.
+    * `collapseExact = false` keeps the raw core — (a_id, b_id, hamming),
+    * no kind column — for corpora already exact-deduped upstream.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -544,7 +686,35 @@ object Dedup {
       textCol: String,
       bands: Int = 4,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact) {
+      val (reps, dupEdges) = collapseExactDocs(docs, idCol, textCol)
+      val nd = reps.select(col("doc_id"), col("n_dups"))
+      val near = simhashCore(reps, "doc_id", "text", bands, maxHamming, maxBucket)
+        .join(nd.select(col("doc_id").as("a_id"), col("n_dups").as("__na")), "a_id")
+        .join(nd.select(col("doc_id").as("b_id"), col("n_dups").as("__nb")), "b_id")
+        .select(lit("near").as("kind"), col("a_id"), col("b_id"),
+          col("hamming"), (col("__na") * col("__nb")).as("implied_pairs"))
+      // every doc has a simhash (even a whitespace-only one tokenizes to
+      // [""]), so every dup group is eligible: identical text ⇒ identical
+      // signature ⇒ hamming 0.
+      val dup = dupEdges
+        .select(lit("dup").as("kind"), col("rep_id").as("a_id"),
+          col("member_id").as("b_id"), lit(0).as("hamming"),
+          lit(1L).as("implied_pairs"))
+      return near.union(dup)
+    }
+    simhashCore(docs, idCol, textCol, bands, maxHamming, maxBucket)
+  }
+
+  private def simhashCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"full recall needs maxHamming < bands ($maxHamming >= $bands)")

@@ -264,14 +264,28 @@ object Similarity {
     * cross-engine reproducible end to end: a SQL oracle can rebuild
     * buckets, candidates and scores bit-for-bit. The float-input fused
     * expression ([[lshBucket]]) stays the production bucket for the ANN
-    * path, where candidates are approximate anyway. */
+    * path, where candidates are approximate anyway.
+    *
+    * COLLAPSES exact duplicates (bit-identical quantized vectors) first
+    * BY DEFAULT — it delegates to [[cosineNearDupPairsDeduped]], whose
+    * output contract (kind ∈ dup/near, implied_pairs) it returns. The
+    * rationale is measured, not theoretical: duplicate vectors collide
+    * in every bucket and in-bucket pair generation is Σ bucket², so 10
+    * corpus copies cost ~100× (BASELINE.md §"sf≈1 scale point") — and
+    * at 100 TB of web crawl, duplication density is the norm.
+    * `collapseExact = false` keeps the raw all-pairs core —
+    * (a_id, b_id, dot, cos4), no kind column — for corpora already
+    * vector-deduped upstream. */
   def cosineNearDupPairs(
       corpus: DataFrame, // (vec_id, embedding)
       dim: Int,
       nBits: Int = 4,
       threshold: Double = 0.35,
-      maxBucket: Int = 10000): DataFrame =
-    lshPairsOverQuantized(
+      maxBucket: Int = 10000,
+      collapseExact: Boolean = true): DataFrame =
+    if (collapseExact)
+      cosineNearDupPairsDeduped(corpus, dim, nBits, threshold, maxBucket)
+    else lshPairsOverQuantized(
       corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
         .withColumn("na", dotQ(col("qe"), col("qe"))),
       nBits, threshold, maxBucket)
@@ -325,11 +339,14 @@ object Similarity {
     * (components keep-best) actually needs:
     *
     *   - `kind='dup'`:  (rep_id, member_id) exact-duplicate membership,
-    *     dot = ‖v‖², cos4 = 1.0 — the quadratic member×member pair set
-    *     is NOT expanded (re-inflating it in the output would undo the
-    *     fix; components reaches every member through its rep edge);
+    *     dot = ‖v‖², cos4 = 1.0, implied_pairs = 1 — the quadratic
+    *     member×member pair set is NOT expanded (re-inflating it in the
+    *     output would undo the fix; components reaches every member
+    *     through its rep edge);
     *   - `kind='near'`: representative near-dup pairs with quantized
-    *     cosine ≥ threshold, same verification as the base operator.
+    *     cosine ≥ threshold, same verification as the base operator,
+    *     implied_pairs = n_dups(a)·n_dups(b) (the cross-duplicate pair
+    *     count each rep edge stands for).
     *
     * Integer-exact end to end like the base operator: a SQL oracle
     * rebuilds the collapse, buckets, candidates and scores bit-for-bit
@@ -347,21 +364,26 @@ object Similarity {
     // Checkpoint: feeds the dup-edge join AND the LSH chain, and its
     // lineage is the corpus-wide collapse agg.
     val reps = q.groupBy(col("k"))
-      .agg(min(struct(col("vec_id"), col("qe"))).as("r"))
-      .select(col("k"), col("r.vec_id").as("vec_id"), col("r.qe").as("qe"))
+      .agg(min(struct(col("vec_id"), col("qe"))).as("r"),
+        count(lit(1)).as("n_dups"))
+      .select(col("k"), col("r.vec_id").as("vec_id"), col("r.qe").as("qe"),
+        col("n_dups"))
       .localCheckpoint()
     val dups = q.select(col("k"), col("vec_id").as("member_id"))
       .join(reps.select(col("k"), col("vec_id").as("rep_id"), col("qe")), "k")
       .filter(col("member_id") =!= col("rep_id"))
       .select(lit("dup").as("kind"), col("rep_id").as("a_id"),
         col("member_id").as("b_id"), dotQ(col("qe"), col("qe")).as("dot"),
-        lit(1.0).as("cos4"))
+        lit(1.0).as("cos4"), lit(1L).as("implied_pairs"))
+    val nd = reps.select(col("vec_id"), col("n_dups"))
     val near = lshPairsOverQuantized(
         reps.select(col("vec_id"), col("qe"))
           .withColumn("na", dotQ(col("qe"), col("qe"))),
         nBits, threshold, maxBucket)
+      .join(nd.select(col("vec_id").as("a_id"), col("n_dups").as("__na")), "a_id")
+      .join(nd.select(col("vec_id").as("b_id"), col("n_dups").as("__nb")), "b_id")
       .select(lit("near").as("kind"), col("a_id"), col("b_id"),
-        col("dot"), col("cos4"))
+        col("dot"), col("cos4"), (col("__na") * col("__nb")).as("implied_pairs"))
     dups.union(near)
   }
 

@@ -18,16 +18,28 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object Pipeline {
 
-  /** The q37 md5-twin MinHash+LSH pair construction (signature →
+  /** The q37 md5-twin MinHash+LSH pair construction under the DEFAULT
+    * collapsed contract (VERDICT r10 item 1, mirroring
+    * [[Dedup.minhashNearDupPairs]]): exact md5 collapse → signature →
     * banding → capped in-group combinations → exact token-Jaccard
-    * verify at 4/5). Returns verified (a_id, b_id, inter, uni),
-    * unordered. */
+    * verify at 4/5 over reps. Returns (kind, a_id, b_id, inter, uni,
+    * implied_pairs), unordered. */
   private[queries] def minhashPairsMd5(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
-    Dedup.verifyJaccard(minhashCandidatesMd5(s, d),
-        Dedup.tokenArrays(docs, "doc_id", "text"), 0.0)
+    val (reps, dupEdges) = Dedup.collapseExactDocs(docs, "doc_id", "text")
+    val near = Dedup.verifyJaccard(minhashCandidatesOver(reps),
+        Dedup.tokenArrays(reps, "doc_id", "text"), 0.0)
       .filter(col("inter") * 5 >= col("uni") * 4)
+    // dup-edge eligibility: the rep shingles (>= 3 raw tokens — shorter
+    // docs never band-collide); self-pair inter/uni = distinct tokens.
+    val dupSize = reps
+      .filter(size(split(lower(col("text")), "\\s+")) >= 3)
+      .select(col("doc_id"),
+        size(array_distinct(split(lower(col("text")), "\\s+")))
+          .cast("long").as("sz"))
+    Dedup.assembleCollapsed(near,
+      reps.select(col("doc_id"), col("n_dups")), dupEdges, dupSize)
   }
 
   /** The candidate stage of [[minhashPairsMd5]] alone — distinct
@@ -35,12 +47,18 @@ object Pipeline {
     * recall eval verifies these against the 3-GRAM gram sets the
     * signature actually indexes. */
   private[queries] def minhashCandidatesMd5(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    minhashCandidatesOver(Tables.documents(s, d))
+
+  /** [[minhashCandidatesMd5]] over an explicit corpus frame — shared
+    * with the collapsed [[minhashPairsMd5]], whose input is the rep
+    * set, not the raw table. */
+  private[queries] def minhashCandidatesOver(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val P = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
     val perms = MinHashPerms
     val bands = 4
     val rows = perms.size / bands
-    val docs = Tables.documents(s, d)
     val hs = transform(col("shingles"),
       sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
     val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
@@ -110,8 +128,9 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[portableSimhash32]] — CTEs ending in `sig(doc_id,
-    * simhash)`, generated with the same bit constants. */
-  private def portableSimhashSql: String = {
+    * simhash)`, generated with the same bit constants. `from` lets the
+    * collapsed q53 run it over the rep CTE instead of the raw table. */
+  private def portableSimhashSql(from: String = "documents"): String = {
     val ones = (0 until SimBits).map(j =>
       s"CAST(sum((h>>$j)&1) AS BIGINT) AS o$j").mkString(", ")
     val sig = (0 until SimBits).map(j =>
@@ -119,7 +138,7 @@ object Pipeline {
       .mkString(" + ")
     s"""tk AS (
           SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
-          FROM documents),
+          FROM $from),
         th AS (
           SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
         ag AS (
@@ -319,16 +338,19 @@ object Pipeline {
               WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     // MinHash+LSH near-dup pairs with PORTABLE hashes, under the FULL
-    // oracle: md5-prefix shingle hashes + 16 affine permutations (q51's
-    // convention) → 4 bands of 4 → per-bucket in-group combinations (the
-    // minhashNearDupPairs candidate scheme: no self-join, degenerate
-    // buckets capped) → exact-Jaccard verify at 4/5 in pure int64. DuckDB
-    // recomputes signature → banding → candidates → verify bit-for-bit,
-    // so the whole LSH pipeline is hash-compared, not rows-only. The
-    // fused xxhash64 production path (Dedup.minhashNearDupPairs) keeps
-    // its DedupSpec recall coverage.
+    // oracle and the DEFAULT collapsed contract (VERDICT r10 item 1):
+    // exact md5 collapse to reps → md5-prefix shingle hashes + 16 affine
+    // permutations (q51's convention) → 4 bands of 4 → per-bucket
+    // in-group combinations (the minhashNearDupPairs candidate scheme:
+    // no self-join, degenerate buckets capped) → exact-Jaccard verify at
+    // 4/5 in pure int64 → near rep pairs + dup membership edges. DuckDB
+    // recomputes collapse → signature → banding → candidates → verify
+    // bit-for-bit, so the whole pipeline is hash-compared, not
+    // rows-only. The fused xxhash64 production path
+    // (Dedup.minhashNearDupPairs) keeps its DedupSpec recall coverage.
     QEntry("q37_minhash_pairs",
-      (s, d) => minhashPairsMd5(s, d).orderBy(col("a_id"), col("b_id")),
+      (s, d) => minhashPairsMd5(s, d)
+        .orderBy(col("kind"), col("a_id"), col("b_id")),
       Some {
         val P = 4294967311L
         val perms = Seq(
@@ -339,9 +361,20 @@ object Pipeline {
         val sigList = perms.map { case (a, b) =>
           s"list_min(list_transform(hs, x -> (x*$a+$b)%$P))"
         }.mkString("[", ",\n                  ", "]")
-        s"""WITH t AS (
+        s"""WITH grp AS (
+              SELECT md5(text) AS h0, min(doc_id) AS keep_id,
+                count(*) AS n_dups
+              FROM documents GROUP BY 1),
+            reps AS (
+              SELECT d.doc_id, d.text, g.n_dups
+              FROM documents d JOIN grp g ON g.keep_id = d.doc_id),
+            members AS (
+              SELECT g.keep_id AS rep_id, d.doc_id AS member_id
+              FROM documents d JOIN grp g ON g.h0 = md5(d.text)
+              WHERE d.doc_id <> g.keep_id),
+            t AS (
               SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-              FROM documents),
+              FROM reps),
             sh AS (
               SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
                 i -> array_to_string(toks[i:i+2], ' '))) AS shingles
@@ -370,20 +403,33 @@ object Pipeline {
             tok AS (
               SELECT doc_id,
                 unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
-              FROM documents),
+              FROM reps),
             sizes AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
             inter AS (
               SELECT c.a_id, c.b_id, count(*) AS inter
               FROM cand c
               JOIN tok a ON a.doc_id = c.a_id
               JOIN tok b ON b.doc_id = c.b_id AND b.tok = a.tok
-              GROUP BY c.a_id, c.b_id)
-            SELECT i.a_id, i.b_id, i.inter, sa.ntok + sb.ntok - i.inter AS uni
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.a_id
-            JOIN sizes sb ON sb.doc_id = i.b_id
-            WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4
-            ORDER BY a_id, b_id"""
+              GROUP BY c.a_id, c.b_id),
+            near AS (
+              SELECT 'near' AS kind, i.a_id, i.b_id, i.inter,
+                sa.ntok + sb.ntok - i.inter AS uni,
+                CAST(ra.n_dups * rb.n_dups AS BIGINT) AS implied_pairs
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              JOIN reps ra ON ra.doc_id = i.a_id
+              JOIN reps rb ON rb.doc_id = i.b_id
+              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+            dup AS (
+              SELECT 'dup' AS kind, m.rep_id AS a_id, m.member_id AS b_id,
+                s.ntok AS inter, s.ntok AS uni,
+                CAST(1 AS BIGINT) AS implied_pairs
+              FROM members m
+              JOIN h ON h.doc_id = m.rep_id
+              JOIN sizes s ON s.doc_id = m.rep_id)
+            SELECT * FROM near UNION ALL SELECT * FROM dup
+            ORDER BY kind, a_id, b_id"""
       }),
 
     // SimHash signatures with the portable 32-bit md5 formulation —
@@ -392,7 +438,7 @@ object Pipeline {
     QEntry("q38_simhash",
       (s, d) => portableSimhash32(Tables.documents(s, d))
         .orderBy(col("doc_id")),
-      Some(s"""WITH ${portableSimhashSql}
+      Some(s"""WITH ${portableSimhashSql()}
                SELECT doc_id, simhash FROM sig ORDER BY doc_id""")),
 
     // Near-dup pairs → dedup GROUPS: connected components by min-label
@@ -438,11 +484,14 @@ object Pipeline {
     // SimHash banded hamming pair join on the portable signature (q38) —
     // the simhashPairs candidate scheme (band-bucket group-emit, no
     // self-join, capped buckets, bit_count verify BEFORE the distinct)
-    // under the full oracle: 4 bands of 8 bits over the 32-bit portable
-    // simhash; by pigeonhole hamming<=3 pairs always share a band, and
-    // DuckDB rebuilds banding + xor/bit_count verify exactly. The 64-bit
-    // xxhash64 production operator (Dedup.simhashPairs) keeps DedupSpec's
-    // planted-near-dup recall coverage.
+    // under the full oracle and the DEFAULT collapsed contract (VERDICT
+    // r10 item 1): exact md5 collapse first (identical docs share every
+    // band slice — the bucket fan-out squares in duplicate density),
+    // then 4 bands of 8 bits over the 32-bit portable simhash of REPS;
+    // by pigeonhole hamming<=3 pairs always share a band, and DuckDB
+    // rebuilds collapse + banding + xor/bit_count verify exactly. The
+    // 64-bit xxhash64 production operator (Dedup.simhashPairs) keeps
+    // DedupSpec's planted-near-dup recall coverage.
     QEntry("q53_simhash_pairs",
       (s, d) => {
         val width = SimBits / 4
@@ -452,11 +501,13 @@ object Pipeline {
             shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
               .as("bval"))
         }
+        val (reps, dupEdges) = Dedup.collapseExactDocs(
+          Tables.documents(s, d), "doc_id", "text")
         // Two-pass cap (Dedup.dropOversizedBuckets): oversized buckets
         // leave via count + anti-join BEFORE the collect_list, so no
         // aggregation buffer ever holds a degenerate membership — same
         // result set as the old size-filter, same oracle.
-        val buckets = portableSimhash32(Tables.documents(s, d))
+        val buckets = portableSimhash32(reps)
           .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("simhash"),
             col("bk.band").as("band"), col("bk.bval").as("bval"))
@@ -471,28 +522,58 @@ object Pipeline {
             b => struct(
               a.getField("doc_id").as("a_id"), b.getField("doc_id").as("b_id"),
               a.getField("simhash").as("ha"), b.getField("simhash").as("hb")))))
-        grouped.select(explode(combos).as("p"))
+        val nd = reps.select(col("doc_id"), col("n_dups"))
+        val near = grouped.select(explode(combos).as("p"))
           .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
             expr("bit_count(p.ha ^ p.hb)").cast("int").as("hamming"))
           .filter(col("hamming") <= 3)
           .distinct()
-          .orderBy(col("a_id"), col("b_id"))
+          .join(nd.select(col("doc_id").as("a_id"), col("n_dups").as("__na")), "a_id")
+          .join(nd.select(col("doc_id").as("b_id"), col("n_dups").as("__nb")), "b_id")
+          .select(lit("near").as("kind"), col("a_id"), col("b_id"),
+            col("hamming"), (col("__na") * col("__nb")).as("implied_pairs"))
+        val dup = dupEdges.select(lit("dup").as("kind"),
+          col("rep_id").as("a_id"), col("member_id").as("b_id"),
+          lit(0).as("hamming"), lit(1L).as("implied_pairs"))
+        near.union(dup).orderBy(col("kind"), col("a_id"), col("b_id"))
       },
-      Some(s"""WITH ${portableSimhashSql},
+      Some(s"""WITH grp AS (
+              SELECT md5(text) AS h0, min(doc_id) AS keep_id,
+                count(*) AS n_dups
+              FROM documents GROUP BY 1),
+            reps AS (
+              SELECT d.doc_id, d.text, g.n_dups
+              FROM documents d JOIN grp g ON g.keep_id = d.doc_id),
+            members AS (
+              SELECT g.keep_id AS rep_id, d.doc_id AS member_id
+              FROM documents d JOIN grp g ON g.h0 = md5(d.text)
+              WHERE d.doc_id <> g.keep_id),
+            ${portableSimhashSql("reps")},
             bands AS (
               SELECT doc_id, simhash, band, (simhash >> (band*8)) & 255 AS bval
               FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
             ok AS (
               SELECT band, bval FROM bands
-              GROUP BY band, bval HAVING count(*) BETWEEN 2 AND 1000)
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-            FROM bands a
-            JOIN bands b ON b.band = a.band AND b.bval = a.bval
-                        AND b.doc_id > a.doc_id
-            JOIN ok ON ok.band = a.band AND ok.bval = a.bval
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-            ORDER BY a_id, b_id""")),
+              GROUP BY band, bval HAVING count(*) BETWEEN 2 AND 1000),
+            near AS (
+              SELECT DISTINCT 'near' AS kind, a.doc_id AS a_id,
+                b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+                CAST(ra.n_dups * rb.n_dups AS BIGINT) AS implied_pairs
+              FROM bands a
+              JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                          AND b.doc_id > a.doc_id
+              JOIN ok ON ok.band = a.band AND ok.bval = a.bval
+              JOIN reps ra ON ra.doc_id = a.doc_id
+              JOIN reps rb ON rb.doc_id = b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            dup AS (
+              SELECT 'dup' AS kind, rep_id AS a_id, member_id AS b_id,
+                CAST(0 AS INTEGER) AS hamming,
+                CAST(1 AS BIGINT) AS implied_pairs
+              FROM members)
+            SELECT * FROM near UNION ALL SELECT * FROM dup
+            ORDER BY kind, a_id, b_id""")),
 
     // Embedding-cosine near-dup on a defined candidate set (adjacent vec
     // ids) — quantized-exact, oracle-backed; the unbounded-candidate

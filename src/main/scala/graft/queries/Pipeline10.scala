@@ -207,10 +207,17 @@ object Pipeline10 {
     // BOTH sides by LSH bucket (knownQueryCount=MaxValue forces the
     // shuffle-hash join — corpus×corpus stays a keyed bucket join),
     // directed top-k edges are mutualized by a self-join on the edge
-    // set, and per-node mutual degree rolls up. Quantize/bucket/score
-    // are all int64, so the oracle replays the whole chain bit-for-bit.
-    // The checkpoint discipline: the quantized frame feeds both sides;
-    // the edge frame feeds both sides of the mutual join.
+    // set, and per-node mutual degree rolls up. DEFAULT collapsed
+    // contract (VERDICT r10 item 1 — the measured 32× sf≈1 replica
+    // pathology: byte-identical vectors square inside every bucket AND
+    // pollute each other's top-k): identical quantized vectors collapse
+    // to min-id reps BEFORE bucketing, the graph is built over DISTINCT
+    // vectors, and every member row inherits its rep's mutual degree
+    // (identical vectors have identical neighborhoods by construction).
+    // Quantize/collapse/bucket/score are all int64, so the oracle
+    // replays the whole chain bit-for-bit. The checkpoint discipline:
+    // the quantized frame feeds the collapse + both join sides; the
+    // edge frame feeds both sides of the mutual join.
     QEntry("q159_knn_graph",
       (s, d) => {
         val corpusQ = Tables.embeddings(s, d)
@@ -218,9 +225,20 @@ object Pipeline10 {
             graft.expressions.functions.quantize_vec(col("embedding"), 10000.0)
               .as("qe"))
           .localCheckpoint()
+        val keyed = corpusQ.withColumn("k",
+          md5(concat_ws(",", col("qe").cast("array<string>"))))
+        val grp = keyed.groupBy(col("k"))
+          .agg(min(col("vec_id")).as("rep_id"))
+          .localCheckpoint()
+        val membership = keyed.join(grp, "k")
+          .select(col("vec_id"), col("rep_id"))
+        val reps = keyed.join(grp, "k")
+          .filter(col("vec_id") === col("rep_id"))
+          .select(col("vec_id"), col("qe"))
+          .localCheckpoint()
         val knn = graft.pipeline.Similarity.cosineTopKBucketedQ(
-            corpusQ.select(col("vec_id").as("q_id"), col("qe")),
-            corpusQ, nBits = 4, k = 4,
+            reps.select(col("vec_id").as("q_id"), col("qe")),
+            reps, nBits = 4, k = 4,
             knownQueryCount = Some(Long.MaxValue))
           .filter(col("q_id") =!= col("vec_id"))
           .select(col("q_id").as("a"), col("vec_id").as("b"))
@@ -229,10 +247,10 @@ object Pipeline10 {
           .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
           .filter(col("a") < col("b"))
         val deg = mutual
-          .select(explode(array(col("a"), col("b"))).as("vec_id"))
-          .groupBy(col("vec_id")).agg(count(lit(1)).as("mutual_degree"))
-        corpusQ.select(col("vec_id")).join(deg, Seq("vec_id"), "left")
-          .select(col("vec_id"),
+          .select(explode(array(col("a"), col("b"))).as("rep_id"))
+          .groupBy(col("rep_id")).agg(count(lit(1)).as("mutual_degree"))
+        membership.join(deg, Seq("rep_id"), "left")
+          .select(col("vec_id"), col("rep_id"),
             coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
           .orderBy(col("vec_id"))
       },
@@ -240,8 +258,19 @@ object Pipeline10 {
                 SELECT vec_id, list_transform(embedding,
                   v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
                 FROM embeddings),
+              kq AS (
+                SELECT vec_id, qe,
+                  md5(list_aggregate(list_transform(qe,
+                    x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS k
+                FROM qz),
+              grp AS (SELECT k, min(vec_id) AS rep_id FROM kq GROUP BY k),
+              membership AS (
+                SELECT kq.vec_id, g.rep_id FROM kq JOIN grp g USING (k)),
+              repv AS (
+                SELECT g.rep_id AS vec_id, kq.qe
+                FROM grp g JOIN kq ON kq.vec_id = g.rep_id),
               bk AS (SELECT vec_id, qe, ${Pipeline2.duckBucketBits(4)} AS bucket
-                     FROM qz),
+                     FROM repv),
               cand AS (
                 SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
                   CAST(list_sum(list_transform(range(len(q.qe)),
@@ -262,14 +291,15 @@ object Pipeline10 {
                 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
                 WHERE k1.a < k1.b),
               ends AS (
-                SELECT a AS vec_id FROM mutual
+                SELECT a AS rep_id FROM mutual
                 UNION ALL SELECT b FROM mutual),
               deg AS (
-                SELECT vec_id, CAST(count(*) AS BIGINT) AS mutual_degree
-                FROM ends GROUP BY vec_id)
-              SELECT e.vec_id, coalesce(d.mutual_degree, 0) AS mutual_degree
-              FROM embeddings e LEFT JOIN deg d ON d.vec_id = e.vec_id
-              ORDER BY e.vec_id""")),
+                SELECT rep_id, CAST(count(*) AS BIGINT) AS mutual_degree
+                FROM ends GROUP BY rep_id)
+              SELECT m.vec_id, m.rep_id,
+                coalesce(d.mutual_degree, 0) AS mutual_degree
+              FROM membership m LEFT JOIN deg d ON d.rep_id = m.rep_id
+              ORDER BY m.vec_id""")),
 
     // URL canonicalization — the first step of every crawl pipeline
     // (dedup by canonical URL, domain caps, domain blocklists all key

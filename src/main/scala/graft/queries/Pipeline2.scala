@@ -57,48 +57,91 @@ object Pipeline2 {
 
     // All-pairs embedding near-dup: hyperplane-LSH candidates + exact
     // quantized cosine — integer-exact end to end, so the ORACLE rebuilds
-    // buckets, candidates and scores bit-for-bit (unlike the xxhash64
-    // operators q37/q53, which are rows-only by construction).
+    // collapse, buckets, candidates and scores bit-for-bit (unlike the
+    // xxhash64 operators q37/q53's production twins). DEFAULT contract
+    // (VERDICT r10 item 1): bit-identical quantized vectors collapse to
+    // min-id reps BEFORE bucketing — duplicate vectors collide in every
+    // bucket and pair cost is Σ bucket² (measured ~100× at 10 corpus
+    // copies) — output = dup membership ∪ rep near pairs, each near pair
+    // carrying its implied cross-duplicate pair count.
     QEntry("q60_cosine_pairs_lsh",
       (s, d) => Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         dim = 64, nBits = 4, threshold = 0.35)
-        .orderBy(col("a_id"), col("b_id")),
+        .orderBy(col("kind"), col("a_id"), col("b_id")),
       Some(s"""WITH q AS (
                 SELECT vec_id, list_transform(embedding,
                   v -> CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT)) AS qe
                 FROM embeddings),
-              bk AS (SELECT vec_id, qe, ${duckBucketBits(4)} AS bucket FROM q),
+              kq AS (
+                SELECT vec_id, qe,
+                  md5(list_aggregate(list_transform(qe,
+                    x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS k
+                FROM q),
+              grp AS (
+                SELECT k, min(vec_id) AS rep_id, count(*) AS n_dups
+                FROM kq GROUP BY k),
+              repv AS (
+                SELECT g.rep_id AS vec_id, kq.qe, g.n_dups
+                FROM grp g JOIN kq ON kq.vec_id = g.rep_id),
+              dups AS (
+                SELECT 'dup' AS kind, g.rep_id AS a_id, kq.vec_id AS b_id,
+                  CAST(list_sum(list_transform(kq.qe, x -> x*x)) AS BIGINT) AS dot,
+                  CAST(1.0 AS DOUBLE) AS cos4, CAST(1 AS BIGINT) AS implied_pairs
+                FROM kq JOIN grp g USING (k)
+                WHERE kq.vec_id != g.rep_id),
+              bk AS (SELECT vec_id, qe, n_dups, ${duckBucketBits(4)} AS bucket
+                     FROM repv),
               pairs AS (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                   CAST(list_sum(list_transform(range(len(a.qe)),
                     i -> a.qe[i+1] * b.qe[i+1])) AS BIGINT) AS dot,
                   CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT) AS na,
-                  CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT) AS nb
-                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-              SELECT a_id, b_id, dot,
-                round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos4
-              FROM pairs
-              WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35
-              ORDER BY a_id, b_id""")),
+                  CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT) AS nb,
+                  a.n_dups AS nda, b.n_dups AS ndb
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              near AS (
+                SELECT 'near' AS kind, a_id, b_id, dot,
+                  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos4,
+                  CAST(nda * ndb AS BIGINT) AS implied_pairs
+                FROM pairs
+                WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35)
+              SELECT * FROM dups UNION ALL SELECT * FROM near
+              ORDER BY kind, a_id, b_id""")),
 
-    // Exact n-gram Jaccard similarity JOIN (prefix-filtered AllPairs).
-    // The oracle is deliberately the BRUTE-FORCE all-pairs formulation:
-    // prefix filtering is lossless, so the driver gate itself proves the
-    // candidate pruning drops no pair.
+    // Exact n-gram Jaccard similarity JOIN (prefix-filtered AllPairs),
+    // under the DEFAULT contract: exact duplicates collapse to min-id
+    // reps first (VERDICT r10 item 1 — the measured 155× sf≈10
+    // duplicate-squaring pathology, fixed at the path users run), output
+    // = `near` rep pairs with implied_pairs + `dup` membership edges.
+    // The oracle replays the collapse, then the BRUTE-FORCE all-pairs
+    // formulation over reps: prefix filtering is lossless, so the
+    // driver gate itself proves the candidate pruning drops no pair.
     // n = 3 (word trigrams): on this corpus's 31-word vocabulary,
     // bigrams are so common that NO exact algorithm has selective
     // prefixes (measured: 6M candidates, ~half of brute force) — the
     // n-gram order must outgrow the vocabulary for rarity to exist
     // (trigrams: 122k candidates at sf0.1, 50x less). Tuning note in
-    // Dedup.ngramJaccardPairs scaladoc.
+    // Dedup.ngramJaccardPairs scaladoc. The fixture has no byte dups
+    // (dup branch empty here; q275 plants dups to exercise it).
     QEntry("q61_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, tNum = 4, tDen = 5)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH t AS (
+        .orderBy(col("kind"), col("a_id"), col("b_id")),
+      Some("""WITH grp AS (
+                SELECT md5(text) AS h, min(doc_id) AS keep_id,
+                  count(*) AS n_dups
+                FROM documents GROUP BY 1),
+              reps AS (
+                SELECT d.doc_id, d.text, g.n_dups
+                FROM documents d JOIN grp g ON g.keep_id = d.doc_id),
+              members AS (
+                SELECT g.keep_id AS rep_id, d.doc_id AS member_id
+                FROM documents d JOIN grp g ON g.h = md5(d.text)
+                WHERE d.doc_id <> g.keep_id),
+              t AS (
                 SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                FROM documents),
+                FROM reps),
               g AS (
                 SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs
@@ -108,14 +151,24 @@ object Pipeline2 {
               inter AS (
                 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                 FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-              SELECT i.a_id, i.b_id, i.inter,
-                     sa.ntok + sb.ntok - i.inter AS uni
-              FROM inter i
-              JOIN sz sa ON sa.doc_id = i.a_id
-              JOIN sz sb ON sb.doc_id = i.b_id
-              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4
-              ORDER BY i.a_id, i.b_id""")),
+                GROUP BY 1, 2),
+              near AS (
+                SELECT 'near' AS kind, i.a_id, i.b_id, i.inter,
+                  sa.ntok + sb.ntok - i.inter AS uni,
+                  CAST(ra.n_dups * rb.n_dups AS BIGINT) AS implied_pairs
+                FROM inter i
+                JOIN sz sa ON sa.doc_id = i.a_id
+                JOIN sz sb ON sb.doc_id = i.b_id
+                JOIN reps ra ON ra.doc_id = i.a_id
+                JOIN reps rb ON rb.doc_id = i.b_id
+                WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+              dup AS (
+                SELECT 'dup' AS kind, m.rep_id AS a_id,
+                  m.member_id AS b_id, s.ntok AS inter, s.ntok AS uni,
+                  CAST(1 AS BIGINT) AS implied_pairs
+                FROM members m JOIN sz s ON s.doc_id = m.rep_id)
+              SELECT * FROM near UNION ALL SELECT * FROM dup
+              ORDER BY kind, a_id, b_id""")),
 
     // Multi-column exact COUNT(DISTINCT) without Expand
     // (operators/MultiDistinct.scala): per-column two-phase dedup joined

@@ -8,48 +8,57 @@ import graft.pipeline.Dedup
   * that restores linearity to near-dup joins on duplication-dense
   * corpora (the q152/q172 lesson promoted to the TEXT side — SCALE.md
   * measured the uncollapsed q61 at 155× on the sf≈10 replica, the
-  * squared-pairs pathology this operator removes).
+  * squared-pairs pathology this operator removes). Round 11 made the
+  * collapse the OPERATOR DEFAULT (VERDICT r10 item 1), so this gate row
+  * now pins the default's dup path on a corpus that actually HAS byte
+  * duplicates — the text twin of q152's planted-dup vector gate.
   */
 object Pipeline32 {
 
   val entries: Seq[QEntry] = Seq(
 
-    // Collapse-then-join: exact groups first (one md5 hash-agg), the
-    // PPJoin n-gram similarity join runs on group REPRESENTATIVES
-    // only, and each surviving rep pair carries the IMPLIED
-    // cross-duplicate pair count (n_dups_a · n_dups_b) — the full
-    // near-dup pair set without materializing it. On a corpus where
-    // every doc has k byte-copies this turns O((k·D)²)-shaped
-    // candidate generation into O(D²-shaped-on-distinct + D·k) —
-    // measured at the sf≈10 byte-dup corpus in SCALE.md. The fixture
-    // has no exact dups, so the gate row pins the composition's
-    // degenerate-case equality with q61 (implied_pairs = 1).
+    // The default collapsed PPJoin on a PLANTED duplicate corpus: the
+    // %7==3 slice copied at +1e7 ids, the %13==5 slice at +2e7 (a doc in
+    // both slices gets n_dups = 3). The operator's built-in collapse
+    // must (a) emit one `dup` edge per planted copy with inter = uni =
+    // the rep's gram-set size, (b) weight every `near` rep pair by
+    // n_dups(a)·n_dups(b) — the full cross-duplicate pair count without
+    // materializing it (on a corpus where every doc has k byte-copies
+    // this turns O((k·D)²)-shaped candidate generation into
+    // O(D²-shaped-on-distinct + D·k); measured >100× in SCALE.md).
+    // The oracle replays collapse → brute-force join over reps → dup
+    // edges bit-for-bit.
     QEntry("q275_collapsed_ngram_join",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val groups = Dedup.exactGroups(docs, "doc_id", "text")
-          .select(col("keep_id").as("doc_id"), col("n_dups"))
-        val reps = docs.join(groups, "doc_id")
-          .localCheckpoint() // reps feed the join AND both expansions
-        val pairs = Dedup.ngramJaccardPairs(
-          reps.select(col("doc_id"), col("text")), "doc_id", "text",
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val planted = docs
+          .union(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
+          .union(docs.filter(col("doc_id") % 13 === 5)
+            .select((col("doc_id") + 20000000).as("doc_id"), col("text")))
+        Dedup.ngramJaccardPairs(planted, "doc_id", "text",
           n = 3, tNum = 4, tDen = 5)
-        pairs
-          .join(reps.select(col("doc_id").as("a_id"),
-            col("n_dups").as("na")), "a_id")
-          .join(reps.select(col("doc_id").as("b_id"),
-            col("n_dups").as("nb")), "b_id")
-          .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
-            (col("na") * col("nb")).as("implied_pairs"))
-          .orderBy(col("a_id"), col("b_id"))
+          .orderBy(col("kind"), col("a_id"), col("b_id"))
       },
-      Some("""WITH grp AS (
+      Some("""WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 7 = 3
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents
+                WHERE doc_id % 13 = 5),
+              grp AS (
                 SELECT md5(text) AS h, min(doc_id) AS keep_id,
                   count(*) AS n_dups
-                FROM documents GROUP BY 1),
+                FROM base GROUP BY 1),
               reps AS (
-                SELECT d.doc_id, d.text, g.n_dups
-                FROM documents d JOIN grp g ON g.keep_id = d.doc_id),
+                SELECT b.doc_id, b.text, g.n_dups
+                FROM base b JOIN grp g ON g.keep_id = b.doc_id),
+              members AS (
+                SELECT g.keep_id AS rep_id, b.doc_id AS member_id
+                FROM base b JOIN grp g ON g.h = md5(b.text)
+                WHERE b.doc_id <> g.keep_id),
               t AS (
                 SELECT doc_id, string_split_regex(lower(text), '\s+')
                   AS toks
@@ -67,16 +76,23 @@ object Pipeline32 {
                   count(*) AS inter
                 FROM e a JOIN e b ON a.tok = b.tok
                   AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-              SELECT i.a_id, i.b_id, i.inter,
-                sa.ntok + sb.ntok - i.inter AS uni,
-                CAST(ga.n_dups * gb.n_dups AS BIGINT) AS implied_pairs
-              FROM inter i
-              JOIN sz sa ON sa.doc_id = i.a_id
-              JOIN sz sb ON sb.doc_id = i.b_id
-              JOIN reps ga ON ga.doc_id = i.a_id
-              JOIN reps gb ON gb.doc_id = i.b_id
-              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4
-              ORDER BY i.a_id, i.b_id"""))
+                GROUP BY 1, 2),
+              near AS (
+                SELECT 'near' AS kind, i.a_id, i.b_id, i.inter,
+                  sa.ntok + sb.ntok - i.inter AS uni,
+                  CAST(ra.n_dups * rb.n_dups AS BIGINT) AS implied_pairs
+                FROM inter i
+                JOIN sz sa ON sa.doc_id = i.a_id
+                JOIN sz sb ON sb.doc_id = i.b_id
+                JOIN reps ra ON ra.doc_id = i.a_id
+                JOIN reps rb ON rb.doc_id = i.b_id
+                WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+              dup AS (
+                SELECT 'dup' AS kind, m.rep_id AS a_id,
+                  m.member_id AS b_id, s.ntok AS inter, s.ntok AS uni,
+                  CAST(1 AS BIGINT) AS implied_pairs
+                FROM members m JOIN sz s ON s.doc_id = m.rep_id)
+              SELECT * FROM near UNION ALL SELECT * FROM dup
+              ORDER BY kind, a_id, b_id"""))
   )
 }

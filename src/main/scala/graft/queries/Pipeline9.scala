@@ -636,8 +636,13 @@ object Pipeline9 {
             Pipeline.minhashCandidatesMd5(s, d), grams3, 0.0)
           .filter(col("inter") * 5 >= col("uni") * 4)
           .select(col("a_id"), col("b_id")).localCheckpoint()
+        // collapseExact = false: this is a pair-set RECALL comparison
+        // (LSH candidates vs the exact join), so both sides must speak
+        // raw pairs — the collapsed contract's rep edges would need
+        // expansion before they compare.
         val exact = graft.pipeline.Dedup.ngramJaccardPairs(
-            docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+            docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5,
+            collapseExact = false)
           .select(col("a_id"), col("b_id")).localCheckpoint()
         val nL = lsh.agg(count(lit(1)).as("n_lsh"))
         val nE = exact.agg(count(lit(1)).as("n_exact"))
@@ -1327,28 +1332,33 @@ object Pipeline9 {
                   md5(list_aggregate(list_transform(qe,
                     x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS k
                 FROM q),
-              reps AS (SELECT k, min(vec_id) AS rep_id FROM kq GROUP BY k),
+              reps AS (
+                SELECT k, min(vec_id) AS rep_id, count(*) AS n_dups
+                FROM kq GROUP BY k),
               repv AS (
-                SELECT r.rep_id AS vec_id, kq.qe
+                SELECT r.rep_id AS vec_id, kq.qe, r.n_dups
                 FROM reps r JOIN kq ON kq.vec_id = r.rep_id),
               dups AS (
                 SELECT 'dup' AS kind, r.rep_id AS a_id, kq.vec_id AS b_id,
                   CAST(list_sum(list_transform(kq.qe, x -> x*x)) AS BIGINT) AS dot,
-                  CAST(1.0 AS DOUBLE) AS cos4
+                  CAST(1.0 AS DOUBLE) AS cos4, CAST(1 AS BIGINT) AS implied_pairs
                 FROM kq JOIN reps r USING (k)
                 WHERE kq.vec_id != r.rep_id),
-              bk AS (SELECT vec_id, qe, ${Pipeline2.duckBucketBits(4)} AS bucket
+              bk AS (SELECT vec_id, qe, n_dups,
+                       ${Pipeline2.duckBucketBits(4)} AS bucket
                      FROM repv),
               pairs AS (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                   CAST(list_sum(list_transform(range(len(a.qe)),
                     i -> a.qe[i+1] * b.qe[i+1])) AS BIGINT) AS dot,
                   CAST(list_sum(list_transform(a.qe, x -> x*x)) AS BIGINT) AS na,
-                  CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT) AS nb
+                  CAST(list_sum(list_transform(b.qe, x -> x*x)) AS BIGINT) AS nb,
+                  a.n_dups AS nda, b.n_dups AS ndb
                 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
               near AS (
                 SELECT 'near' AS kind, a_id, b_id, dot,
-                  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos4
+                  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos4,
+                  CAST(nda * ndb AS BIGINT) AS implied_pairs
                 FROM pairs
                 WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.35)
               SELECT * FROM dups

@@ -125,9 +125,14 @@ object ScaleBench {
         (0 until 19).map(t => concat(lit("w"), (blk + t).cast("string"))) :+
         concat(lit("w"), (blk + 19).cast("string"),
           lit("x"), (col("id") % 2).cast("string")): _*).as("text"))
+    // collapseExact = false: the twin docs are near- but not byte-
+    // identical, so this pins the PPJoin CORE's O(E) claim in isolation;
+    // the default's collapse stage is one md5 hash-agg on top
+    // (CollapseDefaultSpec covers its equivalence).
     val nPairs = phase("ppjoin 1M twin docs") {
       graft.pipeline.Dedup.ngramJaccardPairs(
-        docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+        docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5,
+        collapseExact = false)
         .count()
     }
     println(s"[scalebench] ppjoin pairs=$nPairs expected=${nDocs / 2} " +

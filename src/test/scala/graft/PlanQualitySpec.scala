@@ -111,12 +111,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Join"), s"no join in interval-join plan:\n$plan")
   }
 
-  test("q60 cosine pairs: fused bucket expression, one grouping (no self-join)") {
+  test("q60 cosine pairs: fused bucket expression, bucket stage join-free") {
     val plan = finalPlan(query("q60_cosine_pairs_lsh"))
     assert(plan.toLowerCase.contains("lshbucketlong"),
       s"bucket not the fused expression:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
-      s"candidate generation degraded to a join:\n$plan")
+    // The default collapse adds keyed equality joins (md5 membership,
+    // n_dups decoration) — those are fine at scale. What must never
+    // appear: a CARTESIAN anything, or a join ON THE BUCKET KEY (the
+    // self-join that recomputes the quantize lineage twice — candidate
+    // generation stays one grouping + in-group combinations).
+    assert(!plan.contains("Cartesian"), s"cartesian in pair plan:\n$plan")
+    val joinKeys = "SortMergeJoin \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(!joinKeys.exists(_.contains("bucket")),
+      s"candidate generation degraded to a bucket self-join:\n$plan")
   }
 
   test("q62 multi-distinct: no Expand, aggregations partial+final") {

@@ -21,9 +21,22 @@ class ExactJoinSpec extends SparkSpec {
       (3L, base),                 // exact dup of 0 → J = 1
       (4L, (1 to 10).map(i => s"t$i").reverse.mkString(" ")) // same tokens, reversed → disjoint bigrams
     ).toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tNum = 4, tDen = 5)
+    // default contract: doc 3 (byte-identical to 0) collapses into a
+    // `dup` edge; near rep pairs carry the implied cross-dup count
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tNum = 4, tDen = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.collect { case ("dup", a, b, _) => (a, b) }.toSet == Set((0L, 3L)),
+      s"wrong dup edges: ${out.toSeq}")
+    assert(out.collect { case ("near", a, b, _) => (a, b) }.toSet == Set((0L, 1L)),
+      s"wrong near pairs: ${out.toSeq}")
+    // (0,1) stands for {0,3}×{1}: implied_pairs = 2
+    assert(out.collect { case ("near", 0L, 1L, ip) => ip }.head == 2L)
+    // core path (pre-collapsed corpora): the raw pair contract
+    val raw = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tNum = 4,
+      tDen = 5, collapseExact = false)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(got == Set((0L, 1L), (0L, 3L), (1L, 3L)), s"wrong pairs: $got")
+    assert(raw == Set((0L, 1L), (0L, 3L), (1L, 3L)), s"wrong raw pairs: $raw")
   }
 
   test("ngram jaccard join equals the brute-force all-pairs result") {
@@ -44,7 +57,8 @@ class ExactJoinSpec extends SparkSpec {
     val brute = Dedup.verifyJaccard(allPairs, grams, 0.0)
       .filter(col("inter") * 5 >= col("uni") * 4)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tNum = 4, tDen = 5)
+    val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+      tNum = 4, tDen = 5, collapseExact = false) // raw pairs vs brute force
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pruned == brute, s"prefix filter lost/added pairs: " +
       s"missing=${brute -- pruned} extra=${pruned -- brute}")

@@ -25,13 +25,22 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds near-dup pair and skips unrelated docs") {
-    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+    // default contract: the exact dup (0,3) arrives as a `dup` membership
+    // edge (never a squared member×member pair), near-dups as rep pairs
+    val rows = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
       numHashes = 32, bands = 16, shingleK = 2, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dups = rows.collect { case ("dup", a, b) => (a, b) }.toSet
+    assert(dups == Set((0L, 3L)), s"wrong dup edges: ${rows.toSeq}")
+    val near = rows.collect { case ("near", a, b) => (a, b) }.toSet
+    assert(near.contains((0L, 1L)), s"near-dup rep pair missing: $near")
+    assert(!rows.exists(p => p._2 == 2L || p._3 == 2L), s"false pair: ${rows.toSeq}")
+    // the core path (pre-collapsed corpora) keeps the raw pair contract
+    val raw = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleK = 2, threshold = 0.5,
+      collapseExact = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 3L)), s"exact dup pair missing: $pairs")
-    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)),
-      s"near-dup pair missing: $pairs")
-    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"false pair: $pairs")
+    assert(raw.contains((0L, 3L)) && raw.contains((0L, 1L)), s"raw: $raw")
   }
 
   test("incremental near-dup loop equals the batch operator across micro-batches") {
@@ -57,7 +66,8 @@ class DedupSpec extends SparkSpec {
     // batch ground truth: every verified near-dup pair involving at
     // least one arriving doc (pairs fully inside the corpus are the
     // corpus's own dedup, not this operator's job)
-    val expected = Dedup.minhashNearDupPairs(all, "doc_id", "text")
+    val expected = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+        collapseExact = false) // raw pairs — the incremental loop's contract
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (a, b) => a >= 300 || b >= 300 }.toSet
@@ -132,18 +142,22 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash banded pair join: recalls planted near-dups, rejects unrelated") {
-    // Exact dups have hamming 0 → must pair regardless of banding; the
-    // one-word-changed near-dup lands within maxHamming for this corpus.
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+    // Default contract: the exact dup (0,3) is a `dup` edge at hamming 0;
+    // the one-word-changed near-dup lands within maxHamming as a rep pair.
+    val rows = Dedup.simhashPairs(docs, "doc_id", "text",
       bands = 4, maxHamming = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    val keys = pairs.map(p => (p._1, p._2)).toSet
-    assert(keys.contains((0L, 3L)), s"exact dup pair missing: ${pairs.toSeq}")
-    assert(pairs.collect { case (0L, 3L, h) => h }.head == 0)
-    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L),
-      s"unrelated doc paired: ${pairs.toSeq}")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val dups = rows.collect { case ("dup", a, b, h) => (a, b, h) }.toSet
+    assert(dups == Set((0L, 3L, 0)), s"wrong dup edges: ${rows.toSeq}")
+    assert(!rows.exists(p => p._2 == 4L || p._3 == 4L),
+      s"unrelated doc paired: ${rows.toSeq}")
     // pigeonhole guarantee: every pair emitted respects the verify bound
-    assert(pairs.forall(_._3 <= 3))
+    assert(rows.forall(_._4 <= 3))
+    // core path keeps the raw contract (and hamming-0 exact-dup pair)
+    val raw = Dedup.simhashPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3, collapseExact = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(raw.collect { case (0L, 3L, h) => h }.head == 0, s"raw: ${raw.toSeq}")
   }
 
   test("components of an edgeless graph: every node is its own component") {

@@ -195,7 +195,8 @@ class EventsProfileSpec extends SparkSpec {
     // and the candidates agree with the all-pairs batch operator where
     // scopes overlap: every verified cross-boundary near-dup pair must
     // have been a streaming candidate (candidates are a superset).
-    val allPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    val allPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        collapseExact = false) // raw pairs — candidate-superset comparison
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val crossBoundary = allPairs.collect {
       case (a, b) if a < 400 && b >= 400 => (b, a)
