@@ -31,7 +31,9 @@ object ProfileMain {
       text: Boolean)
 
   def parse(argv: Array[String]): Args = {
-    val all = Detector.defaultSpecs.map(_.semType)
+    // built-ins + anything the embedding application registered through
+    // graft.profile.TypeRegistry (the pluggable-type seam)
+    val all = graft.profile.TypeRegistry.all.map(_.semType)
     var types = all
     var sampleN = 100
     var text = false
@@ -59,7 +61,8 @@ object ProfileMain {
         spark.read.parquet(a.input)
       else CsvSource.read(spark, a.input)
 
-    val specs = Detector.fusedSpecs.filter(s => a.types.contains(s.semType))
+    val specs = graft.profile.TypeRegistry.allFused
+      .filter(s => a.types.contains(s.semType))
     val detected = Detector.detect(df, specs, a.sampleN)
     println(s"[profile] detected: " + detected.map(d =>
       s"${d.column}:${d.semType}(${d.hits}/${d.sampled})").mkString(", "))

@@ -28,7 +28,8 @@ object SparkEntry {
       Pipeline24.entries ++ Pipeline25.entries ++ Pipeline26.entries ++
       Pipeline27.entries ++ Pipeline28.entries ++ Pipeline29.entries ++
       Pipeline30.entries ++ Pipeline31.entries ++ Pipeline32.entries ++
-      Pipeline33.entries ++ Pipeline34.entries ++ Pipeline35.entries
+      Pipeline33.entries ++ Pipeline34.entries ++ Pipeline35.entries ++
+      Pipeline36.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

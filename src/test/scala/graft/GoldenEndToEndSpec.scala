@@ -55,4 +55,34 @@ class GoldenEndToEndSpec extends SparkSpec {
     val lines = spark.read.text(out.getAbsolutePath).collect().map(_.getString(0))
     assert(lines.exists(_.startsWith("(Phone,(1,1,")), lines.take(3).mkString("; "))
   }
+
+  test("golden NYC CSV through ProfileMain: full detection set + CENSUS_TRACT→zip pin") {
+    // the checked-in q287 fixture through the USER entry point (CLI
+    // core): every semantic type detected on its column, the three
+    // documented false positives present, Descriptor and id silent.
+    val out = java.nio.file.Files.createTempDirectory("goldenpm")
+      .resolve("out").toString
+    ProfileMain.run(spark, ProfileMain.parse(
+      Array("/root/repo/data/csv_golden_nyc.csv", out)))
+    val summary = spark.read.parquet(s"$out/summary")
+    val pairs = summary.select("column", "semType").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = Set(
+      ("Phone", "phone"), ("State", "state"), ("Borough", "boro"),
+      ("Incident Zip", "zip"), ("Latitude", "lat"), ("Longitude", "long"),
+      ("Location", "coords"), ("Email", "email"), ("Website", "url"),
+      ("Created Date", "isodate"), ("Server IP", "ipv4"),
+      ("Amount", "money"),
+      // honest false positives, each explained in Pipeline36.goldenOracle
+      ("CENSUS_TRACT", "zip"), ("Location", "phone"), ("Email", "url"))
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} extra=${pairs -- expected}")
+    assert(!pairs.exists(_._1 == "Descriptor") && !pairs.exists(_._1 == "id"))
+    // the reference's Block/CENSUS_TRACT→zip pattern at verdict grain:
+    // every tract code classifies as a 9-digit dictionary zip (code 2)
+    val tract = summary.collect()
+      .filter(r => r.getString(0) == "CENSUS_TRACT")
+      .map(r => r.getInt(2) -> r.getLong(3)).toMap
+    assert(tract == Map(2 -> 96L), s"tract codes: $tract")
+  }
 }
