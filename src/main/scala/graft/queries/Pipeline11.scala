@@ -543,10 +543,14 @@ object Pipeline11 {
         val docs = Tables.documents(s, d).select(col("doc_id"))
           .localCheckpoint() // nodes: counted for N + joined every round
         val n = docs.count()
+        // reduce doc_id mod n BEFORE squaring: (d·d) mod n ==
+        // ((d mod n)·(d mod n)) mod n, so the oracle's d*d form is
+        // value-identical while this side survives replica-scale ids
+        // (1e10² overflows int64 under ANSI — hit at the sf≈10 run)
+        val m = pmod(col("doc_id"), lit(n))
         val edges = docs.select(col("doc_id").as("src"),
-            ((col("doc_id") * 7 + 1) % n).as("dst"))
-          .union(docs.select(col("doc_id"),
-            (col("doc_id") * col("doc_id")) % n))
+            ((m * 7 + 1) % n).as("dst"))
+          .union(docs.select(col("doc_id"), (m * m) % n))
           .union(docs.select(col("doc_id"), expr("doc_id div 2")))
         graft.operators.PageRank.run(
             edges, docs.select(col("doc_id").as("id")), iters = 3)

@@ -120,10 +120,12 @@ object Pipeline12 {
         val docs = Tables.documents(s, d).select(col("doc_id"))
           .localCheckpoint()
         val n = docs.count()
+        // (d·d) mod n == ((d mod n)·(d mod n)) mod n — oracle-identical,
+        // but survives replica-scale ids (the q178 sf≈10 overflow)
+        val m = pmod(col("doc_id"), lit(n))
         val raw = docs.select(col("doc_id").as("src"),
-            ((col("doc_id") * 7 + 1) % n).as("dst"))
-          .union(docs.select(col("doc_id"),
-            (col("doc_id") * col("doc_id")) % n))
+            ((m * 7 + 1) % n).as("dst"))
+          .union(docs.select(col("doc_id"), (m * m) % n))
           .union(docs.select(col("doc_id"), expr("doc_id div 2")))
           .filter(col("src") =!= col("dst"))
         // undirected edge set, canonical (lo, hi), deduped
