@@ -142,12 +142,41 @@ object Dedup {
   /** The incremental-corpus near-dup loop, end to end: a foreachBatch
     * sink that, per micro-batch of arriving docs,
     *
-    *  1. absorbs the batch into the running bucket/token state FIRST
+    *  1. (default) COLLAPSES the batch against the running digest state
+    *     first — an arrival whose md5 matches a digest already seen is
+    *     absorbed as a MEMBER of that group (one `kind='dup'`
+    *     (rep, member) row, NO bucket join, NO state growth), and
+    *     in-batch byte-dups collapse to one min-id rep; only genuinely
+    *     fresh texts enter the bucket/token state,
+    *  2. absorbs the fresh reps into the running bucket/token state
     *     (so same-batch near-dups are found too),
-    *  2. generates candidates = batch buckets x all buckets so far,
-    *  3. verifies them exactly (token Jaccard >= tNum/tDen, normalized
+    *  3. generates candidates = fresh-rep buckets x all rep buckets so
+    *     far,
+    *  4. verifies them exactly (token Jaccard >= tNum/tDen, normalized
     *     (least, greatest) pairs, deduped within the batch), and
-    *  4. hands the verified pairs to `onPairs`.
+    *  5. hands `onPairs` the batch-twin contract
+    *     (kind, a_id, b_id, inter, uni, implied_pairs): `near` rep
+    *     pairs (implied_pairs = n_dups(a)·n_dups(b) AS OF this batch —
+    *     a later dup arrival is reported as its own dup edge and
+    *     inherits its rep's earlier near relations on expansion) and
+    *     `dup` membership edges (inter = uni = the rep's distinct-token
+    *     count, emitted only for reps that can shingle — the groups the
+    *     raw operator could pair at all).
+    *
+    * This is VERDICT r11 item 2: the same collapse-by-default contract
+    * as [[minhashNearDupPairs]], incrementally — a dup-dense arrival
+    * stream (the crawl norm) costs O(batch) digest lookups instead of
+    * growing every band bucket toward the maxBucket cap and then
+    * silently dropping pairs. `collapseExact = false` keeps the raw
+    * contract (verified (a_id, b_id, inter, uni) pairs, all-member
+    * granularity, running-corpus bucket cap) for corpora already
+    * exact-deduped upstream. The two modes write INCOMPATIBLE state
+    * dirs (collapse mode adds digests/dcounts tables and keeps only
+    * reps in buckets/toks) — rehydration fails fast on a mismatch.
+    *
+    * Corpus-INTERNAL structure (dup edges / near pairs wholly inside
+    * the seed corpus) is never emitted — that is the batch operator's
+    * job, run once; this loop reports what each arrival adds.
     *
     * State lives as localCheckpoint'd frames swapped per batch, or —
     * with `stateDir` set — as parquet tables partitioned by batch_id:
@@ -170,6 +199,7 @@ object Dedup {
       tNum: Int = 4,
       tDen: Int = 5,
       maxBucket: Int = 1000,
+      collapseExact: Boolean = true,
       stateDir: Option[String] = None,
       onPairs: DataFrame => Unit) {
 
@@ -178,29 +208,181 @@ object Dedup {
     private def stateTable(sub: String): DataFrame =
       sp.read.parquet(s"${stateDir.get}/$sub").drop("batch_id")
 
+    /** (text_md5, rep_id, sz, eligible) digest dim for a rep frame —
+      * sz = distinct-token count (the dup edge's inter = uni), eligible
+      * = the rep can shingle (>= shingleK raw tokens; shorter docs get
+      * a null signature, so the raw operator could never pair them). */
+    private def digestDim(reps: DataFrame): DataFrame = reps
+      .select(md5(col("text")).as("text_md5"), col("doc_id").as("rep_id"),
+        split(lower(col("text")), "\\s+").as("__t"))
+      .select(col("text_md5"), col("rep_id"),
+        size(array_distinct(col("__t"))).cast("long").as("sz"),
+        (size(col("__t")) >= shingleK).as("eligible"))
+
     @volatile private var buckets: DataFrame = _
     @volatile private var toks: DataFrame = _
+    // collapse-mode state: digest->rep dim and per-batch digest counts
+    // (n_dups(digest) = sum of cnt over batches). In stateDir mode both
+    // live as batch_id-partitioned parquet like buckets/toks.
+    @volatile private var digS: DataFrame = _
+    @volatile private var cntS: DataFrame = _
 
     stateDir match {
       case Some(dir) =>
         val root = new org.apache.hadoop.fs.Path(s"$dir/buckets")
         val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val digRoot = new org.apache.hadoop.fs.Path(s"$dir/digests")
         if (!fs.exists(root)) { // first start: seed from the corpus
-          minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
-            .write.mode("overwrite").parquet(s"$dir/buckets/batch_id=-1")
-          tokenArrays(corpusDocs, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$dir/toks/batch_id=-1")
+          if (collapseExact) {
+            val reps = collapseExactDocs(corpusDocs, idCol, textCol)
+              ._1.localCheckpoint()
+            minhashBuckets(reps, "doc_id", "text", numHashes, bands, shingleK)
+              .write.mode("overwrite").parquet(s"$dir/buckets/batch_id=-1")
+            tokenArrays(reps, "doc_id", "text")
+              .write.mode("overwrite").parquet(s"$dir/toks/batch_id=-1")
+            digestDim(reps)
+              .write.mode("overwrite").parquet(s"$dir/digests/batch_id=-1")
+            corpusDocs.groupBy(md5(col(textCol)).as("text_md5"))
+              .agg(count(lit(1)).as("cnt"))
+              .write.mode("overwrite").parquet(s"$dir/dcounts/batch_id=-1")
+          } else {
+            minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
+              .write.mode("overwrite").parquet(s"$dir/buckets/batch_id=-1")
+            tokenArrays(corpusDocs, idCol, textCol)
+              .write.mode("overwrite").parquet(s"$dir/toks/batch_id=-1")
+          }
         }
+        require(fs.exists(digRoot) == collapseExact,
+          s"state dir $dir was written under collapseExact=${!collapseExact}" +
+            " — the two contracts keep incompatible state; use a fresh dir")
         buckets = stateTable("buckets")
         toks = stateTable("toks")
       case None =>
-        buckets = minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
-          .localCheckpoint()
-        toks = tokenArrays(corpusDocs, idCol, textCol).localCheckpoint()
+        if (collapseExact) {
+          val reps = collapseExactDocs(corpusDocs, idCol, textCol)
+            ._1.localCheckpoint()
+          buckets = minhashBuckets(reps, "doc_id", "text", numHashes, bands, shingleK)
+            .localCheckpoint()
+          toks = tokenArrays(reps, "doc_id", "text").localCheckpoint()
+          digS = digestDim(reps).localCheckpoint()
+          cntS = corpusDocs.groupBy(md5(col(textCol)).as("text_md5"))
+            .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        } else {
+          buckets = minhashBuckets(corpusDocs, idCol, textCol, numHashes, bands, shingleK)
+            .localCheckpoint()
+          toks = tokenArrays(corpusDocs, idCol, textCol).localCheckpoint()
+        }
     }
 
     /** foreachBatch body — also callable directly on batch frames. */
-    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    def processBatch(batch: DataFrame, batchId: Long): Unit =
+      if (collapseExact) processBatchCollapsed(batch, batchId)
+      else processBatchRaw(batch, batchId)
+
+    private def processBatchCollapsed(batch: DataFrame, batchId: Long): Unit = {
+      val bd = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        md5(col(textCol)).as("text_md5")).localCheckpoint()
+      // digest state from batches OTHER than this one — a replayed batch
+      // must not see its own earlier partitions, or every doc in it would
+      // classify as already-known (the IncrementalCuration.prior
+      // discipline); in-memory mode has no restart, the var already
+      // holds exactly the prior batches.
+      val priorDig = stateDir match {
+        case Some(dir) => sp.read.parquet(s"$dir/digests")
+          .filter(col("batch_id") =!= batchId).drop("batch_id")
+        case None => digS
+      }
+      val joined = bd
+        .join(priorDig, Seq("text_md5"), "left")
+        .localCheckpoint() // feeds absorbed, fresh, and the in-batch collapse
+      // known digest -> absorbed as a member: a dup edge, no bucket join
+      val absorbed = joined.filter(col("rep_id").isNotNull)
+        .select(col("rep_id"), col("doc_id").as("member_id"),
+          col("sz"), col("eligible"))
+      val fresh = joined.filter(col("rep_id").isNull)
+        .select(col("doc_id"), col("text"), col("text_md5"))
+      // in-batch collapse: struct min (doc_id leads) == min-id rep
+      val freshReps = fresh.groupBy(col("text_md5"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("__m"))
+        .select(col("text_md5"), col("__m.doc_id").as("doc_id"),
+          col("__m.text").as("text"))
+        .localCheckpoint() // feeds buckets, toks, digest dim
+      val freshDim = digestDim(freshReps.select(col("doc_id"), col("text")))
+      val inBatchDup = fresh
+        .join(freshDim, "text_md5")
+        .filter(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id"), col("doc_id").as("member_id"),
+          col("sz"), col("eligible"))
+      val bCounts = bd.groupBy(col("text_md5")).agg(count(lit(1)).as("cnt"))
+      // state update: buckets/toks grow by FRESH REPS ONLY — this is the
+      // collapse; a dup-dense stream adds digest rows and counts, never
+      // bucket rows
+      // freshReps is checkpointed, so the bucket frame derived from it is
+      // deterministic — no need to read back a (possibly empty) partition
+      val newBuckets = minhashBuckets(freshReps, "doc_id", "text",
+        numHashes, bands, shingleK).localCheckpoint()
+      stateDir match {
+        case Some(dir) =>
+          newBuckets
+            .write.mode("overwrite").parquet(s"$dir/buckets/batch_id=$batchId")
+          tokenArrays(freshReps, "doc_id", "text").write.mode("overwrite")
+            .parquet(s"$dir/toks/batch_id=$batchId")
+          freshDim.write.mode("overwrite")
+            .parquet(s"$dir/digests/batch_id=$batchId")
+          bCounts.write.mode("overwrite")
+            .parquet(s"$dir/dcounts/batch_id=$batchId")
+          buckets = stateTable("buckets")
+          toks = stateTable("toks")
+        case None =>
+          buckets = buckets.union(newBuckets).localCheckpoint()
+          toks = toks.union(tokenArrays(freshReps, "doc_id", "text"))
+            .localCheckpoint()
+          digS = digS.union(freshDim).localCheckpoint()
+          cntS = cntS.union(bCounts).localCheckpoint()
+      }
+      // candidate generation + degenerate-bucket cap, identical to the
+      // raw path but over REP buckets — with byte-dups absorbed upstream
+      // the cap now only fires on genuinely diverse colliding buckets
+      val oversized = buckets.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket)
+        .select(col("band"), col("sig"))
+      val cand = newBuckets.withColumnRenamed("doc_id", "new_id")
+        .join(oversized, Seq("band", "sig"), "left_anti")
+        .join(buckets.withColumnRenamed("doc_id", "other_id"), Seq("band", "sig"))
+        .filter(col("new_id") =!= col("other_id"))
+        .select(least(col("new_id"), col("other_id")).as("a_id"),
+          greatest(col("new_id"), col("other_id")).as("b_id"))
+        .distinct()
+      val nearRaw = verifyJaccard(cand, toks, 0.0)
+        .filter(col("inter") * tDen >= col("uni") * tNum)
+      // implied_pairs = n_dups(a)·n_dups(b) AS OF this batch (counts
+      // include the batch just absorbed); a later member arrival emits
+      // its own dup edge and inherits these near relations on expansion
+      val nDups = (stateDir match {
+        case Some(dir) => sp.read.parquet(s"$dir/dcounts").drop("batch_id")
+        case None => cntS
+      }).groupBy(col("text_md5")).agg(sum(col("cnt")).as("n_dups"))
+      val repDups = (stateDir match {
+        case Some(dir) => sp.read.parquet(s"$dir/digests").drop("batch_id")
+        case None => digS
+      }).select(col("text_md5"), col("rep_id"))
+        .join(nDups, "text_md5")
+        .select(col("rep_id"), col("n_dups"))
+      val near = nearRaw
+        .join(repDups.select(col("rep_id").as("a_id"), col("n_dups").as("__na")), "a_id")
+        .join(repDups.select(col("rep_id").as("b_id"), col("n_dups").as("__nb")), "b_id")
+        .select(lit("near").as("kind"), col("a_id"), col("b_id"),
+          col("inter"), col("uni"), (col("__na") * col("__nb")).as("implied_pairs"))
+      val dup = absorbed.unionByName(inBatchDup)
+        .filter(col("eligible"))
+        .select(lit("dup").as("kind"), col("rep_id").as("a_id"),
+          col("member_id").as("b_id"), col("sz").as("inter"),
+          col("sz").as("uni"), lit(1L).as("implied_pairs"))
+      onPairs(near.unionByName(dup))
+    }
+
+    private def processBatchRaw(batch: DataFrame, batchId: Long): Unit = {
       val newBuckets0 =
         minhashBuckets(batch, idCol, textCol, numHashes, bands, shingleK)
       val newBuckets = stateDir match {
@@ -257,7 +439,13 @@ object Dedup {
     * are restricted to `dupSize`'s reps — the groups the UNCOLLAPSED
     * operator could pair at all (e.g. docs long enough to shingle), so
     * expanding this output reproduces the uncollapsed pair set exactly
-    * (CollapseDefaultSpec pins it). */
+    * — PROVIDED no maxBucket/maxPosting cap binds (CollapseDefaultSpec
+    * pins the equality on cap-free fixtures). When a cap DOES bind on a
+    * dup-dense corpus, the raw run drops oversized buckets (losing
+    * pairs) that the collapsed run keeps after reps shrink them, and
+    * dup membership edges are emitted unconditionally — so the
+    * collapsed output is a recall SUPERSET of the raw one, which is the
+    * better answer (CollapseDefaultSpec pins the superset case too). */
   private[graft] def assembleCollapsed(
       nearPairs: DataFrame, // (a_id, b_id, inter, uni) over reps
       nDups: DataFrame, // (doc_id, n_dups)

@@ -26,9 +26,17 @@ object Stats {
     * window then share one materialization — on a cluster this is
     * persist()/checkpoint()) and refuses to proceed past `maxRows`.
     * A single WindowExec task sorts the whole frame, so the cap is the
-    * largest frame one task should ever hold. */
+    * largest frame one task should ever hold.
+    *
+    * EAGER: this runs a Spark job (checkpoint + count) at
+    * plan-construction time — building a [[skyline2d]]/[[kmLogSurvival]]
+    * plan executes the guard immediately, like `ngramJaccardPairs`'s
+    * maxPosting census. For plan-only composition (no guard job, no
+    * checkpoint), pass `maxRows = Long.MaxValue`, which short-circuits
+    * and returns the frame untouched. */
   def boundedDim(dim: DataFrame, what: String,
       maxRows: Long = 1000000L): DataFrame = {
+    if (maxRows == Long.MaxValue) return dim
     val d = dim.localCheckpoint()
     val n = d.count()
     require(n <= maxRows,
@@ -43,9 +51,15 @@ object Stats {
   /** [[boundedDim]] for PARTITIONED dimension windows: the hazard is the
     * largest per-key group (one WindowExec buffer), so the guard measures
     * max rows per key — one constant-buffer count aggregate, map-side
-    * combined — and fails with the worst key's size. */
+    * combined — and fails with the worst key's size. The default cap
+    * matches [[boundedDim]]'s: the hazard (one task buffering the frame)
+    * is identical, so the per-task bound is too. EAGER like
+    * [[boundedDim]] (checkpoint + one agg job at construction time);
+    * `maxRowsPerKey = Long.MaxValue` short-circuits for plan-only
+    * composition. */
   def boundedDimPerKey(dim: DataFrame, keys: Seq[String], what: String,
-      maxRowsPerKey: Long = 10000000L): DataFrame = {
+      maxRowsPerKey: Long = 1000000L): DataFrame = {
+    if (maxRowsPerKey == Long.MaxValue) return dim
     val d = dim.localCheckpoint()
     val worst = d.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).head()

@@ -159,7 +159,11 @@ object Pipeline16 {
                 .when(col("event_id") % 10 === 7, 5L).otherwise(0L))
           .withColumn("blk", expr(s"arrival div $block"))
           .localCheckpoint() // feeds block maxima AND the in-block pass
-        val blkMax = ev.groupBy(col("blk")).agg(max(col("us")).as("bmax"))
+        // block-maxima DIMENSION contract, guarded (VERDICT r11 item 4):
+        // #blocks = n/1000 must stay one-task-sortable for the prefix max.
+        val blkMax = graft.pipeline.Stats.boundedDim(
+          ev.groupBy(col("blk")).agg(max(col("us")).as("bmax")),
+          "q210_late_arrival block maxima")
         val blkPrev = blkMax // prefix max of all STRICTLY EARLIER blocks
           .withColumn("prev_max", max(col("bmax")).over(
             org.apache.spark.sql.expressions.Window.orderBy(col("blk"))

@@ -22,7 +22,11 @@ object Pipeline31 {
       (s, d) => {
         val deg = Tables.lineitem(s, d)
           .groupBy(col("l_partkey")).agg(count(lit(1)).as("deg"))
-        val dim = deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+        // degree-DIMENSION contract, guarded (VERDICT r11 item 4): the
+        // distinct-degree frame must stay one-task-sortable.
+        val dim = graft.pipeline.Stats.boundedDim(
+          deg.groupBy(col("deg")).agg(count(lit(1)).as("cnt")),
+          "q271_skew_advisor degree dimension")
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("deg"))
         val cum = dim
           .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(

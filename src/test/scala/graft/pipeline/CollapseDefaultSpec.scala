@@ -8,10 +8,13 @@ import graft.SparkSpec
 /** VERDICT r10 item 1, the differential half: on a DUPLICATION-DENSE
   * corpus, expanding the collapsed default's output (dup membership
   * edges + implied near rep pairs) reproduces the uncollapsed core's
-  * pair set EXACTLY — values included. The collapse is a lossless
-  * re-encoding, not an approximation: what changed is the cost curve
-  * (linear instead of quadratic in duplicate density), never the
-  * answer.
+  * pair set EXACTLY — values included — as long as no maxBucket /
+  * maxPosting cap binds (these fixtures are cap-free). The collapse is
+  * then a lossless re-encoding: what changed is the cost curve (linear
+  * instead of quadratic in duplicate density), never the answer. When a
+  * cap DOES bind, the collapsed output is a strict recall SUPERSET of
+  * the raw one (the raw run drops oversized buckets; collapse shrinks
+  * them under the cap) — pinned by the maxBucket-binding case below.
   *
   * Expansion rule (per operator): members(rep) = rep + its dup-edge
   * targets; each near rep pair (a, b) stands for every
@@ -98,6 +101,33 @@ class CollapseDefaultSpec extends SparkSpec {
     val exp = expand[Int](collapsed, _ => 0)
     assert(exp == raw, s"missing=${(raw.keySet -- exp.keySet).take(5)} " +
       s"extra=${(exp.keySet -- raw.keySet).take(5)}")
+  }
+
+  test("simhash: when maxBucket BINDS, collapsed is a strict recall superset") {
+    // One 12-way byte-dup group + maxBucket = 5: the RAW run's band
+    // buckets hold all 12 copies, blow past the cap, and get anti-joined
+    // away — the raw core emits NO pairs for the group. The COLLAPSED
+    // run shrinks the group to one rep (bucket size 1, under the cap)
+    // and emits the 11 dup membership edges unconditionally. So when a
+    // cap binds, expanded-collapsed ⊋ raw — the documented (and better)
+    // superset behavior, pinned here so it stays intentional.
+    val spk = spark
+    import spk.implicits._
+    val group = (0L until 12L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val docs = (group :+ (100L, "an entirely different sentence about parquet shuffles"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 5,
+      collapseExact = false).collect()
+      .map(r => norm(r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(raw.isEmpty, s"cap did not bind: raw=${raw.keySet.take(5)}")
+    val collapsed = Dedup.simhashPairs(docs, "doc_id", "text", maxBucket = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val exp = expand[Int](collapsed, _ => 0)
+    assert(raw.keySet.subsetOf(exp.keySet), "collapsed lost raw pairs")
+    // all C(12,2)=66 in-group pairs recovered despite the binding cap
+    assert(exp.size == 66, s"expected the 66 in-group pairs, got ${exp.size}")
+    assert(collapsed.count(_._1 == "dup") == 11)
   }
 
   test("cosine LSH: expanded collapsed output == uncollapsed core, dup-dense") {

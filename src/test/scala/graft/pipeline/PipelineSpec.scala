@@ -50,11 +50,11 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("docs_inc")
     arriving.repartition(2).write.mode("overwrite").parquet(dir.toString)
 
-    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     val inc = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
       onPairs = df => got.synchronized {
-        got ++= df.select("a_id", "b_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+        got ++= df.select("kind", "a_id", "b_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       })
     val stream = spark.readStream.schema(arriving.schema)
       .option("maxFilesPerTrigger", 1) // force multiple micro-batches
@@ -63,37 +63,103 @@ class DedupSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    // batch ground truth: every verified near-dup pair involving at
-    // least one arriving doc (pairs fully inside the corpus are the
-    // corpus's own dedup, not this operator's job)
+    // EXPAND the collapsed emission (the batch-twin contract): group
+    // membership = rep + emitted dup-edge members + the rep's
+    // corpus-internal byte-dup members (corpus structure is the batch
+    // operator's job, so the expander supplies it); a near rep pair
+    // stands for members(a) x members(b); a dup group for its in-group
+    // pairs. Restricted to pairs touching an arrival, this must equal
+    // the RAW batch operator on corpus+arrivals.
+    val corpusGroups = corpus
+      .select(md5(col("text")).as("h"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+      .filter(_.size > 1).map(ms => ms.head -> ms.toSeq).toMap
+    val members = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefault(id => corpusGroups.getOrElse(id, Seq(id)).toSet)
+    got.collect { case ("dup", rep, m) =>
+      members(rep) = members(rep) + m
+    }
+    def norm(a: Long, b: Long) = (math.min(a, b), math.max(a, b))
+    val inGroup: Seq[(Long, Long)] = members.keys.toSeq.flatMap { rep =>
+      val ms = members(rep).toSeq
+      for (i <- ms.indices; j <- (i + 1) until ms.size)
+        yield norm(ms(i), ms(j))
+    }
+    val cross: Seq[(Long, Long)] =
+      got.toSeq.collect { case ("near", a, b) => (a, b) }.flatMap {
+        case (a, b) =>
+          (for (x <- members(a); y <- members(b)) yield norm(x, y)).toSeq
+      }
+    val expanded = (inGroup ++ cross).toSet
+      .filter(p => p._1 >= 300 || p._2 >= 300)
+
     val expected = Dedup.minhashNearDupPairs(all, "doc_id", "text",
-        collapseExact = false) // raw pairs — the incremental loop's contract
+        collapseExact = false) // raw ground truth, expanded granularity
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .filter { case (a, b) => a >= 300 || b >= 300 }.toSet
     assert(expected.nonEmpty, "fixture has no cross/new near-dup pairs")
-    assert(got.toSet == expected,
-      s"missing=${(expected -- got).take(5)} extra=${(got.toSet -- expected).take(5)}")
+    assert(expanded == expected,
+      s"missing=${(expected -- expanded).take(5)} extra=${(expanded -- expected).take(5)}")
   }
 
-  test("incremental near-dup caps degenerate buckets like the batch twin") {
+  test("incremental near-dup absorbs exact-dup arrivals as members (default)") {
     import spark.implicits._
-    // 5 copies of dupText across corpus+batch blow past maxBucket=2 →
-    // that bucket stops emitting pairs (exact dups are exactGroups' job);
-    // the well-behaved 2-member bucket (10,11) still emits.
+    // VERDICT r11 item 2: 5 copies of dupText across corpus+batch used
+    // to blow past maxBucket=2 and silently stop emitting; the collapsed
+    // default absorbs arrivals 4,5 as members of corpus rep 1 (dup
+    // edges, no bucket growth — the cap never binds); byte-identical
+    // arrival 11 is likewise a dup edge of corpus doc 10. Corpus-internal
+    // dups (1,2),(1,3) are the batch operator's job and NOT re-reported.
     val dupText = "alpha beta gamma delta epsilon zeta eta theta"
     val pairText = "one two three four five six seven eight nine ten"
     val corpus = Seq((1L, dupText), (2L, dupText), (3L, dupText),
       (10L, pairText)).toDF("doc_id", "text")
     val batch = Seq((4L, dupText), (5L, dupText), (11L, pairText))
       .toDF("doc_id", "text")
-    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val got = scala.collection.mutable.Set[(String, Long, Long, Long)]()
     val inc = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
       maxBucket = 2,
-      onPairs = df => got ++= df.select("a_id", "b_id")
-        .as[(Long, Long)].collect())
+      onPairs = df => got ++= df
+        .select("kind", "a_id", "b_id", "implied_pairs")
+        .as[(String, Long, Long, Long)].collect())
     inc.processBatch(batch, 0L)
-    assert(got.toSet == Set((10L, 11L)), s"got $got")
+    assert(got.toSet == Set(("dup", 1L, 4L, 1L), ("dup", 1L, 5L, 1L),
+      ("dup", 10L, 11L, 1L)), s"got $got")
+
+    // the raw contract (collapseExact = false) keeps the old behavior:
+    // the oversized bucket stops emitting, exact dups are exactGroups' job
+    val gotRaw = scala.collection.mutable.Set[(Long, Long)]()
+    val incRaw = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
+      maxBucket = 2, collapseExact = false,
+      onPairs = df => gotRaw ++= df.select("a_id", "b_id")
+        .as[(Long, Long)].collect())
+    incRaw.processBatch(batch, 0L)
+    assert(gotRaw.toSet == Set((10L, 11L)), s"got $gotRaw")
+  }
+
+  test("incremental near-dup: in-batch dups collapse, implied_pairs tracks n_dups") {
+    import spark.implicits._
+    // batch 0 brings a NEW 3-way dup group (20 rep, 21, 22) near-matching
+    // corpus doc 1 (one word changed): expect 2 in-batch dup edges and a
+    // near rep pair (1,20) with implied_pairs = n_dups(1)*n_dups(20) = 3.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val aNear = "alpha beta gamma delta epsilon zeta eta iota"
+    val corpus = Seq((1L, a)).toDF("doc_id", "text")
+    val batch = Seq((20L, aNear), (21L, aNear), (22L, aNear))
+      .toDF("doc_id", "text")
+    val got = scala.collection.mutable.Set[(String, Long, Long, Long)]()
+    val inc = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
+      bands = 16, shingleK = 2, tNum = 3, tDen = 5, // DedupSpec's minhash shape
+      onPairs = df => got ++= df
+        .select("kind", "a_id", "b_id", "implied_pairs")
+        .as[(String, Long, Long, Long)].collect())
+    inc.processBatch(batch, 0L)
+    val dups = got.collect { case ("dup", r, m, _) => (r, m) }
+    assert(dups == Set((20L, 21L), (20L, 22L)), s"got $got")
+    val near = got.collect { case ("near", x, y, n) => (x, y, n) }
+    assert(near == Set((1L, 20L, 3L)), s"got $got")
   }
 
   test("incremental near-dup with table-backed state survives a restart") {
@@ -113,8 +179,9 @@ class DedupSpec extends SparkSpec {
     assert(got1.isEmpty, s"batch1 matches nothing yet: $got1")
 
     // "restart": a fresh instance on the same dir must rehydrate batch-1
-    // state (NOT re-seed from the corpus alone) — the (20,30) pair is
-    // only findable through the persisted batch-1 buckets.
+    // state (NOT re-seed from the corpus alone) — 30 is byte-identical
+    // to 20, so the (20,30) dup edge is only findable through the
+    // persisted batch-1 digest state.
     val got2 = scala.collection.mutable.Set[(Long, Long)]()
     val b = new Dedup.IncrementalNearDup(corpus, "doc_id", "text",
       stateDir = Some(dir),
