@@ -91,10 +91,14 @@ object Bench {
     // + the jvm block only. Per-query walls/cpu live exclusively in
     // bench.json (the artifact of record, same totals + full per-query
     // map) and bench_full.json (full precision + cpu map).
+    // "queries" (walls) goes LAST: any tail-truncation of this stderr
+    // line then keeps the walls map (with its tag) and drops cpu_s —
+    // the VERDICT r11 misread (a truncated tail presenting cpu_s as
+    // walls) becomes impossible. Keys inside each map self-identify too.
     val full = {
       val w = results.map { case (k, x, _) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
       val c = results.map { case (k, _, x) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
-      s"""{"queries":$w,"cpu_s":$c,"jvm":$jvm,"sf":"$sfDir"}"""
+      s"""{"jvm":$jvm,"sf":"$sfDir","cpu_s":$c,"queries":$w}"""
     }
     System.err.println(s"[bench-full] $full")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
