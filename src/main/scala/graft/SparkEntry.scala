@@ -29,7 +29,8 @@ object SparkEntry {
       Pipeline27.entries ++ Pipeline28.entries ++ Pipeline29.entries ++
       Pipeline30.entries ++ Pipeline31.entries ++ Pipeline32.entries ++
       Pipeline33.entries ++ Pipeline34.entries ++ Pipeline35.entries ++
-      Pipeline36.entries ++ Pipeline37.entries ++ Pipeline38.entries
+      Pipeline36.entries ++ Pipeline37.entries ++ Pipeline38.entries ++
+      Pipeline39.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

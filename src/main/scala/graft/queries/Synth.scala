@@ -454,4 +454,54 @@ object Synth {
        WHEN 3 THEN concat('$$', $amtSql, '.75')
        WHEN 4 THEN '$$12.3' WHEN 5 THEN 'free' WHEN 6 THEN ''
        ELSE '$$0.99' END"""
+
+  // -------- uuid (registry-defined type, covers codes 1,2,4,5) --------
+  // Deliberately NOT md5-based (q285 uses md5): the hex body is built
+  // from lpad(hex(k)) + letter-only filler so the DIGIT count stays far
+  // below every built-in's digit-run trigger (phone 10, zip 5/9,
+  // lat/long numeric) — a uuid column in a golden fixture must detect
+  // as uuid and NOTHING else, and that silence must be provable from
+  // the residues. Keys must stay < 16^8 (hex ≤ 8 chars) so lpad never
+  // truncates; fixture ids are 0..95.
+  // m=0: canonical lowercase 8-4-4-4-12            -> 1
+  // m=1: canonical UPPERCASE                       -> 1 (norm lowers)
+  // m=2: bare 32-hex                               -> 2 (norm dashes)
+  // m=3: 'N/A'                                     -> 4
+  // m=4: 'hello'                                   -> 5
+  // m=5: 8-hex fragment                            -> 5
+  private def hx8: Column = lpad(lower(hex(k)), 8, "0")
+  private val hx8Sql = "lpad(lower(to_hex(c_custkey)), 8, '0')"
+  private def uuidCanon: Column =
+    concat(hx8, lit("-face-deaf-beef-cafebeefface"))
+  private val uuidCanonSql =
+    s"concat($hx8Sql, '-face-deaf-beef-cafebeefface')"
+  def uuidHex: Column = {
+    val m = k % 6
+    when(m === 0, uuidCanon)
+      .when(m === 1, upper(uuidCanon))
+      .when(m === 2, concat(hx8, lit("facedeafbeefcafebeefface")))
+      .when(m === 3, lit("N/A"))
+      .when(m === 4, lit("hello"))
+      .otherwise(lit("beefcafe"))
+  }
+  val uuidHexSql: String =
+    s"""CASE c_custkey % 6
+       WHEN 0 THEN $uuidCanonSql
+       WHEN 1 THEN upper($uuidCanonSql)
+       WHEN 2 THEN concat($hx8Sql, 'facedeafbeefcafebeefface')
+       WHEN 3 THEN 'N/A'
+       WHEN 4 THEN 'hello'
+       ELSE 'beefcafe' END"""
+  val uuidHexCodeSql: String =
+    """CASE c_custkey % 6
+       WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2
+       WHEN 3 THEN 4 ELSE 5 END"""
+  val uuidHexNormSql: String =
+    s"""CASE c_custkey % 6
+       WHEN 0 THEN $uuidCanonSql
+       WHEN 1 THEN $uuidCanonSql
+       WHEN 2 THEN $uuidCanonSql
+       WHEN 3 THEN ''
+       WHEN 4 THEN 'hello'
+       ELSE 'beefcafe' END"""
 }

@@ -26,6 +26,17 @@ import graft.queries.Synth
 object GenGoldenCsv {
 
   val Path = "data/csv_golden_nyc.csv"
+
+  /** Second golden fixture (VERDICT r11 item 4): a device-registry CSV
+    * whose key column is a REGISTRY-defined semantic type — `Device ID`
+    * carries the Synth.uuidHex residues (canonical/upper/bare-hex/
+    * null-like/garbage/fragment), `Callback Phone` a built-in type so
+    * one profile run proves registry + built-ins compose, and `Status`
+    * letter-only free text that must detect as NOTHING (no digit runs,
+    * no dictionary words, no URL/email shapes). q297 profiles it with
+    * `TypeRegistry.register(uuid)` active and hash-compares the full
+    * histogram against id-residue CASE arithmetic. */
+  val DevicesPath = "data/csv_golden_devices.csv"
   val Rows = 96
 
   def main(args: Array[String]): Unit = {
@@ -51,6 +62,22 @@ object GenGoldenCsv {
           element_at(array(lit("Loud Music/Party"), lit("Banging/Pounding"),
             lit("Pothole"), lit("Illegal Parking")),
             (col("id") % 4 + 1).cast("int")).as("Descriptor")))): _*)
+    writeCsv(df, Path)
+
+    val devices = spark.range(Rows)
+      .select(col("id"), col("id").as("c_custkey"))
+      .select(col("id"),
+        Synth.uuidHex.as("Device ID"),
+        Synth.phone.as("Callback Phone"),
+        element_at(array(lit("Queued"), lit("Resolved"),
+          lit("Escalated"), lit("Archived")),
+          (col("id") % 4 + 1).cast("int")).as("Status"))
+    writeCsv(devices, DevicesPath)
+    spark.stop()
+  }
+
+  private def writeCsv(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
     val rows = df.collect()
     val header = df.schema.fieldNames
     def cell(v: Any): String = {
@@ -64,9 +91,8 @@ object GenGoldenCsv {
     rows.foreach { r =>
       out ++= (0 until r.length).map(i => cell(r.get(i))).mkString(",") += '\n'
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(Path),
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
       out.toString.getBytes("UTF-8"))
-    println(s"[gen-golden] wrote ${rows.length} rows to $Path")
-    spark.stop()
+    println(s"[gen-golden] wrote ${rows.length} rows to $path")
   }
 }
