@@ -304,4 +304,41 @@ object Retrieval {
           floor(col("sb_sum_micro") / col("n_scored")).cast("long"))
           .otherwise(lit(0L)).as("mean_sb_micro"))
   }
+
+  /** Rank-biased overlap grid (Webber/Moffat/Zobel 2010, truncated):
+    * from two rankings joined as `(ra, rb)` pairs (only ids present in
+    * BOTH top lists matter — truncated RBO's overlap term ignores the
+    * rest), the per-depth overlap/agreement and cumulative RBO prefix
+    * for depths 1..maxDepth. The grid is a ≤maxDepth-row dimension
+    * (boundedDim-guarded window); overlap is exact integer,
+    * agreement/rbo are rounded doubles (q301). Self-RBO at depth k is
+    * (1−p)·Σ_{d≤k} p^(d−1) = 1−p^k; disjoint rankings give 0
+    * (RboSpec pins both brackets). */
+  def rboGrid(bothRanks: org.apache.spark.sql.DataFrame, p: Double = 0.9,
+      maxDepth: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = bothRanks.sparkSession
+    val depths = s.range(1, maxDepth + 1).select(col("id").as("depth"))
+    val ov = broadcast(depths).crossJoin(bothRanks)
+      .filter(col("ra") <= col("depth") && col("rb") <= col("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("overlap"))
+    val grid = depths.join(ov, Seq("depth"), "left")
+      .select(col("depth"), coalesce(col("overlap"), lit(0L)).as("overlap"),
+        pow(lit(p), col("depth") - 1).as("wt"))
+      .withColumn("term",
+        col("wt") * col("overlap").cast("double") / col("depth"))
+    // decimal-exact complement: 1.0 - 0.9 in binary doubles is
+    // 0.09999999999999998, which diverges from an oracle's literal 0.1
+    // at the rounding edge — go through the decimal string instead
+    val oneMinusP = (BigDecimal(1) - BigDecimal(p.toString)).toDouble
+    Stats.boundedDim(grid, "rbo depth grid", 1000)
+      .withColumn("rbo_cum",
+        round(lit(oneMinusP) * sum(col("term")).over(
+          Window.orderBy(col("depth"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+      .select(col("depth"), col("overlap"),
+        round(col("overlap").cast("double") / col("depth"), 6)
+          .as("agreement"),
+        col("rbo_cum"))
+  }
 }

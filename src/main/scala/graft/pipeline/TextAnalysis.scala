@@ -805,4 +805,59 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text").substr(col("i"), lit(k))).as("h"))
       .groupBy(col("doc_id")).agg(min(col("h")).as("fingerprint"))
   }
+
+  /** TextRank keyword scores (Mihalcea & Tarau 2004) in exact integer
+    * arithmetic: undirected weighted co-occurrence edges from ADJACENT
+    * token pairs of `tokCol` (an array column — pre-filter it), then
+    * `iters` damped power-iteration rounds with total mass `total`
+    * (pico-scale 1e12 by default), damping 0.85 as 85/100 integer
+    * ops, contributions `weight·pr div wdeg`. Every intermediate is
+    * int64 and truncating division agrees across engines, so a SQL
+    * oracle replays the iteration bit-for-bit (q300).
+    *
+    * Returns the full word dimension `(w, wdeg, pr)`. One pass builds
+    * the edges; each round is a word-dimension join — the corpus is
+    * never rescanned. Mass is conserved up to div truncation: each
+    * round loses < (#edges + #words) pico-units (TextRankSpec pins the
+    * bound). */
+  def textrankScores(docs: org.apache.spark.sql.DataFrame, tokCol: String,
+      iters: Int = 3, total: Long = 1000000000000L): org.apache.spark.sql.DataFrame = {
+    val adj = docs.select(col(tokCol).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2"))))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // canonical weighted edges (w1 < w2)
+    val edges = adj.select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+      .union(adj.select(col("w2"), col("w1"), col("c")))
+      .localCheckpoint() // symmetric, feeds every iteration
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("c")).as("wdeg"))
+    val words = wdeg.select(col("src").as("w"), col("wdeg"))
+      .localCheckpoint()
+    val n = math.max(words.count(), 1L)
+    val base = (15L * total) / (100L * n)
+    var pr = words.select(col("w"), lit(total / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("w").as("src"), col("pr")), "src")
+        .join(wdeg, "src")
+        .select(col("dst"), expr("(c * pr) div wdeg").as("ctb"))
+        .groupBy(col("dst")).agg(sum(col("ctb")).as("inflow"))
+      pr = words
+        .join(contrib.select(col("dst").as("w"), col("inflow")),
+          Seq("w"), "left")
+        .select(col("w"),
+          (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    words.join(pr, "w").select(col("w"), col("wdeg"), col("pr"))
+  }
+
 }

@@ -117,21 +117,8 @@ object Pipeline12 {
     // oriented graph. Same derived link graph as q178, symmetrized.
     QEntry("q185_triangles",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"))
-          .localCheckpoint()
-        val n = docs.count()
-        // (d·d) mod n == ((d mod n)·(d mod n)) mod n — oracle-identical,
-        // but survives replica-scale ids (the q178 sf≈10 overflow)
-        val m = pmod(col("doc_id"), lit(n))
-        val raw = docs.select(col("doc_id").as("src"),
-            ((m * 7 + 1) % n).as("dst"))
-          .union(docs.select(col("doc_id"), (m * m) % n))
-          .union(docs.select(col("doc_id"), expr("doc_id div 2")))
-          .filter(col("src") =!= col("dst"))
-        // undirected edge set, canonical (lo, hi), deduped
-        val und = raw.select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v")).distinct()
-          .localCheckpoint() // feeds degrees, orientation, and closure
+        // shared synthetic link graph (DocGraph — also feeds q299)
+        val (docs, und) = DocGraph.docsAndUnd(s, d)
         val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("dg"))
         // orient by (degree, id): a -> b iff (dg_a, a) < (dg_b, b)
@@ -157,17 +144,7 @@ object Pipeline12 {
             coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
-              raw AS (
-                SELECT doc_id AS src,
-                  (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
-                FROM documents
-                UNION ALL SELECT doc_id,
-                  (doc_id * doc_id) % (SELECT n FROM nn) FROM documents
-                UNION ALL SELECT doc_id, doc_id // 2 FROM documents),
-              und AS (
-                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-                FROM raw WHERE src <> dst),
+      Some(s"""WITH ${DocGraph.undSql},
               deg AS (
                 SELECT x, count(*) AS dg FROM (
                   SELECT u AS x FROM und UNION ALL SELECT v FROM und)
