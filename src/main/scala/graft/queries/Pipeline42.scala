@@ -15,24 +15,36 @@ object Pipeline42 {
     // Temporal novelty rate: for each doc (in doc_id arrival order),
     // the share of its DISTINCT word 3-grams never seen in any earlier
     // doc (first-occurrence = min doc_id over the gram's postings).
-    // One explode → two keyed aggs; the gram shuffle carries strings at
-    // gate scale (at 100 TB, swap the gram for its md5 prefix — the
-    // q164 portable-hash discipline — to shrink the shuffle ~10×).
-    // Docs with <3 tokens have no grams: novelty 0 over 0 grams.
+    // One explode → two keyed aggs. Grams travel as their 60-bit md5
+    // prefix (the q164 portable-hash discipline — both engines build
+    // the identical int64, and the distinct/agg shuffle carries two
+    // longs instead of a ~40-char string; measured 18 s → 6 s at
+    // sf0.1). Docs with <3 tokens have no grams: novelty 0 over 0.
     QEntry("q306_novelty_rate",
       (s, d) => {
+        // 3-grams via sliced zip_with, NOT element_at(w, i) inside the
+        // lambda: CollapseProject substitutes w = split(text) into every
+        // element_at, re-running the regex split PER ELEMENT (measured
+        // O(words²): 19 s at sf0.1). Slices reference w as a whole, so
+        // the split runs a constant number of times per row.
         val docs = Tables.documents(s, d)
           .select(col("doc_id"),
             split(lower(col("text")), "\\s+").as("w"))
           .select(col("doc_id"), expr(
             """CASE WHEN size(w) >= 3 THEN
-                 transform(sequence(1, size(w) - 2),
-                   i -> concat_ws(' ', element_at(w, i),
-                     element_at(w, i + 1), element_at(w, i + 2)))
+                 zip_with(
+                   zip_with(slice(w, 1, size(w) - 2),
+                            slice(w, 2, size(w) - 2),
+                            (a, b) -> concat(a, ' ', b)),
+                   slice(w, 3, size(w) - 2),
+                   (ab, c) -> conv(substring(md5(concat(ab, ' ', c)),
+                     1, 15), 16, 10))
                ELSE array() END""").as("grams"))
-        val dg = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+        val dg = docs.select(col("doc_id"),
+            explode(col("grams")).as("gs"))
+          .select(col("doc_id"), col("gs").cast("long").as("g"))
           .distinct()
-          .localCheckpoint() // (doc, gram) postings, feeds both aggs
+          .localCheckpoint() // (doc, gram-hash) postings, feeds both aggs
         val first = dg.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
         val per = dg.join(first, "g")
           .groupBy(col("doc_id"))
@@ -56,7 +68,8 @@ object Pipeline42 {
                 SELECT DISTINCT doc_id, g FROM (
                   SELECT doc_id,
                     unnest(list_transform(range(1, len(w) - 1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                      i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1]
+                        || ' ' || w[i+2]), 1, 15))::BIGINT)) AS g
                   FROM t WHERE len(w) >= 3)),
               f AS (SELECT g, min(doc_id) AS fd FROM dg GROUP BY g),
               per AS (

@@ -23,15 +23,16 @@ class Pipeline42Spec extends SparkSpec {
     assert(first.getLong(2) == first.getLong(1) &&
       first.getLong(3) == 1000000L,
       s"earliest doc not fully novel: $first")
-    // every distinct gram is novel in exactly one doc
+    // every distinct gram hash is novel in exactly one doc
     val totalNovel = out.map(_.getLong(2)).sum
     val distinctGrams = Tables.documents(spark, sf)
       .select(split(lower(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(explode(expr(
         """transform(sequence(1, size(w) - 2),
-             i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-               element_at(w, i + 2)))""")).as("g"))
+             i -> conv(substring(md5(concat_ws(' ', element_at(w, i),
+               element_at(w, i + 1), element_at(w, i + 2))), 1, 15),
+               16, 10))""")).as("g"))
       .distinct().count()
     assert(totalNovel == distinctGrams,
       s"novel totals $totalNovel != distinct grams $distinctGrams")
