@@ -22,27 +22,19 @@ object Pipeline42 {
     // sf0.1). Docs with <3 tokens have no grams: novelty 0 over 0.
     QEntry("q306_novelty_rate",
       (s, d) => {
-        // 3-grams via sliced zip_with, NOT element_at(w, i) inside the
-        // lambda: CollapseProject substitutes w = split(text) into every
-        // element_at, re-running the regex split PER ELEMENT (measured
-        // O(words²): 19 s at sf0.1). Slices reference w as a whole, so
-        // the split runs a constant number of times per row.
-        val docs = Tables.documents(s, d)
+        // Shingling runs in the fused codegen'd NgramShingles loop (the
+        // q50 production path — an element_at(w, i) lambda here would
+        // re-run the regex split per element after CollapseProject,
+        // measured O(words²)); the md5-prefix hash is a plain post-
+        // explode projection, so it codegens too.
+        val dg = Tables.documents(s, d)
           .select(col("doc_id"),
-            split(lower(col("text")), "\\s+").as("w"))
-          .select(col("doc_id"), expr(
-            """CASE WHEN size(w) >= 3 THEN
-                 zip_with(
-                   zip_with(slice(w, 1, size(w) - 2),
-                            slice(w, 2, size(w) - 2),
-                            (a, b) -> concat(a, ' ', b)),
-                   slice(w, 3, size(w) - 2),
-                   (ab, c) -> conv(substring(md5(concat(ab, ' ', c)),
-                     1, 15), 16, 10))
-               ELSE array() END""").as("grams"))
-        val dg = docs.select(col("doc_id"),
-            explode(col("grams")).as("gs"))
-          .select(col("doc_id"), col("gs").cast("long").as("g"))
+            explode(graft.expressions.functions.ngram_shingles(
+              split(lower(col("text")), "\\s+"), 3, distinct = true))
+              .as("sh"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+              .as("g"))
           .distinct()
           .localCheckpoint() // (doc, gram-hash) postings, feeds both aggs
         val first = dg.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
