@@ -27,6 +27,21 @@ object FuzzyJoin {
     array_distinct(transform(sequence(lit(0), length(s)),
       i => concat(s.substr(lit(1), i), s.substr(i + 2, length(s)))))
 
+  /** The blocking stage alone: distinct candidate id pairs (a_id <
+    * b_id) sharing a deletion signature, BEFORE the exact levenshtein
+    * filter — the observable behind blocking-quality audits (q321
+    * measures its reduction ratio and pair completeness against
+    * planted truth). */
+  def deletionCandidates(df: DataFrame, id: String, str: String): DataFrame = {
+    val sigs = df
+      .select(col(id).as("__id"), explode(delSignatures(col(str))).as("sig"))
+    sigs.select(col("__id").as("a_id"), col("sig"))
+      .join(sigs.select(col("__id").as("b_id"), col("sig")), "sig")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
   /** All (leftId, rightId, dist) with levenshtein(left, right) <= 1.
     * Column names in the output: left_id, right_id, dist. */
   def editDistance1(

@@ -164,9 +164,13 @@ object Pipeline37 {
     // no corpus sort), ranks joined back (the 50-value quantity dim
     // broadcasts; the price dim is a keyed join), then q279's
     // moment-sum Pearson over the doubled ranks. rho is scale/shift
-    // invariant, so the doubling cancels. Doc'd bound (q272 pattern):
-    // sum(ra·rb) ≤ 4n³ caps exact-integer moments near n ≈ 1e6 rows;
-    // past that, center the ranks first (the q235 escape).
+    // invariant, so the doubling cancels. The rank moments grow as 4n³
+    // (past long near n ≈ 1e6 — the sf≈1 replica's 6M lineitem rows
+    // overflow it, measured), so the second-order sums accumulate in
+    // decimal(38,0): exact to 1e38 ⇒ safe past n = 1e12 rows, and
+    // bit-identical to the DuckDB oracle's int128 sums. First-order
+    // sums stay long (≤ 4n² — fine to n ≈ 1.5e9; they too go decimal
+    // at true 100 TB grain).
     QEntry("q289_spearman",
       (s, d) => {
         val base = Tables.lineitem(s, d)
@@ -184,11 +188,14 @@ object Pipeline37 {
         val m = base
           .join(broadcast(rank2("x")), "x")
           .join(rank2("y"), "y")
+          .select(col("r_x").cast("decimal(19,0)").as("dx"),
+            col("r_y").cast("decimal(19,0)").as("dy"))
           .agg(count(lit(1)).as("n"),
-            sum(col("r_x")).as("sa"), sum(col("r_y")).as("sb"),
-            sum(col("r_x") * col("r_x")).as("ssa"),
-            sum(col("r_y") * col("r_y")).as("ssb"),
-            sum(col("r_x") * col("r_y")).as("sab"))
+            sum(col("dx")).cast("long").as("sa"),
+            sum(col("dy")).cast("long").as("sb"),
+            sum(col("dx") * col("dx")).as("ssa"),
+            sum(col("dy") * col("dy")).as("ssb"),
+            sum(col("dx") * col("dy")).as("sab"))
         m.select(col("n"),
           expr("CAST(round((CAST(n AS DOUBLE) * sab - " +
             "CAST(sa AS DOUBLE) * sb) / " +
