@@ -212,6 +212,17 @@ object Pipeline46 {
     // typo truth — the lossless-blocking claim as a measured gate
     // (completeness must read 1e6), the audit any blocking scheme
     // needs before it replaces an all-pairs join at scale.
+    //
+    // Counting inherits the round-11 collapse discipline: byte-equal
+    // strings collapse to (rep, multiplicity) BEFORE the signature
+    // join (the sf≈1 replica repeats every name 10×, and the raw
+    // id-level join squared inside every signature bucket — measured
+    // 14× superlinear, SCALE.md round-12 note). Candidate counts are
+    // reconstructed exactly: cross-name rep pairs carry m_a·m_b
+    // implied id pairs, same-name groups contribute m·(m−1)/2 (any
+    // two ids of one string share the string itself as a signature).
+    // The DuckDB oracle stays the raw id-level formulation — equality
+    // IS the losslessness proof.
     QEntry("q321_blocking_audit",
       (s, d) => {
         val cust = Tables.customer(s, d)
@@ -221,17 +232,53 @@ object Pipeline46 {
             .select((col("c_custkey") + 10000000L).as("c_custkey"),
               typoName.as("c_name")))
           .localCheckpoint() // blocker input + truth + totals
-        val cand = graft.operators.FuzzyJoin
-          .deletionCandidates(records, "c_custkey", "c_name")
+        val byName = records.groupBy(col("c_name"))
+          .agg(min(col("c_custkey")).as("rep"), count(lit(1)).as("m"))
+          .localCheckpoint() // distinct strings: sig join + multiplicities
+        val repCand = graft.operators.FuzzyJoin
+          .deletionCandidates(byName, "rep", "c_name")
+          .localCheckpoint() // read by the pair count and the truth probe
+        val crossPairs = repCand
+          .join(byName.select(col("rep").as("a_id"), col("m").as("ma")),
+            "a_id")
+          .join(byName.select(col("rep").as("b_id"), col("m").as("mb")),
+            "b_id")
+          .agg(coalesce(sum(col("ma") * col("mb")), lit(0L))
+            .as("cross_pairs"))
+        val samePairs = byName
+          .agg(expr("sum(m * (m - 1) div 2)").as("same_pairs"))
         val truth = records.filter(col("c_custkey") >= 10000000L)
           .select((col("c_custkey") - 10000000L).as("a_id"),
             col("c_custkey").as("b_id"))
-          .localCheckpoint() // counted + probed
-        val found = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+        // truth probe at rep grain: same rep -> exact-dup candidate;
+        // different reps -> the rep pair must be a signature candidate
+        val truthReps = truth
+          .join(records.select(col("c_custkey").as("a_id"),
+            col("c_name").as("na")), "a_id")
+          .join(records.select(col("c_custkey").as("b_id"),
+            col("c_name").as("nb")), "b_id")
+          .join(byName.select(col("c_name").as("na"),
+            col("rep").as("ra")), "na")
+          .join(byName.select(col("c_name").as("nb"),
+            col("rep").as("rb")), "nb")
+          .select(least(col("ra"), col("rb")).as("a_id"),
+            greatest(col("ra"), col("rb")).as("b_id"))
+          .localCheckpoint() // split into the same-rep / cross-rep probes
+        val foundSame = truthReps.filter(col("a_id") === col("b_id"))
+          .agg(count(lit(1)).as("f_same"))
+        val foundCross = truthReps.filter(col("a_id") =!= col("b_id"))
+          .join(repCand, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("f_cross"))
         records.agg(count(lit(1)).as("n_records"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-          .crossJoin(found.agg(count(lit(1)).as("truth_found")))
+          .crossJoin(broadcast(crossPairs))
+          .crossJoin(broadcast(samePairs))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(foundSame))
+          .crossJoin(broadcast(foundCross))
+          .select(col("n_records"),
+            (col("cross_pairs") + col("same_pairs")).as("n_candidates"),
+            col("n_truth"),
+            (col("f_same") + col("f_cross")).as("truth_found"))
           .select(col("n_records"), col("n_candidates"), col("n_truth"),
             col("truth_found"),
             expr("truth_found * 1000000 div n_truth")
