@@ -14,6 +14,14 @@ object Bench {
       case _                                            => -1L
     }
 
+  /** 1-minute system load average — the host-contention sentinel
+    * (VERDICT r12 item 2: BENCH_r12's q51–q99 block regressed 6–13× on
+    * unchanged code inside one contended window; the artifact now
+    * records what the HOST was doing so a starved run reads as starved).
+    * -1 if the platform doesn't expose it. */
+  private def loadAvg(): Double =
+    ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   /** Occupancy of the JIT code heaps in MiB (sum of the CodeHeap pools on
     * segmented-code-cache JVMs, or the single "Code Cache" pool). When this
     * approaches the reserved size the sweeper flushes hot methods and
@@ -30,6 +38,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Multi-run protocol (VERDICT r12 item 2, the round-10 3-run-median
+    // promoted into the artifact): the full sweep runs `runs` times and
+    // the RECORDED per-query wall is the min over runs for runs=2 or the
+    // median for runs>=3 — one starved host window can no longer own the
+    // round's artifact of record. Every run's total still appears in the
+    // header (run_totals), so a contended run is visible, just not
+    // authoritative.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     // JVM flags up front so a log reader can verify ReservedCodeCacheSize
     // et al. without hunting for the sbt launcher invocation.
     locally {
@@ -43,6 +59,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
     // absorb session/JIT warmup outside any timed query, and time queries
     // in sorted name order so round-over-round numbers are comparable
     // (map iteration order shifts when the query set grows).
@@ -67,21 +84,39 @@ object Bench {
     // parallel query; wall ≫ cpu flags an environmental stall (JIT sweeper,
     // CPU contention) rather than a plan regression — that distinction is
     // what BENCH_r05 lacked.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val c0 = processCpuNanos()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
-      (name, wall, cpu)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // allRuns(r) = per-run map name -> (wall, cpu); runs share the warm
+    // JVM/session, matching the round-10 warm-round protocol.
+    val allRuns = (1 to runs).map { r =>
+      val m = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val c0 = processCpuNanos()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => () }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
+        name -> (wall, cpu)
+      }.toMap
+      System.err.println(f"[bench] run $r/$runs total=${m.values.map(_._1).sum}%.2f s load=${loadAvg()}%.2f")
+      m
     }
+    val loadEnd = loadAvg()
+    // recorded wall per query: min over 2 runs / median over >=3 — the
+    // contention-robust estimator; cpu comes from the same run as the
+    // recorded wall so the cpu/wall diagnostic stays coherent.
+    val results: Seq[(String, Double, Double)] = names.map { n =>
+      val obs = allRuns.map(_(n)).sortBy(_._1)
+      val pick = if (runs <= 2) obs.head else obs(obs.size / 2)
+      (n, pick._1, pick._2)
+    }
+    val runTotals = allRuns.map(_.values.map(_._1).sum)
     val total = results.map(_._2).sum
     val cpuTotal = results.map(_._3).filter(_ >= 0).sum
     val jit = ManagementFactory.getCompilationMXBean
     val jitMs = if (jit != null && jit.isCompilationTimeMonitoringSupported)
       jit.getTotalCompilationTime else -1L
-    val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs}"""
+    val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs,"loadStart":${f"$loadStart%.2f"},"loadEnd":${f"$loadEnd%.2f"},"runs":$runs,"runTotals":[${runTotals.map(t => f"$t%.2f").mkString(",")}]}"""
     // The driver's BENCH capture keeps only a ~2000-char TAIL of stdout.
     // The round-7 fix (short qNN keys, 2-decimal walls) kept the line to
     // ~1.6 KB at 146 queries — at 284 it outgrew the tail again (~3.4 KB,
@@ -90,7 +125,7 @@ object Bench {
     // stdout line is now CONSTANT-SIZE: totals + distribution aggregates
     // + the jvm block only. Per-query walls/cpu live exclusively in
     // bench.json (the artifact of record, same totals + full per-query
-    // map) and bench_full.json (full precision + cpu map).
+    // map) and bench_full.json (full precision + cpu map + per-run walls).
     // "queries" (walls) goes LAST: any tail-truncation of this stderr
     // line then keeps the walls map (with its tag) and drops cpu_s —
     // the VERDICT r11 misread (a truncated tail presenting cpu_s as
@@ -98,7 +133,10 @@ object Bench {
     val full = {
       val w = results.map { case (k, x, _) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
       val c = results.map { case (k, _, x) => "\"" + k + "\":" + x }.mkString("{", ",", "}")
-      s"""{"jvm":$jvm,"sf":"$sfDir","cpu_s":$c,"queries":$w}"""
+      val perRun = allRuns.map { m =>
+        names.map(k => "\"" + k + "\":" + f"${m(k)._1}%.3f").mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
+      s"""{"jvm":$jvm,"sf":"$sfDir","run_walls":$perRun,"cpu_s":$c,"queries":$w}"""
     }
     System.err.println(s"[bench-full] $full")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),

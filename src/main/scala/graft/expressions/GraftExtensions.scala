@@ -113,6 +113,10 @@ object GraftExtensions {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
     },
+    "jaro_winkler" -> { args =>
+      require(args.length == 2, "jaro_winkler(a, b)")
+      JaroWinkler(args.head, args(1))
+    },
     "sem_verdict" -> { args =>
       require(args.length == 2, "sem_verdict(raw, semType)")
       val semType = args(1) match {

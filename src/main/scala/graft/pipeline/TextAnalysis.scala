@@ -815,6 +815,17 @@ object TextAnalysis {
     * int64 and truncating division agrees across engines, so a SQL
     * oracle replays the iteration bit-for-bit (q300).
     *
+    * Int64 bound (ADVICE r12): the per-edge contribution is computed
+    * `(c * pr) div wdeg` with `pr ≤ total` (default 1e12 pico-mass),
+    * so an edge weight `c` past ~`2^63/total ≈ 9.2e6` would overflow
+    * the product. The caller contract is therefore
+    * `max-edge-weight × total < 2^63` — edge weight is the adjacent
+    * co-occurrence COUNT of one ordered word pair, so even a 100 TB
+    * corpus needs a single bigram repeated >9 million times before
+    * the bound binds; shrink `total` (mass precision) proportionally
+    * if your corpus has such a head. ANSI mode (the gate default)
+    * fails loudly rather than corrupting scores silently.
+    *
     * Returns the full word dimension `(w, wdeg, pr)`. One pass builds
     * the edges; each round is a word-dimension join — the corpus is
     * never rescanned. Mass is conserved up to div truncation: each

@@ -78,6 +78,15 @@ object TypeRegistry {
   /** Test hook: drop all registrations. */
   private[graft] def clear(): Unit = synchronized { extra = Vector.empty }
 
+  /** Remove one registered extension type (built-ins are not removable).
+    * No-op if the type is absent — callers use this in `finally` blocks
+    * to scope a registration to one profiling run (ADVICE r12: a
+    * register-and-leave pattern made every later profiling pass run
+    * with an enlarged detector set, i.e. order-dependent results). */
+  def unregister(semType: String): Unit = synchronized {
+    extra = extra.filterNot(_.semType == semType)
+  }
+
   def registered: Seq[Detector.TypeSpec] = extra
 
   /** Built-ins (when-tree validators) + registered extensions. */

@@ -112,7 +112,12 @@ object Pipeline15 {
               col("n_chars"))
             .groupBy(col("source"), col("len"))
             .agg(sum(col("n_chars")).as("sw")),
-          Seq("source"), "q206_weighted_median")
+          Seq("source"), "q206_weighted_median",
+          // explicit cap (ADVICE r12): the dim is distinct token
+          // LENGTHS per source — bounded by the longest doc, far under
+          // this at any SF; pinned so a future default change cannot
+          // alter this shipped query's runtime contract.
+          maxRowsPerKey = 10000000L)
         byLen
           .withColumn("cum", sum(col("sw")).over(w))
           .withColumn("tot", sum(col("sw")).over(

@@ -312,7 +312,11 @@ object Pipeline22 {
               expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
             .groupBy(col("prio"), col("cents"))
             .agg(count(lit(1)).as("cnt")),
-          Seq("prio"), "q238_robust_means")
+          Seq("prio"), "q238_robust_means",
+          // explicit cap (ADVICE r12): distinct price-cents per priority
+          // can genuinely pass 1M at sf≥10 (price range ~6e7 cents) —
+          // keep the original 10M contract this query shipped under.
+          maxRowsPerKey = 10000000L)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("prio")).orderBy(col("cents"))
         val cum = dim

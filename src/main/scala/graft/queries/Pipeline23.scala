@@ -36,7 +36,12 @@ object Pipeline23 {
               expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
             .groupBy(col("event_type"), col("cents"))
             .agg(count(lit(1)).as("cnt")),
-          Seq("event_type"), "q239_mad_outliers")
+          Seq("event_type"), "q239_mad_outliers",
+          // explicit cap (ADVICE r12): distinct value-cents per type is
+          // bounded by the value RANGE (~1e5 cents), but a wider-range
+          // log at 100× could pass 1M distinct — keep the original 10M
+          // contract this query shipped under.
+          maxRowsPerKey = 10000000L)
         val cum = dim
           .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -150,11 +150,11 @@ object Pipeline28 {
           .orderBy(col("d2"), col("za"), col("zb"))
           .limit(25)
       },
-      Some("""WITH z AS (
+      Some(s"""WITH z AS (
                 SELECT zip_code, state,
                   CAST(round(lat * 1000000) AS BIGINT) AS la,
                   CAST(round(long * 1000000) AS BIGINT) AS lo
-                FROM read_json_auto('/root/repo/data/zips.json'))
+                FROM read_json_auto('${Tables.fixture("data/zips.json")}'))
               SELECT a.zip_code AS za, b.zip_code AS zb,
                 a.state AS sa, b.state AS sb,
                 CAST((a.la - b.la) * (a.la - b.la) +

@@ -20,15 +20,15 @@ object Pipeline3 {
     // read the same file (the q54 CSV pattern).
     QEntry("q69_jsonl_ingest",
       (s, _) => {
-        val df = s.read.json("/root/repo/data/docs.jsonl")
+        val df = s.read.json(Tables.fixture("data/docs.jsonl"))
         df.select(col("doc_id"),
             col("meta.lang").as("lang"), col("meta.source").as("source"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, meta.lang AS lang, meta.source AS source,
-               CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
-              FROM read_json_auto('/root/repo/data/docs.jsonl')
+      Some(s"""SELECT doc_id, meta.lang AS lang, meta.source AS source,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+              FROM read_json_auto('${Tables.fixture("data/docs.jsonl")}')
               ORDER BY doc_id""")),
 
     // Repetition signal (Gopher-style quality filter): the fraction of a

@@ -61,7 +61,7 @@ object Pipeline36 {
     * `Descriptor` and `id` must NOT appear — absence is part of the
     * hash-compared result. */
   private def goldenOracle: Option[String] = {
-    val Csv = "read_csv('/root/repo/data/csv_golden_nyc.csv')"
+    val Csv = s"read_csv('${Tables.fixture("data/csv_golden_nyc.csv")}')"
     def hist(colName: String, semType: String, codeSql: String) =
       s"""SELECT '$colName' AS col_name, '$semType' AS semtype, code,
            count(*) AS n
@@ -155,7 +155,7 @@ object Pipeline36 {
     QEntry("q287_golden_profile",
       (s, d) => {
         val df = graft.sources.CsvSource.read(s,
-          "/root/repo/data/csv_golden_nyc.csv")
+          Tables.fixture("data/csv_golden_nyc.csv"))
         graft.profile.Profiler.profile(df, Detector.fusedSpecs,
           sampleN = 100, keyCol = Some("id"))
           .withColumnRenamed("column", "col_name")

@@ -394,8 +394,16 @@ object Pipeline37 {
           .join(broadcast(colM), "dow")
           .crossJoin(broadcast(tot))
           .select(
+            // greatest(1,·) floors the centi-expected count (ADVICE
+            // r12): a sparse cell with r*c*100 div n == 0 (rare type ×
+            // rare dow in a huge corpus) would divide by zero → NULL,
+            // which sum() silently drops, understating chi2. The floor
+            // only binds when E < 0.01 — where the cell's true term is
+            // dominated by dev² anyway — and is applied identically in
+            // the oracle.
             expr("(o * 100 - (r * c * 100 div n)) * " +
-              "(o * 100 - (r * c * 100 div n)) div (r * c * 100 div n)")
+              "(o * 100 - (r * c * 100 div n)) div " +
+              "greatest(1L, r * c * 100 div n)")
               .as("term_centi"),
             col("n"), col("nr"), col("nc"))
         terms.groupBy(col("n"), col("nr"), col("nc"))
@@ -423,7 +431,8 @@ object Pipeline37 {
               terms AS (
                 SELECT
                   (o * 100 - (r * c * 100 // n)) *
-                  (o * 100 - (r * c * 100 // n)) // (r * c * 100 // n)
+                  (o * 100 - (r * c * 100 // n)) //
+                    greatest(1, r * c * 100 // n)
                     AS term_centi,
                   n, nr, nc
                 FROM cells

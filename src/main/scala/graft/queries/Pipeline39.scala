@@ -26,7 +26,12 @@ import graft.profile.TypeRegistry
   */
 object Pipeline39 {
 
-  private val DevicesCsv = "/root/repo/data/csv_golden_devices.csv"
+  // Resolved from the checked-in relative path so any checkout location
+  // works (ADVICE r12: the absolute /root/repo path broke portability).
+  // Verify/Bench/sbt all run with cwd = repo root, which is what the
+  // relative DevicesPath is defined against.
+  private val DevicesCsv =
+    new java.io.File(graft.tools.GenGoldenCsv.DevicesPath).getAbsolutePath
 
   private def devicesOracle: Option[String] = {
     val Csv = s"read_csv('$DevicesCsv')"
@@ -46,18 +51,25 @@ object Pipeline39 {
 
     QEntry("q297_registered_golden_profile",
       (s, d) => {
-        // the public registration API, guarded for re-entry (register
-        // rejects duplicates so a silent shadow can never happen)
+        // the public registration API, SCOPED to this entry (ADVICE
+        // r12): register → profile → unregister in finally, so later
+        // profiling gates never see an enlarged detector set and
+        // results stay order-independent. The returned plan is built
+        // eagerly from the spec list (detection collects, verdict
+        // columns are resolved Columns), so unregistering afterwards
+        // cannot change it.
         TypeRegistry.synchronized {
           if (!TypeRegistry.registered.exists(_.semType == "uuid"))
             TypeRegistry.register(TypeRegistry.uuid)
         }
-        val df = graft.sources.CsvSource.read(s, DevicesCsv)
-        graft.profile.Profiler.profile(df, TypeRegistry.allFused,
-          sampleN = 100, keyCol = Some("id"))
-          .withColumnRenamed("column", "col_name")
-          .withColumnRenamed("semType", "semtype")
-          .orderBy(col("col_name"), col("semtype"), col("code"))
+        try {
+          val df = graft.sources.CsvSource.read(s, DevicesCsv)
+          graft.profile.Profiler.profile(df, TypeRegistry.allFused,
+            sampleN = 100, keyCol = Some("id"))
+            .withColumnRenamed("column", "col_name")
+            .withColumnRenamed("semType", "semtype")
+            .orderBy(col("col_name"), col("semtype"), col("code"))
+        } finally TypeRegistry.unregister("uuid")
       },
       devicesOracle)
   )

@@ -110,6 +110,12 @@ object Pipeline41 {
     // stream converges to" monitor next to the observed mix. States
     // with no outgoing transitions leak their mass (documented; none
     // in the fixture). Transition dim ≤ |types|².
+    // Int64 bound (ADVICE r12): inflow terms are (pi * c) div rs with
+    // pi ≤ T = 1e12, so a single (src,dst) transition count c past
+    // ~9.2e6 would overflow the product — i.e. the contract is
+    // max-transition-count × T < 2^63; shrink T if an event log ever
+    // concentrates >9M transitions on one ordered pair. ANSI mode
+    // fails loudly rather than corrupting pi silently.
     QEntry("q303_markov_stationary",
       (s, d) => {
         val T = 1000000000000L

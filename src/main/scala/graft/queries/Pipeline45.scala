@@ -80,17 +80,23 @@ object Pipeline45 {
     // CASE arithmetic.
     QEntry("q315_registered_card_validate",
       (s, d) => {
+        // registration SCOPED to this entry (ADVICE r12): the verdict
+        // Column is resolved from the spec before the finally runs, so
+        // the plan survives the unregister; later gates never see the
+        // extra type.
         TypeRegistry.synchronized {
           if (!TypeRegistry.registered.exists(_.semType == "card"))
             TypeRegistry.register(cardSpec)
         }
-        val spec = TypeRegistry.all.find(_.semType == "card").get
-        val v = spec.validator(col("raw"))
-        Tables.customer(s, d)
-          .select(col("c_custkey"), cardCol.as("raw"))
-          .select(col("c_custkey"), col("raw"),
-            v.getField("code").as("code"), v.getField("norm").as("norm"))
-          .orderBy(col("c_custkey"))
+        try {
+          val spec = TypeRegistry.all.find(_.semType == "card").get
+          val v = spec.validator(col("raw"))
+          Tables.customer(s, d)
+            .select(col("c_custkey"), cardCol.as("raw"))
+            .select(col("c_custkey"), col("raw"),
+              v.getField("code").as("code"), v.getField("norm").as("norm"))
+            .orderBy(col("c_custkey"))
+        } finally TypeRegistry.unregister("card")
       },
       Some(s"""SELECT c_custkey, $cardSql AS raw,
                 CASE c_custkey % 6

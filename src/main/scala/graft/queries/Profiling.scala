@@ -134,7 +134,7 @@ object Profiling {
     // oracle is independent of the Spark-side validator.
     QEntry("q54_csv_profile",
       (s, d) => {
-        val df = graft.sources.CsvSource.read(s, "/root/repo/data/csv_311.csv")
+        val df = graft.sources.CsvSource.read(s, Tables.fixture("data/csv_311.csv"))
         val v = Validators.phoneVerdict(col("phone"))
         df.select(col("id").cast("long").as("id"), col("phone").as("raw"),
             v.getField("code").as("code"), v.getField("norm").as("norm"))

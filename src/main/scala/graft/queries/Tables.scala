@@ -51,4 +51,11 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Checked-in fixture path (repo-relative), resolved against the cwd —
+    * Verify/Bench/sbt all run with cwd = repo root. ADVICE r12: absolute
+    * `/root/repo/...` literals broke any other checkout location; every
+    * fixture-reading query (and its inlined oracle SQL) resolves through
+    * here instead. */
+  def fixture(rel: String): String = new java.io.File(rel).getAbsolutePath
 }

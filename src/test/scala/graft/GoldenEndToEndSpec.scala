@@ -63,7 +63,7 @@ class GoldenEndToEndSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("goldenpm")
       .resolve("out").toString
     ProfileMain.run(spark, ProfileMain.parse(
-      Array("/root/repo/data/csv_golden_nyc.csv", out)))
+      Array(graft.queries.Tables.fixture("data/csv_golden_nyc.csv"), out)))
     val summary = spark.read.parquet(s"$out/summary")
     val pairs = summary.select("column", "semType").distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
@@ -101,7 +101,8 @@ class GoldenEndToEndSpec extends SparkSpec {
       val out = java.nio.file.Files.createTempDirectory("goldendev")
         .resolve("out").toString
       ProfileMain.run(spark, ProfileMain.parse(
-        Array("/root/repo/data/csv_golden_devices.csv", out)))
+        Array(new java.io.File(graft.tools.GenGoldenCsv.DevicesPath)
+          .getAbsolutePath, out)))
       val summary = spark.read.parquet(s"$out/summary")
       val pairs = summary.select("column", "semType").distinct().collect()
         .map(r => (r.getString(0), r.getString(1))).toSet

@@ -54,6 +54,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaColumn)
   }
 
+  test("jaro_winkler callable from SQL, matches the Column builder") {
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").collect().head.getDouble(0)
+    val viaColumn = spark.range(1)
+      .select(JaroWinkler(lit("MARTHA"), lit("MARHTA")))
+      .collect().head.getDouble(0)
+    assert(viaSql == viaColumn)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-12) // the textbook pair
+    // null propagation through the SQL surface
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x') AS jw")
+      .collect().head.isNullAt(0))
+  }
+
   test("round-4+ expressions callable from SQL: ngram_shingle_hashes, count_in_sorted, pq_adc_score, winnow_mins") {
     GraftExtensions.registerAll(spark)
 

@@ -16,7 +16,7 @@ class CurationPipelineSpec extends SparkSpec {
 
   test("ingest -> quality -> dedup -> split composes with its invariants") {
     // 1. ingest (JSONL fixture, nested metadata)
-    val raw = spark.read.json("/root/repo/data/docs.jsonl")
+    val raw = spark.read.json(graft.queries.Tables.fixture("data/docs.jsonl"))
       .select(col("doc_id"), col("text"), col("meta.lang").as("lang"))
     val n0 = raw.count()
     assert(n0 == 500)

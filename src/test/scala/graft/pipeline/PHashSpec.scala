@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PHash function-level contracts: fp-grain collapse on a dup-dense
+  * corpus (the VERDICT r12 scale-killer shape), expansion losslessness
+  * vs the raw formulation, the oversized-band cap, and incremental ==
+  * batch over an empty seed.
+  */
+class PHashSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  /** nDistinct distinct payloads; payload j repeated copies(j) times
+    * (ids allocated contiguously, so group rep = lowest id). */
+  private def denseMedia(nDistinct: Int, copies: Int => Int): DataFrame = {
+    val rows = for {
+      j <- 0 until nDistinct
+      c <- 0 until copies(j)
+    } yield (j.toLong * 1000 + c, s"payload text number $j with words", 0L)
+    import spark.implicits._
+    rows.toDF("id", "text", "sh")
+  }
+
+  test("dup-dense corpus: an n-way identical group costs n-1 dup edges, zero near rows") {
+    // one 200-way duplicate group + 30 singletons — the shape whose
+    // raw band join squares (200² rows in all 4 bands)
+    val media = denseMedia(31, j => if (j == 0) 200 else 1)
+    val out = PHash.dhashNearDup(media).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val dup = out.filter(_._1 == "dup")
+    assert(dup.length == 199, s"got ${dup.length} dup edges")
+    assert(dup.forall { case (_, a, _, h, imp) =>
+      a == 0L && h == 0L && imp == 1L })
+    // whatever near pairs exist are between distinct-fp reps only
+    out.filter(_._1 == "near").foreach { case (_, a, b, h, _) =>
+      assert(h >= 1L && h <= 6L)
+      assert(a < b)
+      assert(a % 1000 == 0 && b % 1000 == 0, "near pairs live at rep grain")
+    }
+  }
+
+  test("expansion losslessness: raw pair count == sum C(n,2) + sum near implied_pairs") {
+    val media = denseMedia(40, j => 1 + j % 4)
+    val out = PHash.dhashNearDup(media).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val raw = PHash.dhashNearDupRaw(media).count()
+    val nearImplied = out.filter(_._1 == "near").map(_._3).sum
+    // dup groups: implied within-group pairs = C(n,2); recompute from
+    // the group sizes (copies = 1 + j%4 → n-1 dup edges per group)
+    val withinGroup = (0 until 40).map(j => (j % 4).toLong)
+      .map(e => e * (e + 1) / 2).sum
+    assert(raw == withinGroup + nearImplied,
+      s"raw=$raw within=$withinGroup nearImplied=$nearImplied")
+  }
+
+  test("oversized-band cap drops near candidates but never dup edges") {
+    // 30 distinct fps + one 50-way group; cap at 5 — every band value
+    // that 6+ reps share is dropped, dup edges must all survive
+    val media = denseMedia(31, j => if (j == 0) 50 else 1)
+    val capped = PHash.dhashNearDup(media, maxBucket = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(capped.count(_._1 == "dup") == 49,
+      "the cap must not silence membership edges")
+    // and the capped near set is a subset of the uncapped one
+    val uncapped = PHash.dhashNearDup(media).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.filter(_._1 == "near").forall(uncapped.contains))
+  }
+
+  test("incremental over empty seed == batch on (kind, a, b, hamming); implied caps at final") {
+    val media = denseMedia(25, j => 1 + j % 3)
+    val empty = media.filter(lit(false))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val inc = new PHash.IncrementalPHash(empty,
+      onPairs = df => emitted += df.localCheckpoint())
+    // three id-ordered slices (rep = min id = first seen, as in batch)
+    inc.processBatch(media.filter(col("id") < 8000), 0L)
+    inc.processBatch(media.filter(col("id") >= 8000 && col("id") < 16000), 1L)
+    inc.processBatch(media.filter(col("id") >= 16000), 2L)
+    val incRows = emitted.reduce(_ union _).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val batchRows = PHash.dhashNearDup(media).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val key = (t: (String, Long, Long, Long, Long)) =>
+      (t._1, t._2, t._3, t._4)
+    assert(incRows.map(key).toSet == batchRows.map(key).toSet)
+    assert(incRows.length == batchRows.length, "each pair emitted once")
+    val finalImp = batchRows.map(t => key(t) -> t._5).toMap
+    incRows.foreach(t => assert(t._5 >= 1L && t._5 <= finalImp(key(t))))
+  }
+}
