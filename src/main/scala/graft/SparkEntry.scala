@@ -35,7 +35,8 @@ object SparkEntry {
       Pipeline45.entries ++ Pipeline46.entries ++ Pipeline47.entries ++
       Pipeline48.entries ++ Pipeline49.entries ++ Pipeline50.entries ++
       Pipeline51.entries ++ Pipeline52.entries ++ Pipeline53.entries ++
-      Pipeline54.entries
+      Pipeline54.entries ++ Pipeline55.entries ++
+      Pipeline56.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

@@ -75,10 +75,24 @@ object Pipeline53 {
     // arithmetic, recursive min-label components — replays in the
     // oracle; hash equality proves every stage.
   /** Stages 1–4 of the linkage chain (files → train → block →
-    * score), shared by q332 (resolve) and q336 (decision bands):
-    * (a_id, b_id, ratio) — the exact integer likelihood ratio per
-    * blocked candidate. */
-  private def scoredCandidates(s: SparkSession, d: String): DataFrame = {
+    * score), shared by q332 (resolve) and q336 (decision bands).
+    *
+    * COLLAPSES byte-equal names to min-id reps BEFORE blocking (the
+    * q321/q288 discipline): the Soundex key space is FIXED (~100
+    * color-word blocks), so at 10× name duplication the record-grain
+    * block join squared — measured 5.1 s → 41.5 s on the sf≈1 replica
+    * (10 byte-identical copies of every clean name). At name grain the
+    * clean side stays flat as the corpus replicates; group sizes ride
+    * along, so both consumers reconstruct record-grain answers exactly
+    * and the oracle stays at RAW id grain as the losslessness proof.
+    *
+    * Returns (scored, aMap, bMap):
+    *  - scored: (a_rep, b_rep, a_n, b_n, ratio) — one row per blocked
+    *    NAME pair, ratio = the exact integer likelihood ratio;
+    *  - aMap/bMap: (record_id, rep) — record→name-rep membership for
+    *    expansion. */
+  private def linkage(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
 
         val part = Tables.part(s, d)
           .select(col("p_partkey"), col("p_name"))
@@ -86,6 +100,7 @@ object Pipeline53 {
         val dirty = part.filter(col("p_partkey") % 100 === 0)
           .select((col("p_partkey") + 10000000L).as("id"),
             typo(col("p_partkey"), col("p_name")).as("name"))
+          .localCheckpoint() // feeds collapse + membership map
         // --- stage 2: m/u in ppm from labeled pairs (q329 estimator)
         val planted = part.filter(col("p_partkey") % 10 === 0)
           .select(col("p_name").as("a"),
@@ -111,31 +126,42 @@ object Pipeline53 {
             expr("sum(agree * (1 - is_match)) * 1000000 div " +
               "sum(1 - is_match)").as("u_ppm"))
           .localCheckpoint() // 3-row dim, broadcast into the score
-        // --- stage 3: multi-pass Soundex blocking A×B — head-word
-        // AND last-word keys (two explode rows per record; a record
-        // pair is a candidate if EITHER key agrees — keys are
-        // pass-tagged H:/L: so head only ever meets head). A single deletion
-        // can break at most one of the two words, so every planted
-        // typo stays reachable — the single-pass head-word block lost
-        // the p=0 deletions (the q336 band census made that measurable:
-        // 8/20 dirty records matched; two-pass finds them all).
+        // --- stage 3a: name-grain collapse (min-id reps + group sizes)
+        val aN = part.groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("a_rep"),
+            count(lit(1)).as("a_n"))
+          .select(col("p_name").as("an"), col("a_rep"), col("a_n"))
+          .localCheckpoint() // blocked twice (H/L) + the record map
+        val bN = dirty.groupBy(col("name"))
+          .agg(min(col("id")).as("b_rep"), count(lit(1)).as("b_n"))
+          .select(col("name").as("bn"), col("b_rep"), col("b_n"))
+          .localCheckpoint()
+        // --- stage 3b: multi-pass Soundex blocking at NAME grain —
+        // head-word AND last-word keys (a name pair is a candidate if
+        // EITHER key agrees — keys are pass-tagged H:/L: so head only
+        // ever meets head). A single deletion breaks at most one of
+        // the two words, so every planted typo stays reachable — the
+        // single-pass head-word block lost the p=0 deletions (the q336
+        // band census made that measurable).
         def blkKeys(c: Column) = explode(array(
           concat(lit("H:"), sdx(c)), concat(lit("L:"), sdxLast(c))))
-        val aSide = part.select(col("p_partkey").as("a_id"),
-          col("p_name").as("an"), blkKeys(col("p_name")).as("blk"))
-        val bSide = dirty.select(col("id").as("b_id"),
-          col("name").as("bn"), blkKeys(col("name")).as("blk"))
+        val aSide = aN.select(col("a_rep"), col("an"), col("a_n"),
+          blkKeys(col("an")).as("blk"))
+        val bSide = bN.select(col("b_rep"), col("bn"), col("b_n"),
+          blkKeys(col("bn")).as("blk"))
         val cand = aSide.join(bSide, "blk")
-          .select(col("a_id"), col("an"), col("b_id"), col("bn"))
+          .select(col("a_rep"), col("an"), col("a_n"),
+            col("b_rep"), col("bn"), col("b_n"))
           .distinct() // a pair can collide on both keys
-        // --- stage 4: exact integer likelihood ratio
+        // --- stage 4: exact integer likelihood ratio per name pair
         val scored = cand
-          .select(Seq(col("a_id"), col("b_id")) ++
+          .select(Seq(col("a_rep"), col("b_rep"), col("a_n"),
+            col("b_n")) ++
             features(col("an"), col("bn")).map { case (n, c) =>
               c.as(n) }: _*)
           .join(broadcast(mu.groupBy().pivot("feature")
             .agg(first(col("m_ppm")).as("m"), first(col("u_ppm")).as("u"))))
-          .select(col("a_id"), col("b_id"),
+          .select(col("a_rep"), col("b_rep"), col("a_n"), col("b_n"),
             expr("""(CASE WHEN jw_hi = 1 THEN jw_hi_m
                      ELSE 1000000 - jw_hi_m END *
                     CASE WHEN sdx_eq = 1 THEN sdx_eq_m
@@ -149,7 +175,12 @@ object Pipeline53 {
                      ELSE 1000000 - sdx_eq_u END *
                     CASE WHEN len_eq = 1 THEN len_eq_u
                      ELSE 1000000 - len_eq_u END)""").as("ratio"))
-        scored
+        val aMap = part.join(aN, part("p_name") === aN("an"))
+          .select(col("p_partkey").as("record_id"),
+            col("a_rep").as("rep"))
+        val bMap = dirty.join(bN, dirty("name") === bN("bn"))
+          .select(col("id").as("record_id"), col("b_rep").as("rep"))
+        (scored, aMap, bMap)
   }
 
   /** Oracle CTE chain up to `scored`, shared by the q332 and q336
@@ -287,18 +318,27 @@ object Pipeline53 {
 
     QEntry("q332_linkage_pipeline",
       (s, d) => {
-        val scored = scoredCandidates(s, d)
+        val (scored, aMap, bMap) = linkage(s, d)
         val edges = scored.filter(col("ratio") >= 100L)
-          .select(col("a_id"), col("b_id"))
+          .select(col("a_rep").as("a_id"), col("b_rep").as("b_id"))
           .localCheckpoint() // feeds nodes + components
-        // --- stage 5: components over matched records only
+        // --- stage 5: components at NAME-REP grain, then EXPAND to
+        // records: every record inherits its name-rep's component
+        // (equal-name records have identical adjacency, so this is
+        // the raw record-grain component structure exactly — the
+        // oracle stays at raw id grain and hash-proves it). Canonical
+        // = min rep label = min record id of the cluster, since each
+        // rep IS its group's min id.
         val nodes = edges.select(col("a_id").as("id"))
           .union(edges.select(col("b_id"))).distinct()
         val comp = graft.pipeline.Dedup.components(edges, nodes)
-        val sizes = comp.groupBy(col("component"))
+        val members = aMap.union(bMap)
+          .join(comp.select(col("id").as("rep"), col("component")), "rep")
+          .localCheckpoint() // feeds sizes + output
+        val sizes = members.groupBy(col("component"))
           .agg(count(lit(1)).as("cluster_size"))
-        comp.join(sizes, "component")
-          .select(col("id").as("record_id"),
+        members.join(sizes, "component")
+          .select(col("record_id"),
             col("component").as("canonical_id"), col("cluster_size"))
           .orderBy(col("record_id"))
       },
@@ -332,18 +372,31 @@ object Pipeline53 {
     // aggregate over the shared stage-1–4 plan; nothing recomputed
     // differently.
     QEntry("q336_linkage_bands",
-      (s, d) => scoredCandidates(s, d)
-        .select(
-          when(col("ratio") >= 100L, "match")
-            .when(col("ratio") >= 1L, "possible")
-            .otherwise("non_match").as("decision"),
-          col("ratio"), col("b_id"))
-        .groupBy(col("decision"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("b_id")).as("n_dirty"),
-          min(col("ratio")).as("min_ratio"),
-          max(col("ratio")).as("max_ratio"))
-        .orderBy(col("decision")),
+      (s, d) => {
+        val (scored, _, _) = linkage(s, d)
+        // record-grain accounting from the name-grain plan: pair
+        // counts weight by a_n·b_n, distinct-dirty counts sum b_n
+        // over distinct dirty reps per band — equal-name records
+        // score identically, so these are the raw numbers exactly
+        // (the oracle computes them at raw id grain).
+        val bands = scored.select(
+            when(col("ratio") >= 100L, "match")
+              .when(col("ratio") >= 1L, "possible")
+              .otherwise("non_match").as("decision"),
+            col("ratio"), col("a_n"), col("b_n"), col("b_rep"))
+          .localCheckpoint() // pair agg + distinct-dirty agg
+        val pairAgg = bands.groupBy(col("decision"))
+          .agg(sum(col("a_n") * col("b_n")).as("n_pairs"),
+            min(col("ratio")).as("min_ratio"),
+            max(col("ratio")).as("max_ratio"))
+        val dirtyAgg = bands.select(col("decision"), col("b_rep"),
+            col("b_n")).distinct()
+          .groupBy(col("decision")).agg(sum(col("b_n")).as("n_dirty"))
+        pairAgg.join(dirtyAgg, "decision")
+          .select(col("decision"), col("n_pairs"), col("n_dirty"),
+            col("min_ratio"), col("max_ratio"))
+          .orderBy(col("decision"))
+      },
       Some(s"""WITH ${scoredSql}
               SELECT CASE WHEN ratio >= 100 THEN 'match'
                           WHEN ratio >= 1 THEN 'possible'

@@ -124,6 +124,10 @@ object Pipeline54 {
     // status/priority → dictionary, custkey/price → plain.
     QEntry("q335_encoding_advisor",
       (s, d) => {
+        // checkpoint the NARROW ranked base (rn + mostly-numeric
+        // source columns, ~80 B/row); the padded sortable strings are
+        // derived inline per consumer — caching them tripled the
+        // resident bytes and OOM'd an 8 GiB heap at the sf≈10 replica
         val ranked = graft.operators.GlobalRank.rowNumber(
           Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_custkey"),
@@ -131,40 +135,53 @@ object Pipeline54 {
               expr("CAST(round(o_totalprice * 100) AS BIGINT)")
                 .as("cents")),
           "rn", col("o_orderkey"))
+          .localCheckpoint()
         def pad(c: org.apache.spark.sql.Column) =
           lpad(c.cast("string"), 14, "0")
-        val melted = ranked.select(col("rn"), explode(array(
-            struct(lit("o_orderkey").as("col_name"),
-              pad(col("o_orderkey")).as("v"),
-              length(col("o_orderkey").cast("string")).as("len")),
-            struct(lit("o_custkey").as("col_name"),
-              pad(col("o_custkey")).as("v"),
-              length(col("o_custkey").cast("string")).as("len")),
-            struct(lit("o_orderstatus").as("col_name"),
-              col("o_orderstatus").as("v"),
-              length(col("o_orderstatus")).as("len")),
-            struct(lit("o_orderpriority").as("col_name"),
-              col("o_orderpriority").as("v"),
-              length(col("o_orderpriority")).as("len")),
-            struct(lit("o_totalprice").as("col_name"),
-              pad(col("cents")).as("v"),
-              length(col("cents").cast("string")).as("len"))
-          )).as("f"))
-          .select(col("rn"), col("f.col_name"), col("f.v"), col("f.len"))
-          .localCheckpoint() // base stats + the adjacency self-join
-        val adj = melted.alias("a")
-          .join(melted.select((col("rn") - 1).as("rn"),
-            col("col_name"), col("v").as("nv")).alias("b"),
-            Seq("rn", "col_name"))
+        val cols = Seq(
+          ("o_orderkey", pad(col("o_orderkey")),
+            length(col("o_orderkey").cast("string"))),
+          ("o_custkey", pad(col("o_custkey")),
+            length(col("o_custkey").cast("string"))),
+          ("o_orderstatus", col("o_orderstatus"),
+            length(col("o_orderstatus"))),
+          ("o_orderpriority", col("o_orderpriority"),
+            length(col("o_orderpriority"))),
+          ("o_totalprice", pad(col("cents")),
+            length(col("cents").cast("string"))))
+        val vals = ranked.select(col("rn") +: cols.map { case (n, v, l) =>
+            struct(v.as("v"), l.as("len")).as(n) }: _*)
+        // adjacency at ROW grain: ONE rn self-join carrying all five
+        // columns, flags aggregated without any melt — the melt-grain
+        // join shuffled 5× the rows and went 31× at the sf≈10 replica
+        val adjoined = vals.join(
+          vals.select(Seq((col("rn") - 1).as("rn")) ++ cols.map {
+            case (n, _, _) => col(n).as(s"__n_$n") }: _*), "rn")
+        val adjRow = adjoined.agg(
+          count(lit(1)).as("n_adj"),
+          cols.flatMap { case (n, _, _) => Seq(
+            sum((col(s"$n.v") === col(s"__n_$n.v")).cast("long"))
+              .as(s"eq_$n"),
+            sum((col(s"$n.v") < col(s"__n_$n.v")).cast("long"))
+              .as(s"inc_$n")) }: _*)
+        val adj = adjRow.select(explode(array(cols.map { case (n, _, _) =>
+            struct(lit(n).as("col_name"), col("n_adj"),
+              col(s"eq_$n").as("adj_eq"), col(s"inc_$n").as("adj_inc"))
+          }: _*)).as("f"))
+          .select(col("f.col_name"), col("f.n_adj"), col("f.adj_eq"),
+            col("f.adj_inc"))
+        // cardinality/width stats still need the value grain — one
+        // melt straight into a map-side-combined aggregate, never
+        // checkpointed, never joined
+        val base = vals.select(explode(array(cols.map { case (n, _, _) =>
+            struct(lit(n).as("col_name"), col(s"$n.v").as("v"),
+              col(s"$n.len").as("len")) }: _*)).as("f"))
+          .select(col("f.col_name"), col("f.v"), col("f.len"))
           .groupBy(col("col_name"))
-          .agg(count(lit(1)).as("n_adj"),
-            sum((col("v") === col("nv")).cast("long")).as("adj_eq"),
-            sum((col("v") < col("nv")).cast("long")).as("adj_inc"))
-        val base = melted.groupBy(col("col_name"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("v")).as("n_distinct"),
             expr("sum(len) * 100 div count(1)").as("avg_len_centi"))
-        base.join(adj, "col_name")
+        base.join(broadcast(adj), "col_name")
           .select(col("col_name"), col("n"), col("n_distinct"),
             expr("n_distinct * 1000000 div n").as("distinct_ppm"),
             col("avg_len_centi"),
