@@ -41,34 +41,31 @@ object Pipeline56 {
                     ELSE 'S0' END""").as("seed"),
             col("text"))
         // one md5 pass per cell (the nested per-bin fold recomputed the
-        // 16-cell grid once PER BIN — 8x the hashes, 90 s at the sf≈10
-        // replica; this shape runs at bin grain like the oracle): lum
-        // array as a projection, exploded once, counted per bin, then
-        // densified against the 8-bin broadcast grid so zero-count bins
-        // still contribute |0 - prev| to the L1.
-        val binned = frames
+        // 16-cell grid once PER BIN — 8× the hashes, 90 s at the sf≈10
+        // replica), and one shuffle to the dense per-frame histogram:
+        // the cell explode aggregates straight into 8 conditional sums
+        // (an earlier shape densified bins via a broadcast grid + a
+        // per-(media,bin) window — 3 extra shuffles of pure plan
+        // overhead, 4.9 s at sf0.1 for 8000 frames). Both windows
+        // below share one spec, so lag + running-cut-count run in a
+        // single WindowExec over ≤16 rows per media.
+        val hists = frames
           .select(col("media_id"), col("f"),
             explode(expr("""transform(sequence(0, 15), c ->
               CAST(conv(substring(md5(concat(text, ':', seed, ':',
                 CAST(c AS STRING))), 1, 2), 16, 10) AS BIGINT)
                 div 32)""")).as("bin"))
-          .groupBy(col("media_id"), col("f"), col("bin"))
-          .agg(count(lit(1)).as("n"))
-        val bins = s.range(8).select(col("id").cast("long").as("bin"))
-        val dense = frames.select(col("media_id"), col("f"))
-          .crossJoin(broadcast(bins))
-          .join(binned, Seq("media_id", "f", "bin"), "left")
-          .select(col("media_id"), col("f"), col("bin"),
-            coalesce(col("n"), lit(0L)).as("n"))
-        val wb = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("media_id"), col("bin")).orderBy(col("f"))
+          .groupBy(col("media_id"), col("f"))
+          .agg(array((0 until 8).map(b =>
+            sum(when(col("bin") === b, 1L).otherwise(0L))): _*).as("h"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("media_id")).orderBy(col("f"))
-        val deltas = dense
-          .withColumn("d",
-            abs(col("n") - coalesce(lag(col("n"), 1).over(wb), col("n"))))
-          .groupBy(col("media_id"), col("f"))
-          .agg(sum(col("d")).as("l1"))
+        val deltas = hists
+          .withColumn("ph", lag(col("h"), 1).over(w))
+          .withColumn("l1", when(col("ph").isNull, lit(0L))
+            .otherwise(expr(
+              "aggregate(zip_with(h, ph, (a, b) -> abs(a - b)), " +
+                "0L, (acc, x) -> acc + x)")))
           .withColumn("is_cut", (col("l1") > lit(0L)).cast("long"))
           .withColumn("shot_idx", sum(col("is_cut")).over(w))
         deltas.groupBy(col("media_id"), col("shot_idx"))
