@@ -37,7 +37,8 @@ object SparkEntry {
       Pipeline51.entries ++ Pipeline52.entries ++ Pipeline53.entries ++
       Pipeline54.entries ++ Pipeline55.entries ++
       Pipeline56.entries ++ Pipeline57.entries ++
-      Pipeline58.entries
+      Pipeline58.entries ++ Pipeline59.entries ++
+      Pipeline60.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at

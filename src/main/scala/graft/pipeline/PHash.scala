@@ -258,5 +258,16 @@ object PHash {
       counts = curCounts
       bands = all
     }
+
+    /** Attach to a real stream of media rows (id, text, sh) —
+      * foreachBatch over [[processBatch]], AvailableNow (the
+      * [[Dedup.IncrementalNearDup.start]] convention; PHashSpec drives
+      * it with maxFilesPerTrigger=1 to force multiple micro-batches
+      * and pins equality with the batch operator). */
+    def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
   }
 }

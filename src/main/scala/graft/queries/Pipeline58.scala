@@ -149,7 +149,15 @@ object Pipeline58 {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"), col("label"))
-        val queries = emb.filter(col("vec_id") % 50 === 0)
+        // scale-adaptive probe panel: stride = n div 30 keeps the
+        // broadcast query set at ~30 vectors at ANY corpus size, so
+        // the brute-force score stays LINEAR in the corpus (a fixed
+        // "% 50" panel grew with the fixture and the 100× replica
+        // spent >4 min sorting 450M scored rows; mining for an
+        // unbounded query set belongs to the bucketed ANN family —
+        // q104's path). One count job, the Detector-style driver read.
+        val stride = math.max(1L, emb.count() / 30L)
+        val queries = emb.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("q_id"),
             graft.pipeline.Similarity.quantize(col("embedding"))
               .as("qe"), col("label").as("q_label"))
@@ -187,7 +195,9 @@ object Pipeline58 {
                   list_transform(embedding, v ->
                     CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))
                     AS qe
-                FROM embeddings WHERE vec_id % 50 = 0),
+                FROM embeddings WHERE vec_id %
+                  (SELECT greatest(1, count(*) // 30) FROM embeddings)
+                  = 0),
               cz AS (
                 SELECT vec_id, label,
                   list_transform(embedding, v ->

@@ -71,6 +71,40 @@ class PHashSpec extends SparkSpec {
     assert(capped.filter(_._1 == "near").forall(uncapped.contains))
   }
 
+  test("true streaming (AvailableNow, forced micro-batches) == batch vs a seed corpus") {
+    val media = denseMedia(30, j => 1 + j % 3)
+    val corpus = media.filter(col("id") < 15000)
+    val arriving = media.filter(col("id") >= 15000)
+    val dir = java.nio.file.Files.createTempDirectory("phash_inc")
+    // keep each payload group inside one micro-batch: file order is
+    // not id order, and a group's min-id member arriving AFTER a
+    // sibling would pick a different rep than the batch operator
+    // (first-seen vs min-id) — a real property of incremental dedup,
+    // not the subject here
+    arriving.repartition(3, expr("id div 1000"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)]
+    val inc = new PHash.IncrementalPHash(corpus,
+      onPairs = df => got.synchronized {
+        got ++= df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      })
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(dir.toString)
+    val q = inc.start(stream)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed emissions equal the batch operator's rows that
+    // touch an arrival, on (kind, a, b, hamming)
+    val batch = PHash.dhashNearDup(media).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(t => t._2 >= 15000 || t._3 >= 15000).toSet
+    assert(got.toSet == batch)
+    assert(got.size == got.toSet.size, "each pair emitted once")
+  }
+
   test("incremental over empty seed == batch on (kind, a, b, hamming); implied caps at final") {
     val media = denseMedia(25, j => 1 + j % 3)
     val empty = media.filter(lit(false))
