@@ -207,24 +207,9 @@ object Pipeline62 {
     // (q171) links to.
     QEntry("q352_corpus_manifest",
       (s, d) => {
-        val rows = Tables.documents(s, d)
-          .select(col("source"),
-            conv(substring(md5(concat(col("doc_id").cast("string"),
-              lit(":"), col("text"))), 1, 15), 16, 10).cast("long")
-              .as("h"))
-          .select(col("source"), col("h"), pmod(col("h"), lit(256L)).as("b"))
-        val buckets = rows.groupBy(col("source"), col("b"))
-          .agg(count(lit(1)).as("n"),
-            (sum(col("h").cast("decimal(38,0)")) %
-              lit(2305843009213693951L)).cast("long").as("fold"))
-          .localCheckpoint() // ≤ 256 rows per source
-        buckets.groupBy(col("source"))
-          .agg(sum(col("n")).as("n_rows"),
-            count(lit(1)).as("n_buckets"),
-            md5(concat_ws("|",
-              sort_array(collect_list(concat(
-                lpad(col("b").cast("string"), 3, "0"), lit(":"),
-                col("fold").cast("string")))))).as("root"))
+        val m = graft.pipeline.Manifest
+        m.roots(m.bucketFolds(Tables.documents(s, d)
+            .select(col("source"), col("doc_id"), col("text"))))
           .orderBy(col("source"))
       },
       Some("""WITH r AS (

@@ -12,16 +12,9 @@ object Pipeline64 {
   /** q352's digest→bucket frame, filterable to a release snapshot. */
   private def bucketFolds(s: SparkSession, d: String, cond: String)
       : DataFrame =
-    Tables.documents(s, d)
-      .filter(expr(cond))
-      .select(col("source"),
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":"), col("text"))), 1, 15), 16, 10).cast("long").as("h"))
-      .select(col("source"), col("h"), pmod(col("h"), lit(256L)).as("b"))
-      .groupBy(col("source"), col("b"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("h").cast("decimal(38,0)")) %
-          lit(2305843009213693951L)).cast("long").as("fold"))
+    graft.pipeline.Manifest.bucketFolds(
+      Tables.documents(s, d).filter(expr(cond))
+        .select(col("source"), col("doc_id"), col("text")))
 
   val entries: Seq[QEntry] = Seq(
 
