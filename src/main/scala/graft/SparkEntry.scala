@@ -42,7 +42,8 @@ object SparkEntry {
       Pipeline63.entries ++ Pipeline64.entries ++ Pipeline65.entries ++
       Pipeline66.entries ++ Pipeline67.entries ++
       Pipeline68.entries ++ Pipeline69.entries ++
-      Pipeline70.entries ++ Pipeline71.entries
+      Pipeline70.entries ++ Pipeline71.entries ++
+      Pipeline72.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at
