@@ -53,13 +53,40 @@ object Bench {
       val flags = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
       System.err.println(s"[bench] jvm flags: ${flags.mkString(" ")}")
     }
+    // Contention gate (VERDICT r13 item 1): two rounds running, the
+    // driver's recorded sweep started on a host ~2–7 runnable processes
+    // deep (loadStart 6.68 r13 / similar r12) and min-of-2 inside ONE
+    // contended session could not recover the true wall. So before
+    // creating the session — i.e. before our own warmup adds load —
+    // wait-and-resample: while 1-min load > loadMax, sleep 30 s and
+    // retry, bounded by maxWaitS. The whole trail is recorded in the
+    // jvm block ("loadTrail", "waitedS") so a reader sees either a
+    // clean start or the evidence that waiting could not get one. If
+    // the host is STILL contended after the budget, escalate a 2-run
+    // protocol to 3 runs (per-query MIN, not median — under external
+    // contention the min is the closest observable to the uncontended
+    // wall; median of 3 contended runs is still contended).
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_S", "300").toInt
+    var loadTrail = List(loadAvg())
+    var waitedS = 0
+    while (loadTrail.head > loadMax && waitedS < maxWaitS) {
+      System.err.println(f"[bench] host load ${loadTrail.head}%.2f > $loadMax%.1f — waiting 30 s (${waitedS}s/${maxWaitS}s used)")
+      Thread.sleep(30000)
+      waitedS += 30
+      loadTrail = loadAvg() :: loadTrail
+    }
+    val contended = loadTrail.head > loadMax
+    val effRuns = if (contended && runs == 2) 3 else runs
+    if (contended)
+      System.err.println(f"[bench] still contended after ${waitedS}s (load ${loadTrail.head}%.2f) — runs $runs -> $effRuns, per-query MIN")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadStart = loadAvg()
+    val loadStart = loadTrail.head
     // absorb session/JIT warmup outside any timed query, and time queries
     // in sorted name order so round-over-round numbers are comparable
     // (map iteration order shifts when the query set grows).
@@ -87,7 +114,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // allRuns(r) = per-run map name -> (wall, cpu); runs share the warm
     // JVM/session, matching the round-10 warm-round protocol.
-    val allRuns = (1 to runs).map { r =>
+    val allRuns = (1 to effRuns).map { r =>
       val m = names.map { name =>
         val fn = SparkEntry.queries(name)
         val c0 = processCpuNanos()
@@ -98,7 +125,7 @@ object Bench {
         val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
         name -> (wall, cpu)
       }.toMap
-      System.err.println(f"[bench] run $r/$runs total=${m.values.map(_._1).sum}%.2f s load=${loadAvg()}%.2f")
+      System.err.println(f"[bench] run $r/$effRuns total=${m.values.map(_._1).sum}%.2f s load=${loadAvg()}%.2f")
       m
     }
     val loadEnd = loadAvg()
@@ -107,7 +134,7 @@ object Bench {
     // recorded wall so the cpu/wall diagnostic stays coherent.
     val results: Seq[(String, Double, Double)] = names.map { n =>
       val obs = allRuns.map(_(n)).sortBy(_._1)
-      val pick = if (runs <= 2) obs.head else obs(obs.size / 2)
+      val pick = if (effRuns <= 2 || contended) obs.head else obs(obs.size / 2)
       (n, pick._1, pick._2)
     }
     val runTotals = allRuns.map(_.values.map(_._1).sum)
@@ -116,7 +143,7 @@ object Bench {
     val jit = ManagementFactory.getCompilationMXBean
     val jitMs = if (jit != null && jit.isCompilationTimeMonitoringSupported)
       jit.getTotalCompilationTime else -1L
-    val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs,"loadStart":${f"$loadStart%.2f"},"loadEnd":${f"$loadEnd%.2f"},"runs":$runs,"runTotals":[${runTotals.map(t => f"$t%.2f").mkString(",")}]}"""
+    val jvm = s"""{"codeCacheUsedMb":${f"${codeCacheUsedMb()}%.1f"},"jitMs":$jitMs,"loadStart":${f"$loadStart%.2f"},"loadEnd":${f"$loadEnd%.2f"},"runs":$effRuns,"estimator":"${if (effRuns <= 2 || contended) "min" else "median"}","loadTrail":[${loadTrail.reverse.map(l => f"$l%.2f").mkString(",")}],"waitedS":$waitedS,"runTotals":[${runTotals.map(t => f"$t%.2f").mkString(",")}]}"""
     // The driver's BENCH capture keeps only a ~2000-char TAIL of stdout.
     // The round-7 fix (short qNN keys, 2-decimal walls) kept the line to
     // ~1.6 KB at 146 queries — at 284 it outgrew the tail again (~3.4 KB,

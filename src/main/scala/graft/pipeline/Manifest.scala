@@ -55,18 +55,26 @@ object Manifest {
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       val rows = bucketFolds(batch).collect() // ≤ 256 rows per source
-      rows.foreach { r =>
-        val k = (r.getString(0), r.getLong(1))
-        val (n0, f0) = state.getOrElse(k, (0L, 0L))
-        val merged =
-          ((BigInt(f0) + BigInt(r.getLong(3))) % BigInt(FoldM)).toLong
-        state(k) = (n0 + r.getLong(2), merged)
+      // the state map is mutated on the streaming thread and read by
+      // currentRoots() — synchronize both sides (ADVICE r13: a
+      // mid-stream currentRoots() from another thread was a data
+      // race; the Spark collect stays OUTSIDE the lock).
+      state.synchronized {
+        rows.foreach { r =>
+          val k = (r.getString(0), r.getLong(1))
+          val (n0, f0) = state.getOrElse(k, (0L, 0L))
+          val merged =
+            ((BigInt(f0) + BigInt(r.getLong(3))) % BigInt(FoldM)).toLong
+          state(k) = (n0 + r.getLong(2), merged)
+        }
       }
     }
 
-    /** (source, n_rows, root) — same root construction as [[roots]]. */
+    /** (source, n_rows, root) — same root construction as [[roots]].
+      * Thread-safe vs an in-flight processBatch (consistent snapshot
+      * of whole batches — a batch is applied atomically above). */
     def currentRoots(): Seq[(String, Long, String)] =
-      state.groupBy(_._1._1).toSeq.map { case (src, cells) =>
+      state.synchronized { state.groupBy(_._1._1).toSeq }.map { case (src, cells) =>
         val entries = cells.toSeq
           .map { case ((_, b), (_, f)) => f"$b%03d:$f" }
           .sorted.mkString("|")

@@ -156,8 +156,16 @@ object Pipeline58 {
         // spent >4 min sorting 450M scored rows; mining for an
         // unbounded query set belongs to the bucketed ANN family —
         // q104's path). One count job, the Detector-style driver read.
+        // Panel membership hashes the id first (ADVICE/SCALE r13: a
+        // raw `vec_id % stride` panel is id-DENSITY-dependent — on
+        // the sparse-id 100× replica it selected 1 probe instead of
+        // ~30 and the SCALE row under-measured; an md5-uniform draw
+        // selects ~n/stride probes under ANY id distribution).
         val stride = math.max(1L, emb.count() / 30L)
-        val queries = emb.filter(col("vec_id") % stride === 0)
+        val panelHash =
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+            16, 10).cast("long")
+        val queries = emb.filter(panelHash % stride === 0)
           .select(col("vec_id").as("q_id"),
             graft.pipeline.Similarity.quantize(col("embedding"))
               .as("qe"), col("label").as("q_label"))
@@ -195,7 +203,9 @@ object Pipeline58 {
                   list_transform(embedding, v ->
                     CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))
                     AS qe
-                FROM embeddings WHERE vec_id %
+                FROM embeddings WHERE
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    ::BIGINT %
                   (SELECT greatest(1, count(*) // 30) FROM embeddings)
                   = 0),
               cz AS (

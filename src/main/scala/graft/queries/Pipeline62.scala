@@ -43,11 +43,19 @@ object Pipeline62 {
         val total = docGrams
           .select(explode(col("gs")).as("g"))
           .agg(countDistinct(col("g")).as("total_grams"))
+        // gain > 0 before the argmax (ADVICE r13): on a degenerate
+        // corpus where <5 docs already cover every trigram, the
+        // DuckDB oracle's `WHERE g NOT IN covered` yields NO row for
+        // the exhausted round — an unguarded Spark argmax would still
+        // emit a zero-gain min-doc_id row and diverge. With the
+        // filter, an exhausted round contributes nothing on both
+        // engines (the union is a no-op and later rounds stay empty).
         def argmax(cov: DataFrame, round: Int): DataFrame =
           docGrams.crossJoin(broadcast(cov))
             .select(col("doc_id"),
               size(array_except(col("gs"), col("cov"))).cast("long")
                 .as("gain"))
+            .filter(col("gain") > 0)
             .orderBy(col("gain").desc, col("doc_id").asc).limit(1)
             .select(lit(round.toLong).as("round"), col("doc_id"),
               col("gain"))
@@ -132,9 +140,11 @@ object Pipeline62 {
     // type from sorted in-row arrays (the day dimension is bounded —
     // the corpus never reaches this grain), modified z = 0.6745·(x −
     // med)/MAD in milli, flagged at the classic |z| > 3.5. Division
-    // runs on |x − med| with the sign reapplied — Spark `div`
-    // truncates toward zero while DuckDB `//` floors, and nonnegative
-    // operands make them agree. The robust twin of q240's CUSUM.
+    // runs on |x − med| with the sign reapplied — a style choice, not
+    // a cross-engine necessity: BOTH Spark `div` and DuckDB integer
+    // `//` truncate toward zero (verified: -7 // 2 = -3 in DuckDB;
+    // ADVICE r13 corrected an earlier claim that `//` floors). The
+    // robust twin of q240's CUSUM.
     QEntry("q351_mad_outliers",
       (s, d) => {
         val daily = Tables.events(s, d)

@@ -23,11 +23,17 @@ object Pipeline65 {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
+        // md5-hashed panel draw — a raw `vec_id % stride` is id-density
+        // dependent (1 probe instead of ~30 on the sparse-id 100×
+        // replica; ADVICE/SCALE r13)
         val stride = math.max(1L, emb.count() / 30L)
-        val panel = emb.filter(col("vec_id") % stride === 0)
+        val panelHash =
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+            16, 10).cast("long")
+        val panel = emb.filter(panelHash % stride === 0)
           .select(col("vec_id").as("probe_id"),
             graft.pipeline.Similarity.quantize(col("embedding")).as("qe"))
-        val corpus = emb.filter(col("vec_id") % stride =!= 0)
+        val corpus = emb.filter(panelHash % stride =!= 0)
           .select(col("vec_id"),
             graft.pipeline.Similarity.quantize(col("embedding")).as("ce"))
         val scored = corpus.join(broadcast(panel), lit(true))
@@ -65,13 +71,17 @@ object Pipeline65 {
                   list_transform(embedding, v ->
                     CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))
                     AS qe
-                FROM embeddings, st WHERE vec_id % st.stride = 0),
+                FROM embeddings, st WHERE
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % st.stride = 0),
               cz AS (
                 SELECT vec_id,
                   list_transform(embedding, v ->
                     CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT))
                     AS ce
-                FROM embeddings, st WHERE vec_id % st.stride <> 0),
+                FROM embeddings, st WHERE
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % st.stride <> 0),
               scored AS (
                 SELECT probe_id, vec_id,
                   CAST(list_sum(list_transform(range(len(qe)),

@@ -86,7 +86,11 @@ object Pipeline68 {
           .select(col("vec_id"),
             graft.pipeline.Similarity.quantize(col("embedding")).as("qe"))
           .localCheckpoint() // feeds stats, both arms, both sides
+        // md5-hashed panel draw (id-density-free; ADVICE/SCALE r13)
         val stride = math.max(1L, emb.count() / 30L)
+        val panelHash =
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+            16, 10).cast("long")
         val stats = emb
           .select(posexplode(col("qe")))
           .groupBy(col("pos"))
@@ -107,9 +111,9 @@ object Pipeline68 {
           .localCheckpoint()
         def top10(vecs: org.apache.spark.sql.DataFrame, vcol: String,
             label: String) = {
-          val probes = vecs.filter(col("vec_id") % stride === 0)
+          val probes = vecs.filter(panelHash % stride === 0)
             .select(col("vec_id").as("q_id"), col(vcol).as("qv"))
-          val scored = vecs.filter(col("vec_id") % stride =!= 0)
+          val scored = vecs.filter(panelHash % stride =!= 0)
             .join(broadcast(probes), lit(true))
             .select(col("q_id"), col("vec_id"),
               graft.expressions.functions.dot_long(col("qv"), col(vcol))
@@ -139,7 +143,7 @@ object Pipeline68 {
               coalesce(col("r_int8"), lit(0L))).otherwise(lit(0L)))
               .as("top1_int8_rank"))
           .select(col("q_id"),
-            (col("n_overlap") * 1000L).as("recall_milli"),
+            (col("n_overlap") * 1000L).as("overlap_milli"),
             (col("top1_int8_rank") === 1L).cast("boolean")
               .as("top1_survives"))
           .orderBy(col("q_id"))
@@ -168,9 +172,9 @@ object Pipeline68 {
                       // rgs[i + 1]) * rgs[i + 1] // 255) AS de
                 FROM ez, dims),
               px AS (SELECT vec_id AS q_id, qe AS qv FROM ez, st
-                     WHERE vec_id % st.stride = 0),
+                     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % st.stride = 0),
               cx AS (SELECT vec_id, qe FROM ez, st
-                     WHERE vec_id % st.stride <> 0),
+                     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % st.stride <> 0),
               sx AS (
                 SELECT q_id, vec_id,
                   CAST(list_sum(list_transform(range(64), i ->
@@ -186,9 +190,9 @@ object Pipeline68 {
                     ORDER BY cos DESC, vec_id) AS r_exact
                 FROM sx QUALIFY r_exact <= 10),
               pd AS (SELECT vec_id AS q_id, de AS qv FROM dz, st
-                     WHERE vec_id % st.stride = 0),
+                     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % st.stride = 0),
               cd AS (SELECT vec_id, de FROM dz, st
-                     WHERE vec_id % st.stride <> 0),
+                     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % st.stride <> 0),
               sd AS (
                 SELECT q_id, vec_id,
                   CAST(list_sum(list_transform(range(64), i ->
@@ -206,7 +210,7 @@ object Pipeline68 {
               SELECT q_id,
                 CAST(sum(CASE WHEN tx.r_exact IS NOT NULL
                   AND td.r_int8 IS NOT NULL THEN 1 ELSE 0 END) * 1000
-                  AS BIGINT) AS recall_milli,
+                  AS BIGINT) AS overlap_milli,
                 max(CASE WHEN tx.r_exact = 1
                   THEN coalesce(td.r_int8, 0) ELSE 0 END) = 1
                   AS top1_survives

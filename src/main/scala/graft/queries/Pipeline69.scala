@@ -25,14 +25,20 @@ object Pipeline69 {
           .select(col("vec_id"),
             graft.pipeline.Similarity.quantize(col("embedding")).as("v"))
           .localCheckpoint()
+        // md5-hashed panel draw (id-density-free; ADVICE/SCALE r13:
+        // a raw `vec_id % stride` panel collapsed to 1 probe on the
+        // sparse-id 100x replica and the SCALE row under-measured)
         val stride = math.max(1L, emb.count() / 30L)
+        val panelHash =
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+            16, 10).cast("long")
         // slice norms once per vector (the in-cell formulation paid
         // 4× the norm folds + sqrts per pair)
         val normed = emb.withColumn("nm",
           expr("transform(sequence(0, 3), k -> " +
             "sqrt(CAST(aggregate(slice(v, k * 16 + 1, 16), 0L, " +
             "(acc, e) -> acc + e * e, acc -> acc) AS DOUBLE)))"))
-        val probes = normed.filter(col("vec_id") % stride === 0)
+        val probes = normed.filter(panelHash % stride === 0)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nm").as("qn"))
         val subCos =
@@ -43,7 +49,7 @@ object Pipeline69 {
                          (acc, e) -> acc + e, acc -> acc) /
                (element_at(qn, i + 1) * element_at(nm, j + 1))
                * 1000000.0) AS BIGINT)"""
-        val maxsim = normed.filter(col("vec_id") % stride =!= 0)
+        val maxsim = normed.filter(panelHash % stride =!= 0)
           .join(broadcast(probes), lit(true))
           .select(col("q_id"), col("vec_id"),
             explode(sequence(lit(0), lit(3))).as("i"),
@@ -71,9 +77,9 @@ object Pipeline69 {
               st AS (
                 SELECT greatest(1, count(*) // 30) AS stride FROM ez),
               px AS (SELECT vec_id AS q_id, v AS qv FROM ez, st
-                     WHERE vec_id % st.stride = 0),
+                     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % st.stride = 0),
               cx AS (SELECT vec_id, v FROM ez, st
-                     WHERE vec_id % st.stride <> 0),
+                     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % st.stride <> 0),
               cells AS (
                 SELECT q_id, vec_id, i.i,
                   list_max(list_transform(range(4), j ->

@@ -11,6 +11,13 @@ class Pipeline65Spec extends SparkSpec {
 
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  private def panelHash(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   test("q359: Cauchy-Schwarz bound, hit consistency, brute-force probe") {
     val rows = q("q359_embedding_decontamination").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -20,7 +27,7 @@ class Pipeline65Spec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val stride = math.max(1L, emb.length / 30L)
-    val corpusN = emb.count(_._1 % stride != 0).toLong
+    val corpusN = emb.count(e => panelHash(e._1) % stride != 0).toLong
     rows.foreach { case (_, nScored, nHits, _, topCos2) =>
       assert(nScored == corpusN)
       assert(topCos2 <= 1000000L, "cos^2 must respect Cauchy-Schwarz")
@@ -33,7 +40,7 @@ class Pipeline65Spec extends SparkSpec {
     val qe = emb.find(_._1 == probeId).get._2
       .map(v => math.round(v.toDouble * 10000.0))
     var hits = 0L; var best = (Long.MinValue, Long.MaxValue)
-    emb.filter(_._1 % stride != 0).foreach { case (id, ve) =>
+    emb.filter(e => panelHash(e._1) % stride != 0).foreach { case (id, ve) =>
       val ce = ve.map(v => math.round(v.toDouble * 10000.0))
       val dot = BigInt(qe.zip(ce).map { case (a, b) =>
         BigInt(a) * BigInt(b) }.sum.toString)

@@ -10,6 +10,13 @@ class Pipeline68Spec extends SparkSpec {
 
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  private def panelHash(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   test("q368: closed-form chunk geometry matches a driver recompute") {
     val rows = q("q368_rag_chunk_planner").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -60,7 +67,7 @@ class Pipeline68Spec extends SparkSpec {
         ((v(i) - mins(i)) * 255 / rgs(i)) * rgs(i) / 255).toArray
     val probeId = rows.map(_._1).min
     def top10(qv: Array[Long], f: Array[Long] => Array[Long]) = {
-      emb.filter(_._1 % stride != 0).map { case (id, v) =>
+      emb.filter(e => panelHash(e._1) % stride != 0).map { case (id, v) =>
         val cv = f(v)
         val dot = qv.zip(cv).map { case (a, b) => a.toDouble * b }.sum
         val na = math.sqrt(qv.map(x => x.toDouble * x).sum)
