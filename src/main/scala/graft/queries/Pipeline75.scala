@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 pack, second batch — the MaxSim production candidate path
+  * (VERDICT r13 item 5): token-level IVF routing (the q47/q108 coarse
+  * quantizer at SLICE grain) generates candidates, q370's late-
+  * interaction scorer re-ranks the candidate set only, and recall@5 is
+  * scored against the brute-force panel (the q116 eval pattern) — the
+  * "eval-grade q370 grows a scale path" composition.
+  */
+object Pipeline75 {
+
+  val entries: Seq[QEntry] = Seq(
+
+    // IVF-routed MaxSim: each 64-dim vector is 4×16-dim token slices
+    // (q370's matryoshka stub). A 64-list coarse quantizer (seeds =
+    // slice 0 of the first 64 vectors, the q47 seed convention) assigns
+    // EVERY corpus slice to its best centroid by cosine (dot/√nc, ties
+    // to the smaller cid — q47's ordering); each probe-panel query
+    // slice routes to its top-2 centroids, and a doc is a CANDIDATE if
+    // any of its slices lives in any routed list (token-level routing:
+    // MaxSim matches any query slice against any doc slice, so
+    // any-overlap is the correct candidate predicate). q370's integer-
+    // micro MaxSim then scores ONLY the candidate pairs; the brute-
+    // force top-5 over the full corpus (q370's own ranking) is the
+    // ground truth. Emits per probe: candidate count (the sub-linear-
+    // cost evidence — SCALE.md records the fraction), hits@5 and
+    // recall@5 in bp. Every stage — seeds, assignment ties, routing,
+    // both rankings, the intersection — replays in the oracle.
+    QEntry("q383_maxsim_ivf_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            graft.pipeline.Similarity.quantize(col("embedding")).as("v"))
+          .localCheckpoint()
+        val stride = math.max(1L, emb.count() / 30L)
+        val panelHash =
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+            16, 10).cast("long")
+        val normed = emb.withColumn("nm",
+          expr("transform(sequence(0, 3), k -> " +
+            "sqrt(CAST(aggregate(slice(v, k * 16 + 1, 16), 0L, " +
+            "(acc, e) -> acc + e * e, acc -> acc) AS DOUBLE)))"))
+          .withColumn("is_probe", panelHash % stride === 0)
+          .localCheckpoint() // slices + probes + rerank sides
+        // 64-list coarse quantizer over the shared 16-dim slice space
+        val cent = emb.orderBy(col("vec_id")).limit(64)
+          .select(col("vec_id").as("cid"),
+            expr("slice(v, 1, 16)").as("ce"))
+          .withColumn("nc",
+            expr("aggregate(ce, 0L, (a, x) -> a + x * x)"))
+          .localCheckpoint() // 64-row dim, broadcast twice
+        val sliceScores = normed
+          .select(col("vec_id"), col("is_probe"),
+            explode(sequence(lit(0), lit(3))).as("k"), col("v"))
+          .select(col("vec_id"), col("is_probe"), col("k"),
+            expr("slice(v, k * 16 + 1, 16)").as("sv"))
+          .join(broadcast(cent), lit(true))
+          .select(col("vec_id"), col("is_probe"), col("k"), col("cid"),
+            (expr("aggregate(zip_with(sv, ce, (x, y) -> x * y), 0L, " +
+              "(acc, e) -> acc + e)").cast("double") /
+              sqrt(col("nc").cast("double"))).as("cs"))
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("k"))
+          .orderBy(col("cs").desc, col("cid").asc)
+        val ranked = sliceScores
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") <= 2)
+          .localCheckpoint() // (vec, k) -> clusters; both routing sides
+        val docLists = ranked.filter(!col("is_probe") && col("arn") === 1)
+          .select(col("vec_id"), col("cid").as("cluster")).distinct()
+        val routes = ranked.filter(col("is_probe"))
+          .select(col("vec_id").as("q_id"), col("cid").as("cluster"))
+          .distinct()
+        val cands = routes.join(docLists, "cluster")
+          .select(col("q_id"), col("vec_id")).distinct()
+          .localCheckpoint() // candidate pairs: rerank + count
+        val nCands = cands.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_candidates"))
+        // q370's scorer, verbatim, on a given (q_id, vec_id) pair frame
+        val subCos =
+          """CAST(round(
+               aggregate(zip_with(slice(qv, i * 16 + 1, 16),
+                                  slice(v, j * 16 + 1, 16),
+                                  (x, y) -> x * y), 0L,
+                         (acc, e) -> acc + e, acc -> acc) /
+               (element_at(qn, i + 1) * element_at(nm, j + 1))
+               * 1000000.0) AS BIGINT)"""
+        def maxsim(pairs: org.apache.spark.sql.DataFrame) = pairs
+          .join(normed.select(col("vec_id").as("q_id"),
+            col("v").as("qv"), col("nm").as("qn")), "q_id")
+          .join(normed.select(col("vec_id"), col("v"), col("nm")),
+            "vec_id")
+          .select(col("q_id"), col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("i"),
+            col("qv"), col("v"), col("qn"), col("nm"))
+          .select(col("q_id"), col("vec_id"),
+            expr(s"array_max(transform(sequence(0, 3), j -> $subCos))")
+              .as("best_micro"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("best_micro")).as("maxsim_micro"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("maxsim_micro").desc, col("vec_id").asc)
+        val annTop = maxsim(cands)
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val exactPairs = normed.filter(!col("is_probe"))
+          .select(col("vec_id"))
+          .crossJoin(broadcast(normed.filter(col("is_probe"))
+            .select(col("vec_id").as("q_id"))))
+          .select(col("q_id"), col("vec_id"))
+        val exactTop = maxsim(exactPairs)
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val hits = annTop.join(exactTop, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        exactTop.select(col("q_id")).distinct()
+          .join(nCands, Seq("q_id"), "left")
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall_bp", expr("n_hits * 10000 div 5"))
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH ez AS (
+                SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+                    AS v
+                FROM embeddings),
+              st AS (
+                SELECT greatest(1, count(*) // 30) AS stride FROM ez),
+              pz AS (
+                SELECT vec_id, v,
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % st.stride = 0 AS is_probe
+                FROM ez, st),
+              cent AS (
+                SELECT vec_id AS cid,
+                  list_transform(range(16), t -> v[t + 1]) AS ce
+                FROM (SELECT vec_id, v FROM ez ORDER BY vec_id LIMIT 64)),
+              cfit AS (
+                SELECT p.vec_id, p.is_probe, k.k, c.cid,
+                  CAST(list_sum(list_transform(range(16), t ->
+                    p.v[k.k * 16 + t + 1] * c.ce[t + 1])) AS DOUBLE)
+                  / sqrt(CAST(list_sum(list_transform(c.ce, x -> x * x))
+                      AS DOUBLE)) AS cs
+                FROM pz p, (SELECT unnest(range(4)) AS k) k, cent c),
+              ranked AS (
+                SELECT vec_id, is_probe, k, cid, arn FROM (
+                  SELECT vec_id, is_probe, k, cid,
+                    row_number() OVER (PARTITION BY vec_id, k
+                      ORDER BY cs DESC, cid) AS arn
+                  FROM cfit) WHERE arn <= 2),
+              doclists AS (
+                SELECT DISTINCT vec_id, cid AS cluster FROM ranked
+                WHERE NOT is_probe AND arn = 1),
+              routes AS (
+                SELECT DISTINCT vec_id AS q_id, cid AS cluster
+                FROM ranked WHERE is_probe),
+              cands AS (
+                SELECT DISTINCT r.q_id, d.vec_id
+                FROM routes r JOIN doclists d ON d.cluster = r.cluster),
+              ncand AS (
+                SELECT q_id, count(*) AS n_candidates FROM cands
+                GROUP BY q_id),
+              qv AS (SELECT vec_id AS q_id, v AS qv FROM pz
+                     WHERE is_probe),
+              cv AS (SELECT vec_id, v FROM pz WHERE NOT is_probe),
+              anncells AS (
+                SELECT ca.q_id, ca.vec_id, i.i,
+                  list_max(list_transform(range(4), j ->
+                    CAST(round(
+                      CAST(list_sum(list_transform(range(16), t ->
+                        q.qv[i.i * 16 + t + 1] * c.v[j * 16 + t + 1]))
+                        AS DOUBLE) /
+                      (sqrt(CAST(list_sum(list_transform(range(16),
+                        t -> q.qv[i.i * 16 + t + 1]
+                          * q.qv[i.i * 16 + t + 1])) AS DOUBLE)) *
+                       sqrt(CAST(list_sum(list_transform(range(16),
+                        t -> c.v[j * 16 + t + 1]
+                          * c.v[j * 16 + t + 1])) AS DOUBLE)))
+                      * 1000000.0) AS BIGINT))) AS best_micro
+                FROM cands ca
+                JOIN qv q ON q.q_id = ca.q_id
+                JOIN cv c ON c.vec_id = ca.vec_id,
+                  (SELECT unnest(range(4)) AS i) i),
+              annms AS (
+                SELECT q_id, vec_id, sum(best_micro) AS maxsim_micro
+                FROM anncells GROUP BY q_id, vec_id),
+              anntop AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY maxsim_micro DESC, vec_id) AS rank
+                  FROM annms) WHERE rank <= 5),
+              excells AS (
+                SELECT q.q_id, c.vec_id, i.i,
+                  list_max(list_transform(range(4), j ->
+                    CAST(round(
+                      CAST(list_sum(list_transform(range(16), t ->
+                        q.qv[i.i * 16 + t + 1] * c.v[j * 16 + t + 1]))
+                        AS DOUBLE) /
+                      (sqrt(CAST(list_sum(list_transform(range(16),
+                        t -> q.qv[i.i * 16 + t + 1]
+                          * q.qv[i.i * 16 + t + 1])) AS DOUBLE)) *
+                       sqrt(CAST(list_sum(list_transform(range(16),
+                        t -> c.v[j * 16 + t + 1]
+                          * c.v[j * 16 + t + 1])) AS DOUBLE)))
+                      * 1000000.0) AS BIGINT))) AS best_micro
+                FROM qv q, cv c, (SELECT unnest(range(4)) AS i) i),
+              exms AS (
+                SELECT q_id, vec_id, sum(best_micro) AS maxsim_micro
+                FROM excells GROUP BY q_id, vec_id),
+              extop AS (
+                SELECT q_id, vec_id FROM (
+                  SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY maxsim_micro DESC, vec_id) AS rank
+                  FROM exms) WHERE rank <= 5),
+              hits AS (
+                SELECT q_id, count(*) AS n_hits
+                FROM anntop JOIN extop USING (q_id, vec_id)
+                GROUP BY q_id)
+              SELECT e.q_id,
+                CAST(coalesce(n.n_candidates, 0) AS BIGINT)
+                  AS n_candidates,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(h.n_hits, 0) * 10000 // 5 AS recall_bp
+              FROM (SELECT DISTINCT q_id FROM extop) e
+              LEFT JOIN ncand n USING (q_id)
+              LEFT JOIN hits h USING (q_id)
+              ORDER BY e.q_id"""))
+  )
+}
