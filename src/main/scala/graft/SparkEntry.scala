@@ -44,7 +44,7 @@ object SparkEntry {
       Pipeline68.entries ++ Pipeline69.entries ++
       Pipeline70.entries ++ Pipeline71.entries ++
       Pipeline72.entries ++ Pipeline73.entries ++ Pipeline74.entries ++
-      Pipeline75.entries ++ Pipeline76.entries
+      Pipeline75.entries ++ Pipeline76.entries ++ Pipeline77.entries
 
   /** Flagship: the full profiling pipeline (detect → single-pass classify
     * → code histogram) over a synthesized multi-semantic-type table at
