@@ -109,9 +109,9 @@ object Pipeline {
     * zero-shuffle [[graft.pipeline.Dedup.simhash64]] (xxhash64), which
     * DuckDB cannot recompute. Both engines evaluate this formulation
     * bit-for-bit (q38 pins it; q53 builds its LSH on top). */
-  private val SimBits = 32
+  private[queries] val SimBits = 32
 
-  private def portableSimhash32(docs: org.apache.spark.sql.DataFrame)
+  private[queries] def portableSimhash32(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     val ones = (0 until SimBits).map(j =>

@@ -31,4 +31,33 @@ class Pipeline77Spec extends SparkSpec {
       aggSides.exists(s => !s.startsWith("mirror_")),
       "agg triangle missing a side")
   }
+
+  test("q387: cell evidence is consistent with each detector's rule") {
+    val rows = q("q387_detector_disagreement").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    val cells = rows.groupBy(_._3)
+    // every audit cell fires on the planted fixtures
+    Seq("both", "minhash_only", "simhash_only").foreach(c =>
+      assert(cells.contains(c), s"cell $c never fired"))
+    rows.foreach { case (a, b, cell, jacc, ham) =>
+      assert(a < b)
+      cell match {
+        // minhash verify is exactly jaccard >= 0.8 (inter*5 >= uni*4)
+        case "both" =>
+          assert(jacc >= 8000L && ham <= 3L, s"($a,$b) both: $jacc/$ham")
+        case "minhash_only" =>
+          assert(jacc >= 8000L, s"($a,$b) minhash_only at jacc $jacc")
+        case "simhash_only" =>
+          assert(ham <= 3L, s"($a,$b) simhash_only at hamming $ham")
+      }
+    }
+    // the calibration story: the simhash-only mass sits BELOW the
+    // minhash threshold on average (shared-vocab false positives)
+    val so = cells("simhash_only").map(_._4)
+    assert(so.sum / so.length < 8000L,
+      "simhash_only cell should average below the jaccard threshold")
+  }
 }
