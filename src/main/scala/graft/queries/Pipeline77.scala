@@ -306,6 +306,74 @@ object Pipeline77 {
             JOIN ssig ga ON ga.doc_id = au.a_id
             JOIN ssig gb ON gb.doc_id = au.b_id
             ORDER BY au.a_id, au.b_id"""
-      })
+      }),
+
+    // Leave-one-out source influence: for each source, the corpus
+    // token-length profile (mean, σ in milli-tokens — q380's exact
+    // integer-moment discipline: one corpus scan to per-source
+    // (n, Σx, Σx²), LOO values in closed form from the complement
+    // sums, one rounded sqrt per row) WITHOUT that source, and the
+    // delta against the full-corpus profile — the influence-function
+    // answer to "which source is dragging the corpus length profile",
+    // read per source at dimension grain with zero re-scans.
+    QEntry("q388_source_influence",
+      (s, d) => {
+        val m = Tables.documents(s, d)
+          .select(col("source"),
+            graft.pipeline.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("x"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+          .localCheckpoint() // source dim: totals + LOO rows
+        val tot = m.agg(sum(col("n")).as("tn"),
+          sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"))
+        m.crossJoin(broadcast(tot))
+          .select(col("source"), col("n").as("n_docs"),
+            expr("(ts1 - s1) * 1000 div (tn - n)").as("mean_milli_loo"),
+            expr("""CAST(round(sqrt(CAST((CAST(tn - n AS DECIMAL(38,0))
+              * (ts2 - s2) - CAST(ts1 - s1 AS DECIMAL(38,0)) *
+              (ts1 - s1)) AS DOUBLE)) * 1000.0 / (tn - n)) AS BIGINT)""")
+              .as("sigma_milli_loo"),
+            expr("ts1 * 1000 div tn").as("mean_milli_full"),
+            expr("""CAST(round(sqrt(CAST((CAST(tn AS DECIMAL(38,0))
+              * ts2 - CAST(ts1 AS DECIMAL(38,0)) * ts1) AS DOUBLE))
+              * 1000.0 / tn) AS BIGINT)""").as("sigma_milli_full"))
+          .withColumn("delta_mean_milli",
+            col("mean_milli_loo") - col("mean_milli_full"))
+          .withColumn("delta_sigma_milli",
+            col("sigma_milli_loo") - col("sigma_milli_full"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH x AS (
+                SELECT source,
+                  CAST(len(string_split_regex(lower(text), '\s+'))
+                    AS BIGINT) AS x
+                FROM documents),
+              m AS (
+                SELECT source, count(*) AS n, sum(x) AS s1,
+                  sum(CAST(x AS HUGEINT) * x) AS s2
+                FROM x GROUP BY source),
+              tot AS (
+                SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2
+                FROM m)
+              SELECT source, CAST(n AS BIGINT) AS n_docs,
+                CAST((ts1 - s1) * 1000 // (tn - n) AS BIGINT)
+                  AS mean_milli_loo,
+                CAST(round(sqrt(CAST((tn - n) * (ts2 - s2)
+                  - (ts1 - s1) * (ts1 - s1) AS DOUBLE)) * 1000.0
+                  / (tn - n)) AS BIGINT) AS sigma_milli_loo,
+                CAST(ts1 * 1000 // tn AS BIGINT) AS mean_milli_full,
+                CAST(round(sqrt(CAST(tn * ts2 - ts1 * ts1 AS DOUBLE))
+                  * 1000.0 / tn) AS BIGINT) AS sigma_milli_full,
+                CAST((ts1 - s1) * 1000 // (tn - n) - ts1 * 1000 // tn
+                  AS BIGINT) AS delta_mean_milli,
+                CAST(round(sqrt(CAST((tn - n) * (ts2 - s2)
+                  - (ts1 - s1) * (ts1 - s1) AS DOUBLE)) * 1000.0
+                  / (tn - n))
+                  - round(sqrt(CAST(tn * ts2 - ts1 * ts1 AS DOUBLE))
+                  * 1000.0 / tn) AS BIGINT) AS delta_sigma_milli
+              FROM m, tot
+              ORDER BY source"""))
   )
 }

@@ -60,4 +60,32 @@ class Pipeline77Spec extends SparkSpec {
     assert(so.sum / so.length < 8000L,
       "simhash_only cell should average below the jaccard threshold")
   }
+
+  test("q388: LOO identities — removing a source moves the mean away") {
+    val rows = q("q388_source_influence").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val fulls = rows.map(t => (t._5, t._6)).distinct
+    assert(fulls.length == 1, "full-corpus profile must ride identically")
+    rows.foreach { case (src, n, ml, sl, mf, sf0, dm, ds) =>
+      assert(n > 0L)
+      assert(dm == ml - mf && ds == sl - sf0, s"$src delta identities")
+      assert(sl >= 0L && sf0 >= 0L)
+    }
+    // sign law: removing a below-average source RAISES the LOO mean
+    // (and vice versa), up to the ±1 milli truncation of each side —
+    // recompute each source's own mean from the fixture to check
+    val own = graft.queries.Tables.documents(spark, sf)
+      .selectExpr("source",
+        "CAST(size(split(lower(text), '\\\\s+')) AS BIGINT) AS x")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.expr("sum(x) * 1000 div count(1)")
+        .as("own_milli"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, _, _, _, mf, _, dm, _) =>
+      if (own(src) < mf - 2) assert(dm >= -1, s"$src below-avg but dm=$dm")
+      if (own(src) > mf + 2) assert(dm <= 1, s"$src above-avg but dm=$dm")
+    }
+  }
 }
