@@ -190,6 +190,69 @@ object Pipeline78 {
                 CAST(c2.contrib_micro AS BIGINT) AS contrib_micro,
                 CAST(psi.psi_micro AS BIGINT) AS psi_micro
               FROM c2 JOIN psi USING (wk)
-              ORDER BY c2.wk, c2.event_type"""))
+              ORDER BY c2.wk, c2.event_type""")),
+
+    // Pareto skyline selection: the non-dominated documents under two
+    // maximize criteria — quality (stopword density bp, the q385
+    // scorer) and length (tokens) — the multi-criteria "best docs"
+    // operator behind curation shortlists (no scalarization weight to
+    // tune: a doc survives iff nothing beats it on both axes). Scale
+    // shape: the corpus never self-joins — a (quality-cell × length-
+    // cell) GRID census (≤ 41×17, broadcast) prunes every doc whose
+    // cell is strictly dominated by an occupied cell (cell floors
+    // dominate cell ceilings one step down on both axes), and only the
+    // surviving candidates (O(grid) docs) pairwise-check exactly. The
+    // oracle is the naive NOT EXISTS self-join — the grid prune is
+    // what the hash match certifies.
+    QEntry("q391_pareto_skyline",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.pipeline.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("toks"),
+            (graft.pipeline.TextAnalysis.stopwordCount(col("text"))
+              .cast("long") * 10000L).as("st"))
+          .withColumn("q_bp", expr("st div greatest(1L, toks)"))
+          .select(col("doc_id"), col("toks"), col("q_bp"))
+          .withColumn("ca", expr("q_bp div 250"))
+          .withColumn("cb", expr("toks div 32"))
+          .localCheckpoint() // census + candidate filter
+        val cells = scored.select(col("ca"), col("cb")).distinct()
+        val domCells = cells.select(col("ca").as("da"), col("cb").as("db"))
+        val liveCells = cells.join(broadcast(domCells),
+            col("da") >= col("ca") + 1L && col("db") >= col("cb") + 1L,
+            "left_anti")
+        val cand = scored.join(broadcast(liveCells), Seq("ca", "cb"))
+          .select(col("doc_id"), col("toks"), col("q_bp"))
+          .localCheckpoint() // O(grid) rows: both sides of the exact check
+        cand.join(broadcast(cand.select(col("q_bp").as("yq"),
+            col("toks").as("yt"))),
+            col("yq") >= col("q_bp") && col("yt") >= col("toks") &&
+              (col("yq") > col("q_bp") || col("yt") > col("toks")),
+            "left_anti")
+          .select(col("doc_id"), col("toks"), col("q_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+                SELECT doc_id,
+                  CAST(len(string_split_regex(lower(text), '\s+'))
+                    AS BIGINT) AS toks,
+                  CAST(len([w FOR w IN
+                    string_split_regex(lower(text), '\s+')
+                    IF list_contains(['the','a','of','and','to','in',
+                      'is','on','for','with'], w)])
+                    AS BIGINT) * 10000 AS st
+                FROM documents),
+              sq AS (
+                SELECT doc_id, toks,
+                  st // greatest(1, toks) AS q_bp
+                FROM scored)
+              SELECT x.doc_id, x.toks, CAST(x.q_bp AS BIGINT) AS q_bp
+              FROM sq x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sq y
+                WHERE y.q_bp >= x.q_bp AND y.toks >= x.toks
+                  AND (y.q_bp > x.q_bp OR y.toks > x.toks))
+              ORDER BY x.doc_id"""))
   )
 }

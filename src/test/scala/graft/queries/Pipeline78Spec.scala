@@ -37,4 +37,30 @@ class Pipeline78Spec extends SparkSpec {
     assert(streamed == batch,
       "streaming PSI must equal the batch PSI exactly")
   }
+
+  test("q391: skyline is mutually non-dominated and dominates the rest") {
+    val sky = q("q391_pareto_skyline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sky.nonEmpty)
+    // no skyline member dominates another
+    for (a <- sky; b <- sky if a != b)
+      assert(!(a._2 >= b._2 && a._3 >= b._3 &&
+        (a._2 > b._2 || a._3 > b._3)),
+        s"skyline member $b dominated by $a")
+    // every corpus doc is dominated-or-equal by some skyline member
+    val all = graft.queries.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text"))
+          .cast("long").as("toks"),
+        (graft.pipeline.TextAnalysis.stopwordCount(
+          org.apache.spark.sql.functions.col("text"))
+          .cast("long") * 10000L).as("st"))
+      .selectExpr("doc_id", "toks", "st div greatest(1L, toks) AS q_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    all.foreach { case (id, t, qq) =>
+      assert(sky.exists(s => s._2 >= t && s._3 >= qq),
+        s"doc $id not covered by any skyline member")
+    }
+  }
 }
