@@ -76,7 +76,12 @@ object DumpPlans {
     "q242_rfm_segments" -> "RFM: three GlobalCumSum breakpoint scans (pid-local windows + broadcast offsets), 3-row breakpoint dims broadcast back, 64-cell census",
     "q247_auc_probe" -> "AUC: 64-row probe dim broadcast into the score projection; rank-sum over GlobalCumSum prefix totals — no corpus sort, no rank funnel",
     "q250_ks_drift" -> "KS: merged value dim with two chained GlobalCumSum passes; D = integer cross-product gap, argmax as dim top-1",
-    "q253_revenue_pareto" -> "Lorenz deciles: two-pass desc rank via GlobalCumSum, 10-row decile dim carries shares")
+    "q253_revenue_pareto" -> "Lorenz deciles: two-pass desc rank via GlobalCumSum, 10-row decile dim carries shares",
+    "q381_multimodal_pipeline" -> "multimodal manifest: five chained per-media-bounded stages; each gate feeds the next via checkpointed survivor frames, the manifest assembles by keyed left joins",
+    "q382_release_health" -> "release health: two corpus scans to per-source bounded dims (256 buckets / 513 length cells / 16 mix cells / 64 dims); verdict frame is broadcast joins at source grain",
+    "q383_maxsim_ivf_rerank" -> "IVF-routed MaxSim: 64-row centroid dim broadcast into slice assignment; candidates via cluster-keyed join; rerank + brute-force ground truth share the checkpointed normed frame",
+    "q387_detector_disagreement" -> "detector audit: both LSH chains bucket-group-emit (no self-joins), full-outer pair join, evidence joined back keyed",
+    "q391_pareto_skyline" -> "skyline: grid-census prune via broadcast anti-join on the cell dim; exact dominance check only on O(grid) candidates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
