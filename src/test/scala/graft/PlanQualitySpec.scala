@@ -353,4 +353,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(specs.count(s => !s.contains("__pid")) <= 3,
       s"a value-dimension window runs unpartitioned past the offsets frames:\n$specs")
   }
+
+  test("q383 IVF MaxSim: centroids/probes broadcast, no cartesian") {
+    val plan = finalPlan(query("q383_maxsim_ivf_rerank"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the 64-row centroid dim and the probe panel ride broadcasts; the
+    // candidate join hashes on the cluster key
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+  }
+
+  test("q391 skyline: the exact check is a broadcast anti, no cartesian") {
+    val plan = finalPlan(query("q391_pareto_skyline"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"exact dominance check should be a broadcast NLJ over O(grid) candidates:\n$plan")
+  }
+
+  test("q381/q382/q387 compositions: no cartesian in the final stage") {
+    for (q <- Seq("q381_multimodal_pipeline", "q382_release_health",
+        "q387_detector_disagreement")) {
+      val plan = finalPlan(query(q))
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+  }
 }
