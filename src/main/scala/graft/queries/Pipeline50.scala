@@ -78,8 +78,32 @@ object Pipeline50 {
        bands AS (
          SELECT rep_id AS id, fp, b,
            (fp // (1::BIGINT << CAST(b * 14 AS INTEGER))) % 16384 AS bv
-         FROM groups, (SELECT unnest(generate_series(0, 3)) AS b)),
+         FROM groups, (SELECT unnest(generate_series(0, 3)) AS b))"""
+
+  /** Batch-arm candidate CTE, replaying the Spark side's per-(band,
+    * value) bucket cap exactly ([[graft.pipeline.Dedup
+    * .dropOversizedBuckets]] drops buckets with > 1000 rep rows;
+    * size-1 buckets emit no pairs, so BETWEEN 2 AND 1000 is the same
+    * pair set) — ADVICE r14 item 1: without this, a degenerate band
+    * value collecting > 1000 reps would keep oracle pairs the Spark
+    * path drops. q331's INCREMENTAL cap is as-of-batch over
+    * state ∪ fresh bands and is not expressible as one final-count
+    * HAVING — PHashSpec pins bucket headroom (max ≪ 1000) at tested
+    * SFs instead, so its uncapped [[CandSql]] stays exact there. */
+  private val CandCappedSql =
+    """bok AS (
+         SELECT b, bv FROM bands
+         GROUP BY b, bv HAVING count(*) BETWEEN 2 AND 1000),
        cand AS (
+         SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+           a.fp AS fa, b.fp AS fb
+         FROM bands a
+         JOIN bok ON bok.b = a.b AND bok.bv = a.bv
+         JOIN bands b
+           ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)"""
+
+  private val CandSql =
+    """cand AS (
          SELECT DISTINCT a.id AS a_id, b.id AS b_id,
            a.fp AS fa, b.fp AS fb
          FROM bands a JOIN bands b
@@ -104,6 +128,7 @@ object Pipeline50 {
       (s, d) => graft.pipeline.PHash.dhashNearDup(media(s, d))
         .orderBy(col("kind"), col("a_id"), col("b_id")),
       Some(s"""WITH $FpsSql,
+              $CandCappedSql,
               near AS (
                 SELECT 'near' AS kind, c.a_id, c.b_id,
                   CAST(bit_count(xor(c.fa, c.fb)) AS BIGINT) AS hamming,
@@ -149,6 +174,7 @@ object Pipeline50 {
           .orderBy(col("kind"), col("a_id"), col("b_id"))
       },
       Some(s"""WITH $FpsSql,
+              $CandSql,
               fpb AS (
                 SELECT id, fp,
                   CASE WHEN id < 10000000 THEN -1

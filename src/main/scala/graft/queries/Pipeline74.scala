@@ -116,7 +116,11 @@ object Pipeline74 {
   /** The stage-3 oracle prelude (q328's FpsSql) parameterized by the
     * survivor CTE feeding it: per-id 56-bit dHash fingerprints from the
     * 64-cell md5 luminance grid (+sh clamped), fp-grain min-id groups,
-    * 4×14-bit band buckets of reps, verified candidates. */
+    * 4×14-bit band buckets of reps, verified candidates. The `bok`
+    * bucket filter replays the Spark side's per-(band, value) cap
+    * exactly (ADVICE r14 item 1 — [[graft.pipeline.Dedup
+    * .dropOversizedBuckets]] drops > 1000-rep buckets before the band
+    * self-join; size-1 buckets emit no pairs either way). */
   private def fpsSqlOn(src: String): String =
     s"""cells64 AS (SELECT unnest(generate_series(0, 63)) AS cell),
        lums AS (
@@ -142,10 +146,15 @@ object Pipeline74 {
          SELECT rep_id AS id, fp, b,
            (fp // (1::BIGINT << CAST(b * 14 AS INTEGER))) % 16384 AS bv
          FROM fgroups, (SELECT unnest(generate_series(0, 3)) AS b)),
+       bok AS (
+         SELECT b, bv FROM bands
+         GROUP BY b, bv HAVING count(*) BETWEEN 2 AND 1000),
        cand AS (
          SELECT DISTINCT a.id AS a_id, b.id AS b_id,
            a.fp AS fa, b.fp AS fb
-         FROM bands a JOIN bands b
+         FROM bands a
+         JOIN bok ON bok.b = a.b AND bok.bv = a.bv
+         JOIN bands b
            ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)"""
 
   val entries: Seq[QEntry] = Seq(

@@ -200,9 +200,16 @@ object Pipeline78 {
     // shape: the corpus never self-joins — a (quality-cell × length-
     // cell) GRID census (≤ 41×17, broadcast) prunes every doc whose
     // cell is strictly dominated by an occupied cell (cell floors
-    // dominate cell ceilings one step down on both axes), and only the
-    // surviving candidates (O(grid) docs) pairwise-check exactly. The
-    // oracle is the naive NOT EXISTS self-join — the grid prune is
+    // dominate cell ceilings one step down on both axes); then each
+    // live cell reduces to its EXACT cell-local skyline with one
+    // windowed pass (partition = cell, so partitions stay small and
+    // parallel: a doc strictly dominated inside its own cell can never
+    // be globally non-dominated, and dominance is transitive, so the
+    // reduction loses nothing — ADVICE r14 item 2); only the remaining
+    // candidates (bounded by the sum of per-cell skyline sizes, i.e.
+    // by the output anti-chain plus cross-cell frontier slack, NOT by
+    // docs-per-live-cell) pairwise-check exactly under a broadcast.
+    // The oracle is the naive NOT EXISTS self-join — both prunes are
     // what the hash match certifies.
     QEntry("q391_pareto_skyline",
       (s, d) => {
@@ -222,9 +229,27 @@ object Pipeline78 {
         val liveCells = cells.join(broadcast(domCells),
             col("da") >= col("ca") + 1L && col("db") >= col("cb") + 1L,
             "left_anti")
-        val cand = scored.join(broadcast(liveCells), Seq("ca", "cb"))
+        val live = scored.join(broadcast(liveCells), Seq("ca", "cb"))
+        // cell-local exact skyline: dominated in-cell iff some same-cell
+        // doc has strictly higher q_bp and toks ≥ mine (range frame
+        // (cur+1, ∞) over integral q_bp), or equal q_bp and strictly
+        // more toks (range frame (0, 0))
+        val wGt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ca"), col("cb")).orderBy(col("q_bp"))
+          .rangeBetween(1L,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val wEq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ca"), col("cb")).orderBy(col("q_bp"))
+          .rangeBetween(
+            org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cand = live
+          .withColumn("mt_gt", max(col("toks")).over(wGt))
+          .withColumn("mt_eq", max(col("toks")).over(wEq))
+          .filter((col("mt_gt").isNull || col("mt_gt") < col("toks")) &&
+            col("mt_eq") <= col("toks"))
           .select(col("doc_id"), col("toks"), col("q_bp"))
-          .localCheckpoint() // O(grid) rows: both sides of the exact check
+          .localCheckpoint() // per-cell skylines: both sides of the check
         cand.join(broadcast(cand.select(col("q_bp").as("yq"),
             col("toks").as("yt"))),
             col("yq") >= col("q_bp") && col("yt") >= col("toks") &&

@@ -71,6 +71,37 @@ class PHashSpec extends SparkSpec {
     assert(capped.filter(_._1 == "near").forall(uncapped.contains))
   }
 
+  // ADVICE r14 item 1 (q331 leg): the incremental oracle's band join is
+  // UNCAPPED because the Spark cap is as-of-batch (state ∪ fresh bands)
+  // and not expressible as one final-count HAVING. It stays exact while
+  // no (band, value) bucket of the q328/q331 fixture corpus approaches
+  // the 1000-rep cap — pin that headroom at both gate SFs (q328's and
+  // q381's BATCH oracles now replay the cap exactly via `bok`).
+  test("q331 oracle headroom: no fixture band bucket approaches the 1000-rep cap") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val base = graft.queries.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      val media = base
+        .select(col("doc_id").as("id"), col("text"), lit(0L).as("sh"))
+        .union(base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000000L).as("id"), col("text"),
+            lit(40L).as("sh")))
+        .unionByName((2 to 4).map(k =>
+          base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + k * 10000000L).as("id"),
+              col("text"), lit(0L).as("sh"))).reduce(_ union _))
+      val reps = PHash.dhashFingerprints(media)
+        .groupBy(col("fp")).agg(min(col("id")).as("id"))
+        .select(col("id"), col("fp"))
+      val maxBucket = PHash.bandBuckets(reps)
+        .groupBy(col("b"), col("bv")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      assert(maxBucket <= 100L,
+        s"$d: a band bucket holds $maxBucket reps — too close to the " +
+          "1000 cap for q331's uncapped oracle to stay exact")
+    }
+  }
+
   test("true streaming (AvailableNow, forced micro-batches) == batch vs a seed corpus") {
     val media = denseMedia(30, j => 1 + j % 3)
     val corpus = media.filter(col("id") < 15000)

@@ -59,4 +59,20 @@ class Pipeline74Spec extends SparkSpec {
       }
     }
   }
+
+  // ADVICE r14 item 3: q381's decode gate counts CHARACTERS
+  // (length(text), matching the char-based oracle) while stage-5
+  // pooling frames BYTES (encode(text,'UTF-8'), 64-byte frames) — the
+  // two agree iff the fixture is ASCII-only. Pin that assumption at
+  // both gate SFs so a non-ASCII fixture lands as a test failure here
+  // instead of a silent Spark/oracle divergence.
+  test("q381 fixture guard: documents text is ASCII-only (chars == bytes) at both gate SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = graft.queries.Tables.documents(spark, d)
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(nonAscii == 0L,
+        s"$d: $nonAscii non-ASCII documents break q381's char/byte convention")
+    }
+  }
 }
