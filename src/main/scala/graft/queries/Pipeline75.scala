@@ -11,6 +11,93 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline75 {
 
+  /** q370's quantized embedding frame (int64 milli-components). */
+  private[graft] def quantEmb(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.pipeline.Similarity.quantize(col("embedding")).as("v"))
+
+  /** Per-slice norms + the ~30-probe md5 panel flag over a quantized
+    * frame — the shared input of the production and eval arms. */
+  private[graft] def probeNormed(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stride = math.max(1L, emb.count() / 30L)
+    val panelHash =
+      conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+    emb.withColumn("nm",
+        expr("transform(sequence(0, 3), k -> " +
+          "sqrt(CAST(aggregate(slice(v, k * 16 + 1, 16), 0L, " +
+          "(acc, e) -> acc + e * e, acc -> acc) AS DOUBLE)))"))
+      .withColumn("is_probe", panelHash % stride === 0)
+      .localCheckpoint() // slices + probes + rerank sides
+  }
+
+  /** nList-row coarse-quantizer dim: seeds = slice 0 of the first
+    * nList vectors (the q47 seed convention). Broadcast downstream. */
+  private[graft] def coarseCent(emb: org.apache.spark.sql.DataFrame,
+      nList: Int): org.apache.spark.sql.DataFrame =
+    emb.orderBy(col("vec_id")).limit(nList)
+      .select(col("vec_id").as("cid"),
+        expr("slice(v, 1, 16)").as("ce"))
+      .withColumn("nc",
+        expr("aggregate(ce, 0L, (a, x) -> a + x * x)"))
+      .localCheckpoint() // small dim, broadcast to every assignment
+
+  /** Assign every 16-dim slice of every vector to its top-`keepTop`
+    * centroids by cosine (dot/sqrt(nc), ties to the smaller cid —
+    * q47's ordering). O(slices x nList) broadcast products: the IVF
+    * BUILD cost, amortized across queries in production. */
+  private[graft] def assignSlices(normed: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame, keepTop: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val sliceScores = normed
+      .select(col("vec_id"), col("is_probe"),
+        explode(sequence(lit(0), lit(3))).as("k"), col("v"))
+      .select(col("vec_id"), col("is_probe"), col("k"),
+        expr("slice(v, k * 16 + 1, 16)").as("sv"))
+      .join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("is_probe"), col("k"), col("cid"),
+        (expr("aggregate(zip_with(sv, ce, (x, y) -> x * y), 0L, " +
+          "(acc, e) -> acc + e)").cast("double") /
+          sqrt(col("nc").cast("double"))).as("cs"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("k"))
+      .orderBy(col("cs").desc, col("cid").asc)
+    sliceScores
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= keepTop)
+  }
+
+  /** q370's integer-micro MaxSim scorer on an explicit (q_id, vec_id)
+    * pair frame against the shared normed sides. */
+  private[graft] def maxsimOn(pairs: org.apache.spark.sql.DataFrame,
+      normed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val subCos =
+      """CAST(round(
+           aggregate(zip_with(slice(qv, i * 16 + 1, 16),
+                              slice(v, j * 16 + 1, 16),
+                              (x, y) -> x * y), 0L,
+                     (acc, e) -> acc + e, acc -> acc) /
+           (element_at(qn, i + 1) * element_at(nm, j + 1))
+           * 1000000.0) AS BIGINT)"""
+    pairs
+      .join(normed.select(col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nm").as("qn")), "q_id")
+      .join(normed.select(col("vec_id"), col("v"), col("nm")),
+        "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        explode(sequence(lit(0), lit(3))).as("i"),
+        col("qv"), col("v"), col("qn"), col("nm"))
+      .select(col("q_id"), col("vec_id"),
+        expr(s"array_max(transform(sequence(0, 3), j -> $subCos))")
+          .as("best_micro"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("best_micro")).as("maxsim_micro"))
+  }
+
   val entries: Seq[QEntry] = Seq(
 
     // IVF-routed MaxSim: each 64-dim vector is 4×16-dim token slices
@@ -30,43 +117,12 @@ object Pipeline75 {
     // both rankings, the intersection — replays in the oracle.
     QEntry("q383_maxsim_ivf_rerank",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            graft.pipeline.Similarity.quantize(col("embedding")).as("v"))
-          .localCheckpoint()
-        val stride = math.max(1L, emb.count() / 30L)
-        val panelHash =
-          conv(substring(md5(col("vec_id").cast("string")), 1, 15),
-            16, 10).cast("long")
-        val normed = emb.withColumn("nm",
-          expr("transform(sequence(0, 3), k -> " +
-            "sqrt(CAST(aggregate(slice(v, k * 16 + 1, 16), 0L, " +
-            "(acc, e) -> acc + e * e, acc -> acc) AS DOUBLE)))"))
-          .withColumn("is_probe", panelHash % stride === 0)
-          .localCheckpoint() // slices + probes + rerank sides
+        val emb = quantEmb(s, d).localCheckpoint()
+        val normed = probeNormed(emb)
         // 64-list coarse quantizer over the shared 16-dim slice space
-        val cent = emb.orderBy(col("vec_id")).limit(64)
-          .select(col("vec_id").as("cid"),
-            expr("slice(v, 1, 16)").as("ce"))
-          .withColumn("nc",
-            expr("aggregate(ce, 0L, (a, x) -> a + x * x)"))
-          .localCheckpoint() // 64-row dim, broadcast twice
-        val sliceScores = normed
-          .select(col("vec_id"), col("is_probe"),
-            explode(sequence(lit(0), lit(3))).as("k"), col("v"))
-          .select(col("vec_id"), col("is_probe"), col("k"),
-            expr("slice(v, k * 16 + 1, 16)").as("sv"))
-          .join(broadcast(cent), lit(true))
-          .select(col("vec_id"), col("is_probe"), col("k"), col("cid"),
-            (expr("aggregate(zip_with(sv, ce, (x, y) -> x * y), 0L, " +
-              "(acc, e) -> acc + e)").cast("double") /
-              sqrt(col("nc").cast("double"))).as("cs"))
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"), col("k"))
-          .orderBy(col("cs").desc, col("cid").asc)
-        val ranked = sliceScores
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") <= 2)
+        // (the gate pins 64; tools.IvfScale measures 64/256/1024)
+        val cent = coarseCent(emb, 64)
+        val ranked = assignSlices(normed, cent, 2)
           .localCheckpoint() // (vec, k) -> clusters; both routing sides
         val docLists = ranked.filter(!col("is_probe") && col("arn") === 1)
           .select(col("vec_id"), col("cid").as("cluster")).distinct()
@@ -78,28 +134,9 @@ object Pipeline75 {
           .localCheckpoint() // candidate pairs: rerank + count
         val nCands = cands.groupBy(col("q_id"))
           .agg(count(lit(1)).as("n_candidates"))
-        // q370's scorer, verbatim, on a given (q_id, vec_id) pair frame
-        val subCos =
-          """CAST(round(
-               aggregate(zip_with(slice(qv, i * 16 + 1, 16),
-                                  slice(v, j * 16 + 1, 16),
-                                  (x, y) -> x * y), 0L,
-                         (acc, e) -> acc + e, acc -> acc) /
-               (element_at(qn, i + 1) * element_at(nm, j + 1))
-               * 1000000.0) AS BIGINT)"""
-        def maxsim(pairs: org.apache.spark.sql.DataFrame) = pairs
-          .join(normed.select(col("vec_id").as("q_id"),
-            col("v").as("qv"), col("nm").as("qn")), "q_id")
-          .join(normed.select(col("vec_id"), col("v"), col("nm")),
-            "vec_id")
-          .select(col("q_id"), col("vec_id"),
-            explode(sequence(lit(0), lit(3))).as("i"),
-            col("qv"), col("v"), col("qn"), col("nm"))
-          .select(col("q_id"), col("vec_id"),
-            expr(s"array_max(transform(sequence(0, 3), j -> $subCos))")
-              .as("best_micro"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("best_micro")).as("maxsim_micro"))
+        // q370's scorer, verbatim, via the shared maxsimOn
+        def maxsim(pairs: org.apache.spark.sql.DataFrame) =
+          maxsimOn(pairs, normed)
         val wRank = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id"))
           .orderBy(col("maxsim_micro").desc, col("vec_id").asc)
