@@ -123,6 +123,18 @@ object Bench {
         catch { case _: Throwable => () }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (processCpuNanos() - c0) / 1e9
+        // Release the query's checkpoint/cache blocks before the next
+        // query starts (untimed — after wall/cpu capture). Every query
+        // is self-contained, but localCheckpoint blocks only free when
+        // the GC notices the dropped refs and the async ContextCleaner
+        // catches up; across a ~400-query sweep the block manager
+        // otherwise accumulates dead blocks until live checkpoints of
+        // the checkpoint-heavy queries (q321/q323/q324) spill to disk
+        // or queue behind eviction — the in-sweep 1.5–2× tax on the
+        // r14 driver record (VERDICT r14 item 3).
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
         name -> (wall, cpu)
       }.toMap
       System.err.println(f"[bench] run $r/$effRuns total=${m.values.map(_._1).sum}%.2f s load=${loadAvg()}%.2f")

@@ -27,6 +27,12 @@ object TimeQ {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"[timeq] $name round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same between-query hygiene as Bench: drop the finished round's
+      // checkpoint blocks (untimed) so multi-query invocations don't
+      // accumulate dead blocks in the block manager
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }
