@@ -315,9 +315,19 @@ object Pipeline81 {
           .select(col("doc_id") +: sigs: _*)
           .select(col("doc_id"), bkeys.as("bk"))
           .localCheckpoint() // both pair sides
+        // the random floor needs MASS, not the whole corpus: the
+        // panel's counter-side is a second ~3000-doc md5 draw (cstride
+        // = 1 at gate SFs, so the gate output is unchanged) — without
+        // it the 30 x corpus floor is 180M J~0 verifications at 100x
+        // (measured 130 s) for evidence 90k pairs already give
+        val cstride = math.max(1L, corpus.count() / 3000L)
+        val cdraw = conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit("c"))), 1, 15), 16, 10)
+          .cast("long")
         val panelPairs = corpus.filter(draw % stride === 0)
           .select(col("doc_id").as("p_id"))
-          .crossJoin(corpus.select(col("doc_id").as("c_id")))
+          .crossJoin(corpus.filter(cdraw % cstride === 0)
+            .select(col("doc_id").as("c_id")))
           .filter(col("p_id") =!= col("c_id"))
           .select(least(col("p_id"), col("c_id")).as("a_id"),
             greatest(col("p_id"), col("c_id")).as("b_id"))
@@ -396,12 +406,16 @@ object Pipeline81 {
                    x -> CAST(x AS VARCHAR)), ',')
                  FOR b IN [0, 1, 2, 3]] AS bk
               FROM msig),
+            cst AS (SELECT greatest(1, count(*) // 3000) AS cstride
+                    FROM corpus),
             pairs AS (
               SELECT DISTINCT least(p.doc_id, c.doc_id) AS a_id,
                 greatest(p.doc_id, c.doc_id) AS b_id
-              FROM corpus p, corpus c, st
+              FROM corpus p, corpus c, st, cst
               WHERE ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)),
                   1, 15))::BIGINT % st.stride = 0
+                AND ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)
+                  || 'c'), 1, 15))::BIGINT % cst.cstride = 0
                 AND p.doc_id != c.doc_id
               UNION
               SELECT doc_id % 10000000, doc_id FROM corpus
