@@ -376,4 +376,37 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
     }
   }
+
+  test("q394 disagreement cells: both band joins capped-hash, no cartesian") {
+    val plan = finalPlan(query("q394_detector_disagreement_cells"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the cell agg is partial+final (the output surface is tiny, the
+    // map side must combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"cell aggregation not map-side combined:\n$plan")
+  }
+
+  test("q397 decontaminate: the gram probe is a BROADCAST, never a corpus shuffle") {
+    val plan = finalPlan(query("q397_ngram_decontaminate"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram dim must broadcast:\n$plan")
+  }
+
+  test("q398 pii census: zero joins, zero shuffles before the final order") {
+    val plan = finalPlan(query("q398_pii_scrub_census"))
+    assert(!plan.contains("Join"), s"a pure map query grew a join:\n$plan")
+    // one exchange only: the rangepartitioning of the final orderBy
+    val ex = "Exchange".r.findAllIn(plan).length
+    assert(ex <= 1, s"a zero-shuffle map query shuffles $ex times:\n$plan")
+  }
+
+  test("q399 s-curve: caught is computed in-row — no band join anywhere") {
+    val plan = finalPlan(query("q399_lsh_scurve"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the panel cross pairs ride a broadcast NLJ (30-row panel x
+    // bounded counter-draw); everything else hashes on doc ids
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+  }
 }
