@@ -457,7 +457,123 @@ object Pipeline81 {
             FROM jj
             GROUP BY j_band
             ORDER BY j_band"""
-      })
+      }),
 
+    // Shuffle-quality audit of a training order: before a corpus ships
+    // to trainers, "is the document order actually shuffled?" — a
+    // source-clumped order trains on one distribution for hours, then
+    // another (the classic curriculum-by-accident bug). Two candidate
+    // orders are audited side by side: the md5-hash order (the
+    // standard shuffle) and the pathological source-sorted order. Each
+    // is cut into rank-range shards by the two-pass GlobalRank (the
+    // q05/q302 recipe — no single-partition sort), shard count scaled
+    // to the corpus (greatest(4, least(64, N/128)) so gate-SF shards
+    // hold enough docs for the statistic to mean something); per shard
+    // the source mix is compared to the corpus-wide mix by TOTAL
+    // VARIATION distance in ppm (integer-exact — no chi-square
+    // decimals), densified over the shard x source grid so absent
+    // sources count. Verdict per ordering: any shard TV > 400000 ppm
+    // -> 'clumped'. The spec pins hashed = 'mixed', sorted =
+    // 'clumped' — the audit separates them at every SF.
+    QEntry("q400_shuffle_quality_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .localCheckpoint() // two rankings + the mix dims
+        val n = docs.count()
+        val nShards = math.max(4L, math.min(64L, n / 128L))
+        val srcTot = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("ns"))
+        def arm(name: String, ranked: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val sh = ranked.withColumn("shard",
+            expr(s"CAST(rank - 1 AS BIGINT) * ${nShards}L div ${n}L"))
+          val shardDocs = sh.groupBy(col("shard"))
+            .agg(count(lit(1)).as("m"))
+          val cnts = sh.groupBy(col("shard"), col("source"))
+            .agg(count(lit(1)).as("c"))
+          shardDocs.crossJoin(broadcast(srcTot))
+            .join(cnts, Seq("shard", "source"), "left")
+            .withColumn("obs",
+              expr("coalesce(c, 0L) * 1000000 div m"))
+            .withColumn("exp", expr(s"ns * 1000000 div ${n}L"))
+            .groupBy(col("shard"))
+            .agg(max(col("m")).as("n_docs"),
+              sum(when(coalesce(col("c"), lit(0L)) > 0L, 1L)
+                .otherwise(0L)).as("n_sources"),
+              expr("sum(abs(obs - exp)) div 2").as("tv_ppm"))
+            .withColumn("ordering", lit(name))
+        }
+        val hashed = arm("hashed", graft.operators.GlobalRank.rowNumber(
+          docs.withColumn("k", md5(col("doc_id").cast("string"))),
+          "rank", col("k")))
+        val sorted = arm("source_sorted",
+          graft.operators.GlobalRank.rowNumber(
+            docs, "rank", col("source"), col("doc_id")))
+        val both = hashed.unionByName(sorted).localCheckpoint()
+        val vd = both.groupBy(col("ordering"))
+          .agg(max(col("tv_ppm")).as("mx"))
+          .select(col("ordering"),
+            when(col("mx") > 400000L, "clumped").otherwise(lit("mixed"))
+              .as("verdict"))
+        both.join(broadcast(vd), "ordering")
+          .select(col("ordering"), col("shard"), col("n_docs"),
+            col("n_sources"), col("tv_ppm"), col("verdict"))
+          .orderBy(col("ordering"), col("shard"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, source FROM documents),
+              nn AS (
+                SELECT count(*) AS n,
+                  greatest(4, least(64, count(*) // 128)) AS k
+                FROM docs),
+              srct AS (
+                SELECT source, count(*) AS ns FROM docs
+                GROUP BY source),
+              h AS (
+                SELECT source, row_number() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank
+                FROM docs),
+              so AS (
+                SELECT source, row_number() OVER (
+                  ORDER BY source, doc_id) AS rank
+                FROM docs),
+              arms AS (
+                SELECT 'hashed' AS ordering, source,
+                  CAST(rank - 1 AS BIGINT) * nn.k // nn.n AS shard
+                FROM h, nn
+                UNION ALL
+                SELECT 'source_sorted', source,
+                  CAST(rank - 1 AS BIGINT) * nn.k // nn.n
+                FROM so, nn),
+              sd AS (
+                SELECT ordering, shard, count(*) AS m
+                FROM arms GROUP BY 1, 2),
+              cn AS (
+                SELECT ordering, shard, source, count(*) AS c
+                FROM arms GROUP BY 1, 2, 3),
+              dens AS (
+                SELECT sd.ordering, sd.shard, sd.m, st.source, st.ns,
+                  coalesce(cn.c, 0) AS c, nn.n
+                FROM sd CROSS JOIN srct st CROSS JOIN nn
+                LEFT JOIN cn ON cn.ordering = sd.ordering
+                  AND cn.shard = sd.shard AND cn.source = st.source),
+              tv AS (
+                SELECT ordering, shard, max(m) AS n_docs,
+                  sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS n_sources,
+                  sum(abs(c * 1000000 // m - ns * 1000000 // n)) // 2
+                    AS tv_ppm
+                FROM dens GROUP BY 1, 2),
+              vd AS (
+                SELECT ordering,
+                  CASE WHEN max(tv_ppm) > 400000 THEN 'clumped'
+                       ELSE 'mixed' END AS verdict
+                FROM tv GROUP BY 1)
+              SELECT t.ordering, CAST(t.shard AS BIGINT) AS shard,
+                CAST(t.n_docs AS BIGINT) AS n_docs,
+                CAST(t.n_sources AS BIGINT) AS n_sources,
+                CAST(t.tv_ppm AS BIGINT) AS tv_ppm, v.verdict
+              FROM tv t JOIN vd v USING (ordering)
+              ORDER BY t.ordering, t.shard"""))
   )
 }

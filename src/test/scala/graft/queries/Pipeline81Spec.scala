@@ -79,4 +79,26 @@ class Pipeline81Spec extends SparkSpec {
       assert(c <= n)
     }
   }
+
+  test("q400: hashed order reads mixed, source-sorted reads clumped") {
+    val rows = q("q400_shuffle_quality_audit").collect()
+    val byOrd = rows.groupBy(_.getString(0))
+    assert(byOrd.keySet == Set("hashed", "source_sorted"))
+    // every shard covered, doc counts tile the corpus exactly, per arm
+    val n = graft.queries.Tables.documents(spark, sf).count()
+    byOrd.foreach { case (ord, rs) =>
+      assert(rs.map(_.getLong(2)).sum == n, s"$ord shards do not tile")
+      assert(rs.map(_.getString(5)).distinct.length == 1)
+      rs.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L))
+    }
+    assert(byOrd("hashed").head.getString(5) == "mixed",
+      "the md5 shuffle must pass the audit")
+    assert(byOrd("source_sorted").head.getString(5) == "clumped",
+      "the pathological order must fail the audit")
+    // the clumped arm is clumped for the right reason: each of its
+    // shards sees strictly fewer sources than the corpus has
+    val nSrc = graft.queries.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    byOrd("source_sorted").foreach(r => assert(r.getLong(3) < nSrc))
+  }
 }
