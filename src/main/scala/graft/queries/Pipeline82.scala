@@ -272,6 +272,193 @@ object Pipeline82 {
                 CASE WHEN bucket * 500 >= 4000 THEN 'over_exposed'
                      ELSE 'ok' END AS verdict
               FROM census, t2
-              ORDER BY bucket"""))
+              ORDER BY bucket""")),
+
+    // Cross-split near-dup leakage: after a corpus is split
+    // train/val/test, a test doc whose NEAR-duplicate sits in train is
+    // a leaked eval item — exact-digest splitting (q93's axis) misses
+    // it, and it quietly inflates every benchmark run on the split.
+    // The audit: md5 split (8/1/1 per the last digit of the doc-id
+    // hash), the q37 MinHash chain (capped bands, exact-Jaccard 4/5
+    // verify) over the whole corpus, and every verified near-dup pair
+    // that CROSSES from train into val/test flags the eval-side doc.
+    // Output: one row per flagged eval doc with its evidence (how many
+    // train near-dups, the worst Jaccard) plus per-split census rows
+    // (doc_id = -1/-2 sentinels) so the headline rate rides the same
+    // frame. Plant: the mild-edit copies (+10M) land in md5-random
+    // splits, so a fraction of (base, copy) pairs straddles the
+    // boundary at every SF — the leakage this audit exists to catch.
+    QEntry("q403_split_neardup_leakage",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        def edit(m: Int, phaseMod: Int) = expr(
+          s"""array_join(transform(split(lower(text), '\\\\s+'),
+              (w, i) -> CASE WHEN i % $m = doc_id % $phaseMod
+                THEN concat('zz', CAST(i AS STRING)) ELSE w END), ' ')""")
+        val corpus = base
+          .union(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              edit(12, 5).as("text")))
+          .withColumn("__h",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+              16, 10).cast("long") % 10)
+          .withColumn("split",
+            when(col("__h") <= 7, "train")
+              .when(col("__h") === 8, "val").otherwise(lit("test")))
+          .drop("__h")
+          .localCheckpoint() // pairs + split joins + census
+        val toks = graft.pipeline.Dedup
+          .tokenArrays(corpus, "doc_id", "text")
+        val splits = corpus.select(col("doc_id"), col("split"))
+        // split-filter BEFORE the exact verify: only pairs touching an
+        // eval doc can leak, and train x train is ~64% of all
+        // candidates — the token-array verify (the expensive pass)
+        // runs on the crossing third only
+        val crossCands = Pipeline.minhashCandidatesOver(
+            corpus.select(col("doc_id"), col("text")))
+          .join(splits.select(col("doc_id").as("a_id"),
+            col("split").as("sa")), "a_id")
+          .join(splits.select(col("doc_id").as("b_id"),
+            col("split").as("sb")), "b_id")
+          .filter((col("sa") === "train" && col("sb") =!= "train") ||
+            (col("sb") === "train" && col("sa") =!= "train"))
+        val crossing = graft.pipeline.Dedup.verifyJaccard(
+            crossCands, toks, 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+          .withColumn("jbp", expr("inter * 10000 div uni"))
+          .join(crossCands.select(col("a_id"), col("b_id"), col("sa"),
+            col("sb")), Seq("a_id", "b_id"))
+          .select(
+            when(col("sa") === "train", col("b_id")).otherwise(col("a_id"))
+              .as("doc_id"),
+            when(col("sa") === "train", col("sb")).otherwise(col("sa"))
+              .as("split"),
+            col("jbp"))
+        val flagged = crossing.groupBy(col("doc_id"), col("split"))
+          .agg(count(lit(1)).as("n_train_neardups"),
+            max(col("jbp")).as("max_jaccard_bp"))
+          .localCheckpoint() // doc rows + the census
+        val census = splits.filter(col("split") =!= "train")
+          .groupBy(col("split")).agg(count(lit(1)).as("n_eval"))
+          .join(flagged.groupBy(col("split"))
+            .agg(count(lit(1)).as("n_leaked")), Seq("split"), "left")
+          .select(
+            when(col("split") === "val", lit(-1L)).otherwise(lit(-2L))
+              .as("doc_id"),
+            col("split"), col("n_eval").as("n_train_neardups"),
+            expr("coalesce(n_leaked, 0L) * 10000 div n_eval")
+              .as("max_jaccard_bp"))
+        flagged.unionByName(census)
+          .orderBy(col("doc_id"), col("split"))
+      },
+      Some {
+        val P = 4294967311L
+        val sigList = Pipeline.MinHashPerms.map { case (a, b) =>
+          s"list_min(list_transform(hs, x -> (x*$a+$b)%$P))"
+        }.mkString("[", ",\n                  ", "]")
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+            corpus AS (
+              SELECT doc_id, text,
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 10 <= 7 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + 10000000,
+                  array_to_string(list_transform(
+                    string_split_regex(lower(text), '\\s+'),
+                    (w, i) -> CASE WHEN (i - 1) % 12 = doc_id % 5
+                      THEN 'zz' || CAST(i - 1 AS VARCHAR) ELSE w END),
+                    ' ')
+                FROM base WHERE doc_id % 10 = 0)),
+            t AS (
+              SELECT doc_id,
+                string_split_regex(lower(text), '\\s+') AS toks
+              FROM corpus),
+            shl AS (
+              SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM t),
+            hh AS (
+              SELECT doc_id, list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM shl WHERE len(shingles) > 0),
+            msig AS (
+              SELECT doc_id, $sigList AS sig FROM hh),
+            mbands AS (
+              SELECT doc_id, band,
+                array_to_string(list_transform(sig[band*4+1:band*4+4],
+                  x -> CAST(x AS VARCHAR)), ',') AS bkey
+              FROM msig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+            mok AS (
+              SELECT band, bkey FROM mbands
+              GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+            mcand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM mbands a
+              JOIN mbands b ON b.band = a.band AND b.bkey = a.bkey
+                AND b.doc_id > a.doc_id
+              JOIN mok ON mok.band = a.band AND mok.bkey = a.bkey),
+            tok AS (
+              SELECT doc_id, unnest(list_distinct(
+                string_split_regex(lower(text), '\\s+'))) AS tok
+              FROM corpus),
+            sizes AS (
+              SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+            minter AS (
+              SELECT c.a_id, c.b_id, count(*) AS inter
+              FROM mcand c
+              JOIN tok a ON a.doc_id = c.a_id
+              JOIN tok b ON b.doc_id = c.b_id AND b.tok = a.tok
+              GROUP BY c.a_id, c.b_id),
+            near AS (
+              SELECT i.a_id, i.b_id,
+                i.inter * 10000 // (sa.ntok + sb.ntok - i.inter) AS jbp
+              FROM minter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+            crossing AS (
+              SELECT CASE WHEN ca.split = 'train' THEN n.b_id
+                ELSE n.a_id END AS doc_id,
+                CASE WHEN ca.split = 'train' THEN cb.split
+                ELSE ca.split END AS split,
+                n.jbp
+              FROM near n
+              JOIN corpus ca ON ca.doc_id = n.a_id
+              JOIN corpus cb ON cb.doc_id = n.b_id
+              WHERE (ca.split = 'train' AND cb.split != 'train')
+                 OR (cb.split = 'train' AND ca.split != 'train')),
+            flagged AS (
+              SELECT doc_id, split, count(*) AS n_train_neardups,
+                max(jbp) AS max_jaccard_bp
+              FROM crossing GROUP BY doc_id, split),
+            census AS (
+              SELECT CASE WHEN c.split = 'val' THEN -1 ELSE -2 END
+                  AS doc_id,
+                c.split, count(*) AS n_eval,
+                coalesce(f.n_leaked, 0) AS n_leaked
+              FROM corpus c
+              LEFT JOIN (SELECT split, count(*) AS n_leaked
+                         FROM flagged GROUP BY split) f
+                ON f.split = c.split
+              WHERE c.split != 'train'
+              GROUP BY c.split, f.n_leaked)
+            SELECT doc_id, split,
+              CAST(n_train_neardups AS BIGINT) AS n_train_neardups,
+              CAST(max_jaccard_bp AS BIGINT) AS max_jaccard_bp
+            FROM flagged
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), split,
+              CAST(n_eval AS BIGINT),
+              CAST(n_leaked * 10000 // n_eval AS BIGINT)
+            FROM census
+            ORDER BY doc_id, split"""
+      })
   )
 }

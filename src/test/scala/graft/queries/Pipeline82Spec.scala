@@ -48,4 +48,28 @@ class Pipeline82Spec extends SparkSpec {
       assert((r.getLong(0) * 500 >= 4000) == (r.getString(5) == "over_exposed"))
     }
   }
+
+  test("q403: leakage evidence is eval-side only; the census rides the sentinels") {
+    val rows = q("q403_split_neardup_leakage").collect()
+    val (census, docs) = rows.partition(_.getLong(0) < 0L)
+    assert(census.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((-1L, "val"), (-2L, "test")))
+    census.foreach { r =>
+      // leaked_bp rides the max_jaccard_bp column on sentinel rows
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+      assert(r.getLong(2) > 0L) // n_eval
+    }
+    assert(docs.nonEmpty, "no leaked docs despite the edit plant")
+    docs.foreach { r =>
+      assert(Set("val", "test").contains(r.getString(1)),
+        "train docs must never be flagged")
+      assert(r.getLong(2) >= 1L)
+      // every flagged pair passed the 4/5 verify
+      assert(r.getLong(3) >= 8000L && r.getLong(3) <= 10000L)
+    }
+    // the flagged count per split matches what the sentinel rate claims
+    val nVal = docs.count(_.getString(1) == "val")
+    val cVal = census.find(_.getString(1) == "val").get
+    assert(cVal.getLong(3) == nVal * 10000L / cVal.getLong(2))
+  }
 }
