@@ -81,7 +81,14 @@ object DumpPlans {
     "q382_release_health" -> "release health: two corpus scans to per-source bounded dims (256 buckets / 513 length cells / 16 mix cells / 64 dims); verdict frame is broadcast joins at source grain",
     "q383_maxsim_ivf_rerank" -> "IVF-routed MaxSim: 64-row centroid dim broadcast into slice assignment; candidates via cluster-keyed join; rerank + brute-force ground truth share the checkpointed normed frame",
     "q387_detector_disagreement" -> "detector audit: both LSH chains bucket-group-emit (no self-joins), full-outer pair join, evidence joined back keyed",
-    "q391_pareto_skyline" -> "skyline: grid-census prune via broadcast anti-join on the cell dim; exact dominance check only on O(grid) candidates")
+    "q391_pareto_skyline" -> "skyline: grid-census prune via broadcast anti-join on the cell dim + exact per-cell local skylines (windowed, r15); pairwise check bounded by output anti-chain size",
+    "q394_detector_disagreement_cells" -> "disagreement cells: exact collapse first, both capped LSH chains at rep grain, one verify pass, map-side-combined cell aggregation — output is the calibration surface, not pairs",
+    "q395_stream_release_gate" -> "streaming release gate: foreachBatch over digest/mass/manifest state; per batch one scored projection + one digest join, waterfill and roots at bounded dim grain",
+    "q397_ngram_decontaminate" -> "n-gram decontam: benchmark gram dim BROADCAST into the positional-shingle projection; islands pass on hit positions only",
+    "q399_lsh_scurve" -> "LSH S-curve: panel x bounded counter-draw pairs, exact shingle Jaccard per pair, caught computed IN the pair row (zip_with band keys) — no band join",
+    "q400_shuffle_quality_audit" -> "shuffle audit: two GlobalRank two-pass rankings, (shard x source) dim censuses, TV at grid grain",
+    "q401_embedding_dispersion" -> "dispersion census: closed-form moments — one dim-explode to the (source x 64) grid + in-row norm folds; zero pairwise work",
+    "q403_split_neardup_leakage" -> "split leakage: capped MinHash chain with train x train candidates dropped BEFORE the exact verify; census rides sentinels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
