@@ -46,7 +46,7 @@ object SparkEntry {
       Pipeline72.entries ++ Pipeline73.entries ++ Pipeline74.entries ++
       Pipeline75.entries ++ Pipeline76.entries ++ Pipeline77.entries ++
       Pipeline78.entries ++ Pipeline79.entries ++ Pipeline80.entries ++
-      Pipeline81.entries ++ Pipeline82.entries
+      Pipeline81.entries ++ Pipeline82.entries ++ Pipeline83.entries
   // NOTE for the driver (re-raised each round since 6): the long-document
   // fixture is still absent — q101/q132/q139 run on derived long docs.
 

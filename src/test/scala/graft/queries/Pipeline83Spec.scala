@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-15 pack, fourth batch: embedding consistency. */
+class Pipeline83Spec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q404: only skew-encoder sources flag; consistent re-embedding never does") {
+    val rows = q("q404_embedding_consistency").collect()
+    val skewSources = rows.map(_.getString(0)).filter { src =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(src)
+          .substring(0, 2), 16) % 4 == 0
+    }.toSet
+    rows.foreach { r =>
+      val (src, multi, incons) =
+        (r.getString(0), r.getLong(2), r.getLong(3))
+      if (r.getString(5) == "skewed") {
+        assert(skewSources.contains(src),
+          s"$src flagged without a skewed encoder")
+        // every skewed re-embed disagrees (dim-0 shift past the grid)
+        assert(incons == multi && incons > 0L)
+      } else {
+        assert(incons == 0L)
+      }
+      // bp formula
+      assert(r.getLong(4) ==
+        (r.getLong(1) - incons) * 10000L / r.getLong(1))
+    }
+    // re-embedding WITHOUT skew happens and is not flagged: some
+    // consistent source carries multi-embedded contents
+    assert(rows.exists(r =>
+      r.getString(5) == "consistent" && r.getLong(2) > 0L),
+      "no consistent re-embeds — the plant lost its control arm")
+    assert(rows.exists(_.getString(5) == "skewed"),
+      "no skewed source despite the encoder plant")
+  }
+}
