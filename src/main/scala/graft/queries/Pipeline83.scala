@@ -109,6 +109,98 @@ object Pipeline83 {
                 CASE WHEN n_inconsistent > 0 THEN 'skewed'
                      ELSE 'consistent' END AS verdict
               FROM census
+              ORDER BY source""")),
+
+    // Source novelty census: which source contributes content NOTHING
+    // else has — the marginal-value question behind every mix/budget
+    // decision (a source can be huge, clean, and still worthless if
+    // its n-grams all exist elsewhere). Type-level: a source's novelty
+    // = share of its distinct 8-gram types that occur in NO other
+    // source. Shape: one positional-shingle projection to (gram, source)
+    // type grain, one gram-grain census (n_sources per gram), one join
+    // back at gram grain, one source rollup — two shuffles, both on
+    // 8-byte gram digests, never on text. Corpus: the q386 mirror
+    // topology (md5-drawn ~1/5 of each source re-published as
+    // mirror_<source>, the nested ~1/25 syndicated into one agg feed)
+    // — a MIRROR source's grams all exist in its original, so mirrors
+    // read ~0 novelty ('redundant', the census's reason to exist)
+    // while originals stay high; the agg feed sits at 0 twice over.
+    QEntry("q405_source_novelty",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+        val draw = conv(substring(md5(col("doc_id").cast("string")),
+          1, 4), 16, 10).cast("long")
+        val corpus = base
+          .union(base.filter(draw % 5 === 0)
+            .select(concat(lit("mirror_"), col("source")).as("source"),
+              (col("doc_id") + 10000000L).as("doc_id"), col("text")))
+          .union(base.filter(draw % 25 === 0)
+            .select(lit("agg").as("source"),
+              (col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        val st = corpus
+          .select(col("source"),
+            explode(graft.expressions.functions.ngram_shingles(
+              split(lower(col("text")), "\\s+"), 8, distinct = true))
+              .as("gram"))
+          .select(col("source"),
+            conv(substring(md5(col("gram")), 1, 15), 16, 10)
+              .cast("long").as("g"))
+          .distinct()
+          .localCheckpoint() // gram census + join-back sides
+        val gdim = st.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_sources"))
+        st.join(gdim, "g")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("gram_types"),
+            sum(when(col("n_sources") === 1L, 1L).otherwise(0L))
+              .as("unique_types"))
+          .withColumn("novelty_bp",
+            expr("unique_types * 10000 div gram_types"))
+          .withColumn("verdict",
+            when(col("novelty_bp") < 500L, "redundant")
+              .otherwise(lit("novel")))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (
+                SELECT source, doc_id, text FROM documents),
+              corpus AS (
+                SELECT source, doc_id, text FROM base
+                UNION ALL
+                SELECT 'mirror_' || source, doc_id + 10000000, text
+                FROM base
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 4))::BIGINT % 5 = 0
+                UNION ALL
+                SELECT 'agg', doc_id + 20000000, text FROM base
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 4))::BIGINT % 25 = 0),
+              t AS (
+                SELECT source, doc_id,
+                  string_split_regex(lower(text), '\s+') AS toks
+                FROM corpus),
+              st AS (
+                SELECT DISTINCT source,
+                  ('0x' || substr(md5(array_to_string(
+                    toks[p.p + 1:p.p + 8], ' ')), 1, 15))::BIGINT AS g
+                FROM t,
+                  (SELECT unnest(generate_series(0, 511)) AS p) p
+                WHERE p.p <= len(toks) - 8),
+              gdim AS (
+                SELECT g, count(*) AS n_sources FROM st GROUP BY g),
+              census AS (
+                SELECT st.source, count(*) AS gram_types,
+                  sum(CASE WHEN gd.n_sources = 1 THEN 1 ELSE 0 END)
+                    AS unique_types
+                FROM st JOIN gdim gd USING (g)
+                GROUP BY st.source)
+              SELECT source, CAST(gram_types AS BIGINT) AS gram_types,
+                CAST(unique_types AS BIGINT) AS unique_types,
+                CAST(unique_types * 10000 // gram_types AS BIGINT)
+                  AS novelty_bp,
+                CASE WHEN unique_types * 10000 // gram_types < 500
+                     THEN 'redundant' ELSE 'novel' END AS verdict
+              FROM census
               ORDER BY source"""))
   )
 }

@@ -39,4 +39,22 @@ class Pipeline83Spec extends SparkSpec {
     assert(rows.exists(_.getString(5) == "skewed"),
       "no skewed source despite the encoder plant")
   }
+
+  test("q405: mirrors and the agg feed read zero novelty; originals stay novel") {
+    val rows = q("q405_source_novelty").collect()
+    rows.foreach { r =>
+      val (src, types, uniq, bp) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      assert(uniq <= types && bp == uniq * 10000L / types)
+      if (src.startsWith("mirror_") || src == "agg") {
+        assert(uniq == 0L && r.getString(4) == "redundant",
+          s"$src must contribute nothing unique — every gram exists in its original")
+      } else {
+        assert(r.getString(4) == "novel",
+          s"original $src read ${bp} bp — drowned by its own mirror?")
+      }
+    }
+    assert(rows.exists(_.getString(0) == "agg"))
+    assert(rows.count(_.getString(0).startsWith("mirror_")) > 0)
+  }
 }
