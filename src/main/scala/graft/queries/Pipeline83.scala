@@ -201,6 +201,171 @@ object Pipeline83 {
                 CASE WHEN unique_types * 10000 // gram_types < 500
                      THEN 'redundant' ELSE 'novel' END AS verdict
               FROM census
-              ORDER BY source"""))
+              ORDER BY source""")),
+
+    // Release datasheet: the one-frame summary a dataset release ships
+    // (the "Datasheets for Datasets" artifact, Gebru et al. 2018) —
+    // every number a consumer asks first, computed from the corpus in
+    // a handful of dimension-grain aggregates and emitted as a
+    // (section, metric, value) KV frame so downstream tooling renders
+    // it without schema churn. Sections: volume (docs/tokens/chars/
+    // sources), dedup (distinct texts, exact-dup docs, savings bp),
+    // quality (docs under the 500 bp stopword floor), decontamination
+    // (exact-digest hits vs the doc_id % 10 benchmark slice), pii
+    // (email/phone/IPv4 doc counts — honestly 0 on this fixture),
+    // mix (source-concentration HHI in ppm — Σ share², the "is this
+    // release one giant source in a trenchcoat" scalar), length
+    // (min/mean-milli/max tokens). Every value is an exact integer;
+    // every section reuses the suite's established metric convention
+    // (q389 savings, q385 score, q392 decontam, q398 patterns).
+    QEntry("q406_release_datasheet",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            col("n_chars"))
+          .withColumn("toks",
+            graft.pipeline.TextAnalysis.tokenCount(col("text"))
+              .cast("long"))
+          .withColumn("score_bp",
+            expr("CAST(" +
+              "size(filter(split(lower(text), '\\\\s+'), w -> w IN (" +
+              "'the','a','of','and','to','in','is','on','for','with'" +
+              "))) AS BIGINT) * 10000 div greatest(1L, toks)"))
+          .localCheckpoint() // every section reads this one frame
+        def kv(section: String, metric: String, v: org.apache.spark.sql.Column) =
+          docs.agg(v.as("value"))
+            .select(lit(section).as("section"), lit(metric).as("metric"),
+              col("value").cast("long"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select(md5(col("text")).as("h")).distinct()
+        val nContam = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("h", md5(col("text")))
+          .join(broadcast(bench), Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("decontam").as("section"),
+            lit("exact_benchmark_hits").as("metric"), col("value"))
+        val dedup = docs.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("k"), min(col("n_chars")).as("rb"),
+            sum(col("n_chars")).as("b"))
+          .agg(count(lit(1)).as("nd"), sum(col("k") - 1).as("rd"),
+            expr("sum(b - rb) * 10000 div sum(b)").as("sb"))
+          .select(explode(array(
+            struct(lit("dedup").as("section"),
+              lit("distinct_texts").as("metric"), col("nd").as("value")),
+            struct(lit("dedup").as("section"),
+              lit("exact_dup_docs").as("metric"), col("rd").as("value")),
+            struct(lit("dedup").as("section"),
+              lit("savings_bp").as("metric"), col("sb").as("value"))))
+            .as("r"))
+          .select(col("r.section"), col("r.metric"), col("r.value"))
+        val hhi = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+          .agg(expr("sum(c * c) * 1000000 div (sum(c) * sum(c))")
+            .as("value"))
+          .select(lit("mix").as("section"), lit("source_hhi_ppm")
+            .as("metric"), col("value"))
+        kv("volume", "n_docs", count(lit(1)))
+          .unionByName(kv("volume", "n_tokens", sum(col("toks"))))
+          .unionByName(kv("volume", "n_chars", sum(col("n_chars"))))
+          .unionByName(kv("volume", "n_sources",
+            countDistinct(col("source"))))
+          .unionByName(kv("quality", "docs_below_floor",
+            sum(when(col("score_bp") < 500L, 1L).otherwise(0L))))
+          .unionByName(kv("pii", "email_docs",
+            sum((size(regexp_extract_all(col("text"), lit(emailRe),
+              lit(0))) > 0).cast("long"))))
+          .unionByName(kv("pii", "phone_docs",
+            sum((size(regexp_extract_all(col("text"), lit(phoneRe),
+              lit(0))) > 0).cast("long"))))
+          .unionByName(kv("pii", "ipv4_docs",
+            sum((size(regexp_extract_all(col("text"), lit(ipRe),
+              lit(0))) > 0).cast("long"))))
+          .unionByName(kv("length", "min_tokens", min(col("toks"))))
+          .unionByName(kv("length", "mean_tokens_milli",
+            expr("sum(toks) * 1000 div count(1)")))
+          .unionByName(kv("length", "max_tokens", max(col("toks"))))
+          .unionByName(dedup)
+          .unionByName(nContam)
+          .unionByName(hhi)
+          .orderBy(col("section"), col("metric"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, source, text, n_chars,
+                  CAST(len(string_split_regex(lower(text), '\s+'))
+                    AS BIGINT) AS toks,
+                  CAST(len([w FOR w IN
+                    string_split_regex(lower(text), '\s+')
+                    IF list_contains(['the','a','of','and','to','in',
+                      'is','on','for','with'], w)]) AS BIGINT) * 10000
+                    // greatest(1, CAST(len(string_split_regex(
+                      lower(text), '\s+')) AS BIGINT)) AS score_bp
+                FROM documents),
+              bench AS (
+                SELECT DISTINCT md5(text) AS h FROM docs
+                WHERE doc_id % 10 = 0),
+              ded AS (
+                SELECT count(*) AS nd, sum(k - 1) AS rd,
+                  sum(b - rb) * 10000 // sum(b) AS sb
+                FROM (SELECT md5(text) AS h, count(*) AS k,
+                        min(n_chars) AS rb, sum(n_chars) AS b
+                      FROM docs GROUP BY md5(text))),
+              rows_ AS (
+                SELECT 'volume' AS section, 'n_docs' AS metric,
+                  count(*) AS value FROM docs
+                UNION ALL
+                SELECT 'volume', 'n_tokens', sum(toks) FROM docs
+                UNION ALL
+                SELECT 'volume', 'n_chars', sum(n_chars) FROM docs
+                UNION ALL
+                SELECT 'volume', 'n_sources', count(DISTINCT source)
+                FROM docs
+                UNION ALL
+                SELECT 'quality', 'docs_below_floor',
+                  sum(CASE WHEN score_bp < 500 THEN 1 ELSE 0 END)
+                FROM docs
+                UNION ALL
+                SELECT 'pii', 'email_docs',
+                  sum(CASE WHEN len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    > 0 THEN 1 ELSE 0 END) FROM docs
+                UNION ALL
+                SELECT 'pii', 'phone_docs',
+                  sum(CASE WHEN len(regexp_extract_all(text,
+                    '\d{3}-\d{3}-\d{4}')) > 0 THEN 1 ELSE 0 END)
+                FROM docs
+                UNION ALL
+                SELECT 'pii', 'ipv4_docs',
+                  sum(CASE WHEN len(regexp_extract_all(text,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+                    THEN 1 ELSE 0 END) FROM docs
+                UNION ALL
+                SELECT 'length', 'min_tokens', min(toks) FROM docs
+                UNION ALL
+                SELECT 'length', 'mean_tokens_milli',
+                  sum(toks) * 1000 // count(*) FROM docs
+                UNION ALL
+                SELECT 'length', 'max_tokens', max(toks) FROM docs
+                UNION ALL
+                SELECT 'dedup', 'distinct_texts', nd FROM ded
+                UNION ALL
+                SELECT 'dedup', 'exact_dup_docs', rd FROM ded
+                UNION ALL
+                SELECT 'dedup', 'savings_bp', sb FROM ded
+                UNION ALL
+                SELECT 'decontam', 'exact_benchmark_hits',
+                  (SELECT count(*) FROM docs
+                   WHERE doc_id % 10 != 0
+                     AND md5(text) IN (SELECT h FROM bench))
+                UNION ALL
+                SELECT 'mix', 'source_hhi_ppm',
+                  (SELECT sum(c * c) * 1000000 // (sum(c) * sum(c))
+                   FROM (SELECT count(*) AS c FROM docs
+                         GROUP BY source)))
+              SELECT section, metric, CAST(value AS BIGINT) AS value
+              FROM rows_
+              ORDER BY section, metric"""))
   )
 }

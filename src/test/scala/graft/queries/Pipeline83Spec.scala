@@ -57,4 +57,27 @@ class Pipeline83Spec extends SparkSpec {
     assert(rows.exists(_.getString(0) == "agg"))
     assert(rows.count(_.getString(0).startsWith("mirror_")) > 0)
   }
+
+  test("q406: the datasheet's sections cross-check each other") {
+    val rows = q("q406_release_datasheet").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nDocs = rows(("volume", "n_docs"))
+    // dedup identity: distinct + dup docs == corpus
+    assert(rows(("dedup", "distinct_texts")) +
+      rows(("dedup", "exact_dup_docs")) == nDocs)
+    // mean within [min, max] (milli)
+    assert(rows(("length", "mean_tokens_milli")) >=
+      rows(("length", "min_tokens")) * 1000L)
+    assert(rows(("length", "mean_tokens_milli")) <=
+      rows(("length", "max_tokens")) * 1000L)
+    // HHI floor: >= 1e6 / n_sources (uniform is the minimum)
+    assert(rows(("mix", "source_hhi_ppm")) >=
+      1000000L / rows(("volume", "n_sources")))
+    // counts bounded by the corpus
+    for (k <- Seq(("quality", "docs_below_floor"),
+        ("decontam", "exact_benchmark_hits"), ("pii", "email_docs"),
+        ("pii", "phone_docs"), ("pii", "ipv4_docs")))
+      assert(rows(k) >= 0L && rows(k) <= nDocs)
+    assert(rows.size == 16)
+  }
 }
