@@ -366,6 +366,87 @@ object Pipeline83 {
                          GROUP BY source)))
               SELECT section, metric, CAST(value AS BIGINT) AS value
               FROM rows_
-              ORDER BY section, metric"""))
+              ORDER BY section, metric""")),
+
+    // Mojibake / encoding-damage audit: the hygiene pass every web
+    // corpus runs — UTF-8 double-encoding artifacts (the 'A-tilde'
+    // prefix family: 'caf\u00c3\u00a9' for 'caf\u00e9') and U+FFFD
+    // replacement characters (a decoder already gave up once) both
+    // mean the text bytes lost information upstream; training on them
+    // teaches the artifacts. One zero-shuffle projection (two contains
+    // probes per doc), one source census. The fixture is ASCII-only
+    // (pinned by the q381 guard), so the signal is PLANTED in-query:
+    // the md5-conditional ingestion-broken sources (md5(source) % 5 =
+    // 0) get an ~1/12 double-encode draw and a disjoint ~1/17
+    // replacement-char draw — the census must read those rates back
+    // on exactly those sources; everyone else stays 'clean'. Verdict
+    // per source at > 300 bp damaged.
+    QEntry("q407_mojibake_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val draw = conv(substring(md5(col("doc_id").cast("string")),
+          1, 4), 16, 10).cast("long")
+        val badSrc = conv(substring(md5(col("source")), 1, 2), 16, 10)
+          .cast("long") % 5 === 0
+        val corpus = docs
+          .withColumn("text",
+            concat(col("text"),
+              when(badSrc && draw % 12 === 0,
+                lit(" caf\u00c3\u00a9 menu")).otherwise(lit("")),
+              when(badSrc && draw % 17 === 3,
+                lit(" lost\ufffdchar")).otherwise(lit(""))))
+        corpus
+          .withColumn("has_double",
+            (instr(col("text"), "\u00c3") > 0).cast("long"))
+          .withColumn("has_repl",
+            (instr(col("text"), "\ufffd") > 0).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("has_double")).as("double_encoded_docs"),
+            sum(col("has_repl")).as("replacement_docs"),
+            sum(greatest(col("has_double"), col("has_repl")))
+              .as("damaged_docs"))
+          .withColumn("damaged_bp",
+            expr("damaged_docs * 10000 div n_docs"))
+          .withColumn("verdict",
+            when(col("damaged_bp") > 300L, "dirty_encoding")
+              .otherwise(lit("clean")))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, source,
+                  text ||
+                  CASE WHEN ('0x' || substr(md5(source), 1, 2))::BIGINT
+                      % 5 = 0
+                    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    ), 1, 4))::BIGINT % 12 = 0
+                    THEN ' caf\u00c3\u00a9 menu' ELSE '' END ||
+                  CASE WHEN ('0x' || substr(md5(source), 1, 2))::BIGINT
+                      % 5 = 0
+                    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    ), 1, 4))::BIGINT % 17 = 3
+                    THEN ' lost\ufffdchar' ELSE '' END AS text
+                FROM documents),
+              c AS (
+                SELECT source,
+                  CASE WHEN position('\u00c3' IN text) > 0
+                    THEN 1 ELSE 0 END AS hd,
+                  CASE WHEN position('\ufffd' IN text) > 0
+                    THEN 1 ELSE 0 END AS hr
+                FROM docs),
+              g AS (
+                SELECT source, count(*) AS n_docs, sum(hd) AS ded,
+                  sum(hr) AS rd, sum(greatest(hd, hr)) AS dd
+                FROM c GROUP BY source)
+              SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(ded AS BIGINT) AS double_encoded_docs,
+                CAST(rd AS BIGINT) AS replacement_docs,
+                CAST(dd AS BIGINT) AS damaged_docs,
+                CAST(dd * 10000 // n_docs AS BIGINT) AS damaged_bp,
+                CASE WHEN dd * 10000 // n_docs > 300
+                     THEN 'dirty_encoding' ELSE 'clean' END AS verdict
+              FROM g
+              ORDER BY source"""))
   )
 }

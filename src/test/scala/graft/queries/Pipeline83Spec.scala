@@ -80,4 +80,26 @@ class Pipeline83Spec extends SparkSpec {
       assert(rows(k) >= 0L && rows(k) <= nDocs)
     assert(rows.size == 16)
   }
+
+  test("q407: only ingestion-broken sources flag; clean sources read zero damage") {
+    val rows = q("q407_mojibake_audit").collect()
+    val badSources = rows.map(_.getString(0)).filter { src =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(src)
+          .substring(0, 2), 16) % 5 == 0
+    }.toSet
+    rows.foreach { r =>
+      val (src, dd) = (r.getString(0), r.getLong(4))
+      assert(dd == math.max(r.getLong(2), 0L) + r.getLong(3) -
+        0L || dd <= r.getLong(2) + r.getLong(3)) // union bound
+      assert(r.getLong(5) == dd * 10000L / r.getLong(1))
+      if (!badSources.contains(src)) {
+        assert(dd == 0L && r.getString(6) == "clean",
+          s"clean-ingestion source $src reads damage")
+      }
+      assert((r.getLong(5) > 300L) == (r.getString(6) == "dirty_encoding"))
+    }
+    assert(rows.exists(_.getString(6) == "dirty_encoding"),
+      "no dirty source despite the encode plant")
+  }
 }
