@@ -716,8 +716,28 @@ object TextAnalysis {
     * the trainer. */
   def bpeSegment(docs: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int): org.apache.spark.sql.DataFrame =
-    bpeTrainState(docs, textCol, nMerges)._1
-      .groupBy(col("wd"), col("n"))
+    segFrame(bpeTrainState(docs, textCol, nMerges)._1)
+
+  /** Segmentations at SEVERAL merge counts from ONE training run:
+    * greedy BPE is deterministic, so the k-merge state is a prefix of
+    * any longer train — snapshotting the symbol frame at each
+    * checkpoint costs nothing beyond the max(checkpoints) rounds the
+    * longest vocabulary needs anyway (q416's migration audit would
+    * otherwise train each vocabulary from scratch). Returns
+    * checkpoint → (wd, n, n_syms, seg), same schema as [[bpeSegment]].
+    */
+  def bpeSegmentAt(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      checkpoints: Seq[Int])
+      : Map[Int, org.apache.spark.sql.DataFrame] = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1))
+    val (_, _, snaps) =
+      bpeTrainState3(docs, textCol, checkpoints.max, checkpoints.toSet)
+    snaps.map { case (k, f) => k -> segFrame(f) }
+  }
+
+  private def segFrame(syms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    syms.groupBy(col("wd"), col("n"))
       .agg(count(lit(1)).as("n_syms"),
         array_join(
           transform(sort_array(collect_list(struct(col("i"), col("sym")))),
@@ -728,6 +748,18 @@ object TextAnalysis {
   private def bpeTrainState(docs: org.apache.spark.sql.DataFrame,
       textCol: String, nMerges: Int)
       : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long, Long)]) = {
+    val (f, st, _) = bpeTrainState3(docs, textCol, nMerges, Set.empty)
+    (f, st)
+  }
+
+  /** [[bpeTrainState]] plus symbol-frame snapshots after the requested
+    * merge steps (each already localCheckpoint'ed — stable frames). A
+    * checkpoint past vocabulary exhaustion snapshots the final state. */
+  private def bpeTrainState3(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int, snapshotAt: Set[Int])
+      : (org.apache.spark.sql.DataFrame,
+         Seq[(Int, String, String, Long, Long)],
+         Map[Int, org.apache.spark.sql.DataFrame]) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"nMerges in [1,64] (each step is a Spark job round), got $nMerges")
     val byWord = org.apache.spark.sql.expressions.Window
@@ -745,6 +777,8 @@ object TextAnalysis {
       .localCheckpoint()
     val steps = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
+    val snaps = scala.collection.mutable.Map
+      .empty[Int, org.apache.spark.sql.DataFrame]
     var t = 1
     var exhausted = false
     while (t <= nMerges && !exhausted) {
@@ -786,10 +820,13 @@ object TextAnalysis {
           .localCheckpoint()
         val vocab = syms.agg(countDistinct(col("sym"))).head.getLong(0)
         steps += ((t, pr, ms, cnt, vocab))
+        if (snapshotAt.contains(t)) snaps(t) = syms
         t += 1
       }
     }
-    (syms, steps.toSeq)
+    // checkpoints at/past exhaustion resolve to the final state
+    snapshotAt.filter(_ >= t).foreach(k => snaps(k) = syms)
+    (syms, steps.toSeq, snaps.toMap)
   }
 
   /** Reference formulation of [[fingerprint]]: explode each k-char

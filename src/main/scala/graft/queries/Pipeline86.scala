@@ -25,10 +25,10 @@ object Pipeline86 {
     QEntry("q416_tokenizer_migration",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val segA = graft.pipeline.TextAnalysis.bpeSegment(docs, "text", 4)
-          .select(col("wd"), col("n_syms").as("na"))
-        val segB = graft.pipeline.TextAnalysis.bpeSegment(docs, "text", 8)
-          .select(col("wd"), col("n_syms").as("nb"))
+        val segs = graft.pipeline.TextAnalysis
+          .bpeSegmentAt(docs, "text", Seq(4, 8))
+        val segA = segs(4).select(col("wd"), col("n_syms").as("na"))
+        val segB = segs(8).select(col("wd"), col("n_syms").as("nb"))
         val ws = docs
           .select(col("source"),
             explode(split(lower(col("text")), "\\s+")).as("wd"))
