@@ -511,6 +511,12 @@ object functions {
   def nfc_normalize(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))
 
+  /** ASCII lowercase + punct/ws collapse (+ optional digit mask) in
+    * one fused byte scan (see PunctWs scaladoc — the q408 ladder
+    * normalizer; regex-equivalent on ASCII). */
+  def punct_ws_normalize(text: Column, maskDigits: Boolean): Column =
+    Bridge.column(PunctWsNormalize(Bridge.expression(text), maskDigits))
+
   /** Winnowing fingerprint set: distinct w-window minima of k-char
     * shingle md5s, one O(n) fused scan (see HashSig.winnowMins). */
   def winnow_mins(text: Column, k: Int, w: Int): Column =

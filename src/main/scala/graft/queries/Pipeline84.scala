@@ -42,13 +42,16 @@ object Pipeline84 {
           .union(base.filter(draw % 13 === 5)
             .select(col("doc_id") + 40000000L,
               concat(col("text"), lit(" rev 2"))))
-        val n2 = trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", " "), " +", " "))
+        // rungs 2/3 run the fused byte-scan kernel (PunctWs) — the
+        // regex formulation it replaces (and which the oracle runs)
+        // was 95%+ of the query's wall at the 100× replica
         val ladder = corpus.select(
           md5(col("text")).as("h0"),
           md5(lower(col("text"))).as("h1"),
-          md5(n2).as("h2"),
-          md5(regexp_replace(n2, "[0-9]", "#")).as("h3"))
+          md5(graft.expressions.functions.punct_ws_normalize(
+            col("text"), maskDigits = false)).as("h2"),
+          md5(graft.expressions.functions.punct_ws_normalize(
+            col("text"), maskDigits = true)).as("h3"))
         ladder.agg(count(lit(1)).as("n"),
             countDistinct(col("h0")).as("d0"),
             countDistinct(col("h1")).as("d1"),
