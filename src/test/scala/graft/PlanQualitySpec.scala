@@ -409,4 +409,59 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
   }
+
+  test("q408 ladder: one corpus pass, digests aggregated partial+final, no join") {
+    val plan = finalPlan(query("q408_dedup_ladder"))
+    assert(!plan.contains("Join"), s"the ladder census grew a join:\n$plan")
+    // the x4 multi-distinct rides Expand with a map-side partial agg
+    assert(plan.contains("Expand"), s"multi-distinct lost its expand:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"distinct census not map-side combined:\n$plan")
+  }
+
+  test("q409/q415 probe censuses: zero joins, only the final order shuffles past the agg") {
+    for (q <- Seq("q409_script_mix_audit", "q415_refusal_census")) {
+      val plan = finalPlan(query(q))
+      assert(!plan.contains("Join"), s"$q: a pure probe census grew a join:\n$plan")
+      // source agg + final orderBy: at most 2 exchanges
+      val ex = "Exchange".r.findAllIn(plan).length
+      assert(ex <= 2, s"$q: probe census shuffles $ex times:\n$plan")
+    }
+  }
+
+  test("q412 canary census: the canary dim is a BROADCAST NLJ, never a corpus shuffle") {
+    val plan = finalPlan(query("q412_canary_census"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"3-row canary dim must ride a broadcast:\n$plan")
+  }
+
+  test("q416 migration: both segment vocabularies broadcast onto the word census") {
+    // the gate query localCheckpoints after the join stage, which
+    // truncates its executed plan — grade the join stage itself,
+    // rebuilt from the same public pieces
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.documents(spark, sf)
+    val segs = graft.pipeline.TextAnalysis.bpeSegmentAt(docs, "text", Seq(4, 8))
+    val ws = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy(col("source"), col("wd")).agg(count(lit(1)).as("c"))
+    val joined = ws
+      .join(broadcast(segs(4).select(col("wd"), col("n_syms").as("na"))), "wd")
+      .join(broadcast(segs(8).select(col("wd"), col("n_syms").as("nb"))), "wd")
+      .groupBy(col("source"))
+      .agg(sum(col("c") * col("na")).as("ta"), sum(col("c") * col("nb")).as("tb"))
+    val plan = finalPlan(joined)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"segment frames must broadcast (vocabulary-sized):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a vocabulary join degraded to SMJ:\n$plan")
+  }
+
+  test("q417 license gate: poison join hashes on the 16-byte digest, no cartesian") {
+    val plan = finalPlan(query("q417_license_dedup_gate"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("HashJoin"), s"digest join not hashed:\n$plan")
+  }
 }
