@@ -113,6 +113,10 @@ object GraftExtensions {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
     },
+    "punct_ws_normalize" -> { args =>
+      require(args.length == 2, "punct_ws_normalize(text, maskDigits)")
+      PunctWsNormalize(args.head, boolArg(args(1), "maskDigits"))
+    },
     "jaro_winkler" -> { args =>
       require(args.length == 2, "jaro_winkler(a, b)")
       JaroWinkler(args.head, args(1))

@@ -108,6 +108,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(winSql == winCol && winSql.nonEmpty)
   }
 
+  test("punct_ws_normalize callable from SQL, matches the Column builder") {
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT punct_ws_normalize('  Hello, World 42!  ', false) AS a, " +
+        "punct_ws_normalize('  Hello, World 42!  ', true) AS b")
+      .collect().head
+    assert(viaSql.getString(0) == "hello world 42")
+    assert(viaSql.getString(1) == "hello world ##")
+    val viaColumn = spark.range(1)
+      .select(functions.punct_ws_normalize(lit("  Hello, World 42!  "),
+        maskDigits = false))
+      .collect().head.getString(0)
+    assert(viaSql.getString(0) == viaColumn)
+  }
+
   test("winnow_spans callable from SQL, matches the Column builder") {
     GraftExtensions.registerAll(spark)
     def tup(r: org.apache.spark.sql.Row) =
