@@ -88,7 +88,11 @@ object DumpPlans {
     "q399_lsh_scurve" -> "LSH S-curve: panel x bounded counter-draw pairs, exact shingle Jaccard per pair, caught computed IN the pair row (zip_with band keys) — no band join",
     "q400_shuffle_quality_audit" -> "shuffle audit: two GlobalRank two-pass rankings, (shard x source) dim censuses, TV at grid grain",
     "q401_embedding_dispersion" -> "dispersion census: closed-form moments — one dim-explode to the (source x 64) grid + in-row norm folds; zero pairwise work",
-    "q403_split_neardup_leakage" -> "split leakage: capped MinHash chain with train x train candidates dropped BEFORE the exact verify; census rides sentinels")
+    "q403_split_neardup_leakage" -> "split leakage: capped MinHash chain with train x train candidates dropped BEFORE the exact verify; census rides sentinels",
+    "q408_dedup_ladder" -> "dedup ladder: ONE corpus scan computing 4 digests (rungs 2/3 via the fused PunctWs byte kernel), x4 multi-distinct expand on digests, no join",
+    "q416_tokenizer_migration" -> "tokenizer migration: both BPE vocabularies snapshotted from ONE train, segment frames BROADCAST onto the (source, word) census",
+    "q429_semantic_outliers" -> "semantic outliers: centroid sums via one posexplode to the (source x 64) grid, 20-row broadcast dim, one integer-dot pass per doc — zero pairwise work",
+    "q433_source_xentropy_map" -> "source xentropy map: the 20x20 matrix from ONE type-grain inner join (add-1 log decomposition — absent words cost nothing)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
