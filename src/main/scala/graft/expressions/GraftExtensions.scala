@@ -117,6 +117,10 @@ object GraftExtensions {
       require(args.length == 2, "punct_ws_normalize(text, maskDigits)")
       PunctWsNormalize(args.head, boolArg(args(1), "maskDigits"))
     },
+    "cdc_chunks" -> { args =>
+      require(args.length == 3, "cdc_chunks(text, k, mod)")
+      CdcChunks(args.head, intArg(args(1), "k"), intArg(args(2), "mod"))
+    },
     "jaro_winkler" -> { args =>
       require(args.length == 2, "jaro_winkler(a, b)")
       JaroWinkler(args.head, args(1))

@@ -329,6 +329,41 @@ object HashSig {
     new GenericArrayData(arr.toArray)
   }
 
+  /** Content-defined chunk substrings (see [[CdcChunks]] scaladoc for
+    * the boundary rule). Positions and windows are CHAR-based to match
+    * the SQL oracle's substr semantics. */
+  def cdcChunks(text: UTF8String, k: Int, mod: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    if (len == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[UTF8String])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nh = math.max(len - (k - 1), 1)
+    // 1-based chunk starts: 1 plus every boundary position
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    starts += 1
+    var i = 0 // 0-based window start; 1-based position = i + 1
+    while (i < nh) {
+      md.reset()
+      val end = math.min(i + k, len)
+      md.update(s.substring(i, end).getBytes("UTF-8"))
+      val d = md.digest()
+      // a boundary at position 1 is already covered by the prepended 1
+      if ((d(0) & 0xff) % mod == 0 && i > 0) starts += (i + 1)
+      i += 1
+    }
+    val out = new Array[UTF8String](starts.length)
+    var j = 0
+    while (j < starts.length) {
+      val from = starts(j) - 1
+      val until = if (j + 1 < starts.length) starts(j + 1) - 1 else len
+      out(j) = UTF8String.fromString(s.substring(from, until))
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** [[winnowMins]] with positional evidence: per distinct fingerprint,
     * the FIRST and LAST 1-based window-start index at which it was the
     * window min — the per-doc offsets a MOSS-style overlap report
@@ -528,6 +563,12 @@ object functions {
   def winnow_spans(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowSpans(Bridge.expression(text), k, w))
 
+  /** Content-defined chunk substrings (cut where the k-char window
+    * md5's first hex pair ≡ 0 mod `mod`) — one fused O(n) scan (see
+    * CdcChunks scaladoc; the q446 operator). */
+  def cdc_chunks(text: Column, k: Int, mod: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), k, mod))
+
   /** Word n-gram shingles of a token array (optionally distinct,
     * first-occurrence order) — fused loop, no HOF lambdas. */
   def ngram_shingles(toks: Column, n: Int, distinct: Boolean): Column =
@@ -573,6 +614,27 @@ case class WinnowMins(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.winnowMins($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+/** `cdc_chunks(text, k, mod)`: string → array<string> — content-
+  * defined chunking (the q446 operator): cut BEFORE every 1-based
+  * char position i whose k-char window md5 has first-hex-pair value
+  * ≡ 0 (mod `mod`), i.e. the exact regex-free equivalent of the SQL
+  * formulation `('0x' || substr(md5(substr(text, i, k)), 1, 2))
+  * ::BIGINT % mod = 0` the DuckDB oracle replays. One O(n) scan with
+  * ONE reused MessageDigest — the HOF formulation this replaces
+  * (filter(sequence…) with a Catalyst md5 per element) ran
+  * interpreted and priced the 100× replica in MINUTES. Char (not
+  * byte) windows, matching the oracle's substr on any input. */
+case class CdcChunks(child: Expression, k: Int, mod: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashSig.cdcChunks(input.asInstanceOf[UTF8String], k, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashSig.cdcChunks($c, $k, $mod)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }
 
