@@ -119,7 +119,11 @@ object GraftExtensions {
     },
     "cdc_chunks" -> { args =>
       require(args.length == 3, "cdc_chunks(text, k, mod)")
-      CdcChunks(args.head, intArg(args(1), "k"), intArg(args(2), "mod"))
+      val k = intArg(args(1), "k")
+      val mod = intArg(args(2), "mod")
+      require(k >= 1 && mod >= 1,
+        s"cdc_chunks: k and mod must be >= 1 (got k=$k, mod=$mod)")
+      CdcChunks(args.head, k, mod)
     },
     "jaro_winkler" -> { args =>
       require(args.length == 2, "jaro_winkler(a, b)")

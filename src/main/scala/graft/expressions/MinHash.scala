@@ -566,8 +566,11 @@ object functions {
   /** Content-defined chunk substrings (cut where the k-char window
     * md5's first hex pair ≡ 0 mod `mod`) — one fused O(n) scan (see
     * CdcChunks scaladoc; the q446 operator). */
-  def cdc_chunks(text: Column, k: Int, mod: Int): Column =
+  def cdc_chunks(text: Column, k: Int, mod: Int): Column = {
+    require(k >= 1 && mod >= 1,
+      s"cdc_chunks: k and mod must be >= 1 (got k=$k, mod=$mod)")
     Bridge.column(CdcChunks(Bridge.expression(text), k, mod))
+  }
 
   /** Word n-gram shingles of a token array (optionally distinct,
     * first-occurrence order) — fused loop, no HOF lambdas. */
@@ -625,8 +628,11 @@ case class WinnowMins(child: Expression, k: Int, w: Int)
   * ::BIGINT % mod = 0` the DuckDB oracle replays. One O(n) scan with
   * ONE reused MessageDigest — the HOF formulation this replaces
   * (filter(sequence…) with a Catalyst md5 per element) ran
-  * interpreted and priced the 100× replica in MINUTES. Char (not
-  * byte) windows, matching the oracle's substr on any input. */
+  * interpreted and priced the 100× replica in MINUTES. Windows are
+  * UTF-16 code-unit based (Java String.substring) while DuckDB
+  * substr/len count codepoints — identical for ASCII/BMP text (the
+  * documented PunctWs/jaro scope); astral (non-BMP) characters would
+  * shift window positions between the two engines. */
 case class CdcChunks(child: Expression, k: Int, mod: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -38,9 +38,15 @@ object Pipeline87 {
         val tot = vc.groupBy(col("source")).agg(sum(col("c")).as("n"))
         vc.join(broadcast(tot), "source")
           .withColumn("p_ppm", expr("c * 1000000 div n"))
+          // greatest(1, p_ppm) guards the log for a verb whose share
+          // floors to 0 ppm (source with >1M prompts — not reachable
+          // on the checked-in fixtures): the entropy term's limit is
+          // 0 there anyway (p·ln(1/p) → 0), and without the clamp
+          // ln(1e6/0) is infinite on both engines (ADVICE r15).
           .withColumn("term_micro",
-            expr("p_ppm * CAST(round(ln(1000000.0 / p_ppm) * " +
-              "1000000.0) AS BIGINT) div 1000000"))
+            expr("p_ppm * CAST(round(ln(1000000.0 / " +
+              "greatest(1, p_ppm)) * 1000000.0) AS BIGINT) " +
+              "div 1000000"))
           .groupBy(col("source"))
           .agg(max(col("n")).as("n_prompts"),
             count(lit(1)).as("n_verbs"),
@@ -74,7 +80,8 @@ object Pipeline87 {
                 SELECT vc.source, vc.c, t.n,
                   c * 1000000 // n AS p_ppm,
                   (c * 1000000 // n) * CAST(round(ln(1000000.0 /
-                    (c * 1000000 // n)) * 1000000.0) AS BIGINT)
+                    greatest(1, c * 1000000 // n)) * 1000000.0)
+                    AS BIGINT)
                     // 1000000 AS term_micro
                 FROM vc JOIN tot t USING (source)),
               g AS (

@@ -195,9 +195,16 @@ object Pipeline94 {
           .withColumn("text",
             when(draw % 8 === 0, concat(lit("canned answer for "),
               col("prompt"))).otherwise(col("text")))
+        // Both engines window the first 514 tokens (trigram starts
+        // 1..512): the oracle's generate_series(0, 511) bounds its
+        // start positions, so the Spark side slices to the same
+        // window rather than shingling uncapped — a longer-doc
+        // fixture upgrade keeps the two sides identical instead of
+        // silently diverging past token 514 (ADVICE r15).
         val tg = rows.select(col("prompt"), col("doc_id"),
           explode(graft.expressions.functions.ngram_shingles(
-            split(lower(col("text")), "\\s+"), 3, distinct = true))
+            slice(split(lower(col("text")), "\\s+"), 1, 514),
+            3, distinct = true))
             .as("g"))
           .select(col("prompt"), col("doc_id"),
             md5(col("g")).as("gh"))
