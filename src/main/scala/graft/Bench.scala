@@ -43,12 +43,16 @@ object Bench {
     * (VERDICT r15 item 4): a `vs_committed` block with per-run ratios,
     * the >2x count and the worst offenders by name. Flat regex parse of
     * the {"qname":wall,...} map — no JSON lib needed for our own format. */
-  private def committedWalls(): Map[String, Double] =
+  private def committedWalls(sfDir: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench.json")), "UTF-8")
+      // only compare like with like: a dev smoke at sf0.001 against the
+      // committed sf0.1 close would read as a wall of bogus ratios
+      val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
       val qIdx = txt.indexOf("\"queries\":")
-      if (qIdx < 0) Map.empty
+      if (qIdx < 0 || !sfOk) Map.empty
       else "\"(q[^\"]+)\":([0-9.]+)".r
         .findAllMatchIn(txt.substring(qIdx))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -56,7 +60,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val committed = committedWalls() // before anything rewrites bench.json
+    val committed = committedWalls(sfDir) // before this run rewrites bench.json
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Multi-run protocol (VERDICT r12 item 2, the round-10 3-run-median
     // promoted into the artifact): the full sweep runs `runs` times and
@@ -151,9 +155,14 @@ object Bench {
         // otherwise accumulates dead blocks until live checkpoints of
         // the checkpoint-heavy queries (q321/q323/q324) spill to disk
         // or queue behind eviction — the in-sweep 1.5–2× tax on the
-        // r14 driver record (VERDICT r14 item 3).
+        // r14 driver record (VERDICT r14 item 3). BLOCKING since r16:
+        // async unpersist is a request, not a guarantee — under host
+        // pressure the cleaner thread starved and dead blocks were
+        // still resident queries later (the BENCH_r15 six-outlier
+        // signature). Synchronous removal costs untimed milliseconds
+        // and makes the block manager provably empty between queries.
         try spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         catch { case _: Throwable => () }
         name -> (wall, cpu)
       }.toMap

@@ -28,6 +28,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same between-query hygiene as Bench/TimeQ: drop the finished
+      // query's persist/checkpoint blocks synchronously so 448 queries
+      // in one 8 GiB JVM never queue behind block eviction
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   * `__pid` — it inserts one pid-keyed hash exchange. Each source
   * partition moves as a single block (pid is the partition id), so the
   * extra pass is skew-free and never funnels; the plain global window
-  * it replaces moves the ENTIRE dataset through one task. Plus the
-  * offsets branch re-derives the range shuffle column-pruned to
-  * (key, weight) — the GlobalRank cost shape.
+  * it replaces moves the ENTIRE dataset through one task.
+  *
+  * The partitioned pass is MATERIALIZED (lazy MEMORY_AND_DISK persist)
+  * and both branches read the cached partitions — the same correctness
+  * requirement as GlobalRank (see its scaladoc): two independent range
+  * exchanges sample boundaries independently, and under cached-plan
+  * compilation the pid join between the branches diverged (round-16
+  * RankProbe). One materialized exchange = consistent pids AND the
+  * range shuffle runs once.
   *
   * Determinism: exact for integer weights when `key` is a total order
   * (the caller's contract, same as GlobalRank). The running sum
@@ -45,6 +51,7 @@ object GlobalCumSum {
         Window.partitionBy(col("__pid")).orderBy(col("__mid"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__mid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = parted.groupBy(col("__pid"))
       .agg(sum(col("__w")).as("__tot"))
       .withColumn("__offset",

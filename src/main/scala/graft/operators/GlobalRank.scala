@@ -24,13 +24,24 @@ import org.apache.spark.sql.functions._
   *     broadcast them back: `global_rn = offset(pid) + local_seq + 1`.
   *
   * The only single-partition window runs over the per-partition COUNTS
-  * (≤ numPartitions rows), not the data. Cost model: the offsets branch
-  * re-derives the range shuffle (Catalyst prunes it to the key column,
-  * so the two exchanges are not identical and ReuseExchange cannot dedup
-  * them) — i.e. two column-pruned passes over the input, the same cost
-  * shape as `RDD.zipWithIndex`'s count-job + map-job, kept in DataFrame
-  * land so the surrounding plan stays whole-stage codegen'd and the
-  * offsets pass reads only the key column.
+  * (≤ numPartitions rows), not the data.
+  *
+  * The partitioned pass is MATERIALIZED (lazy MEMORY_AND_DISK persist)
+  * and both the offsets branch and the data branch read the cached
+  * partitions. This is a CORRECTNESS requirement, not a cost tweak:
+  * without it the offsets branch re-derives the range shuffle (Catalyst
+  * prunes it to the key column, so ReuseExchange cannot dedup the two
+  * exchanges), and two INDEPENDENT RangePartitioner instances sample
+  * independently — their boundaries agreed on every gate fixture for 15
+  * rounds, but under cached-plan compilation (a caller persisting a
+  * frame derived from this output) the branches diverged outright:
+  * measured 466 of 15000 rows surviving the __pid join, and with
+  * pinned partition counts a residual one-boundary drift still broke
+  * the rank permutation (round-16 RankProbe). One materialized exchange
+  * means one set of partitions, pids consistent by construction, and as
+  * a bonus the expensive range shuffle runs once instead of twice.
+  * Eviction under pressure recomputes partitions from the (session-
+  * persistent) shuffle files; recompute is per-partition deterministic.
   *
   * Determinism: ties across partition boundaries follow the range
   * partitioner, so ranks are reproducible when `key` is a total order
@@ -50,6 +61,7 @@ object GlobalRank {
       .withColumn("__pid", shiftright(col("__mid"), 33))
       .withColumn("__seq", col("__mid").bitwiseAND(lit(SeqMask)))
       .drop("__mid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",

@@ -1028,4 +1028,79 @@ object Dedup {
             i => !element_at(col("cov"), i + 1)),
           i => element_at(col("tk"), i + 1)), " ").as("cleaned_text"))
   }
+
+  /** Streaming arm of CDC chunk dedup (q446 → VERDICT r15 item 3): the
+    * incremental crawl-refresh shape. State is the distinct CHUNK-DIGEST
+    * table of everything ingested so far; per micro-batch of arriving
+    * docs,
+    *
+    *  1. fuse-chunk each arrival (`expressions.CdcChunks` — one O(n)
+    *     scan per doc, boundaries where the k-char window md5 meets the
+    *     mask),
+    *  2. census per source: chunk occurrences and bytes,
+    *  3. anti-join the digest state: a chunk digest never seen BEFORE
+    *     this batch is NOVEL — counted once per (source, digest) with
+    *     its storage bytes (same-batch repeats collapse; novelty is
+    *     judged against pre-batch state only, so a SQL replay of the
+    *     closed batch prefix is exact — the stream≡batch contract),
+    *  4. hand `onBatch` the per-source
+    *     (batch_id, source, n_chunks, bytes, novel_chunks, novel_bytes,
+    *     novel_bp) frame — novel_bp is the batch's real storage-growth
+    *     rate: a crawl refresh that re-publishes edited pages adds only
+    *     the edited heads' chunks,
+    *  5. absorb the batch's digests into state.
+    *
+    * State is digest-only (16-byte md5 keys + nothing), swapped as
+    * localCheckpoint'd frames per batch — the [[IncrementalNearDup]]
+    * in-memory convention; a cluster deployment would keep the digest
+    * table as batch_id-partitioned parquet exactly like that operator's
+    * `stateDir` mode (each batch overwrite-writes its own partition,
+    * idempotent under foreachBatch's at-least-once replay). */
+  final class StreamingCdcDedup(
+      seedDocs: DataFrame,
+      textCol: String,
+      k: Int,
+      mod: Int,
+      onBatch: DataFrame => Unit) {
+
+    private def chunks(docs: DataFrame): DataFrame = docs
+      .select(col("source"),
+        explode(graft.expressions.functions.cdc_chunks(
+          col(textCol), k, mod)).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+      .select(col("source"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("b"))
+
+    @volatile private var state: DataFrame =
+      chunks(seedDocs).select(col("h")).distinct().localCheckpoint()
+
+    /** foreachBatch body — also callable directly on batch frames
+      * (the stream≡batch spec drives both paths). */
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      val ch = chunks(batch).localCheckpoint() // census + novelty + absorb
+      val census = ch.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("b")).as("bytes"))
+      val novel = ch.join(state, Seq("h"), "left_anti")
+        .groupBy(col("source"), col("h")).agg(min(col("b")).as("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("novel_chunks"),
+          sum(col("b")).as("novel_bytes"))
+      val emit = census.join(novel, Seq("source"), "left")
+        .withColumn("novel_chunks", coalesce(col("novel_chunks"), lit(0L)))
+        .withColumn("novel_bytes", coalesce(col("novel_bytes"), lit(0L)))
+        .withColumn("novel_bp",
+          expr("novel_bytes * 10000 div greatest(1L, bytes)"))
+        .select(lit(batchId).as("batch_id"), col("source"),
+          col("n_chunks"), col("bytes"), col("novel_chunks"),
+          col("novel_bytes"), col("novel_bp"))
+      onBatch(emit.localCheckpoint())
+      state = state.union(ch.select(col("h"))).distinct().localCheckpoint()
+    }
+
+    def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+  }
 }

@@ -177,7 +177,12 @@ object Pipeline37 {
           .select(expr("CAST(l_quantity AS BIGINT)").as("x"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100")
               .as("y"))
-          .localCheckpoint() // feeds both dims + the joined moments
+          // lazy persist, not an eager localCheckpoint barrier: feeds
+          // both rank dims + the joined moments in ONE action, and an
+          // eviction under host pressure recomputes the deterministic
+          // 2-long projection instead of rereading a cold disk block
+          // (the BENCH_r15 six-outlier signature, VERDICT r15 item 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def rank2(c: String): org.apache.spark.sql.DataFrame = {
           val dim = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
           graft.operators.GlobalCumSum

@@ -266,21 +266,35 @@ object Pipeline46 {
     // two ids of one string share the string itself as a signature).
     // The DuckDB oracle stays the raw id-level formulation — equality
     // IS the losslessness proof.
+    //
+    // Barrier strategy (VERDICT r15 item 1): the multi-consumer frames
+    // are LAZY MEMORY_AND_DISK persists, not eager localCheckpoints.
+    // The four chained checkpoints this replaces each ran a separate
+    // barrier job whose blocks had to survive in the 8 GiB block
+    // manager until the last consumer — fast on an idle host (2.9 s
+    // committed) but 29 s under the driver's pressured page cache
+    // (BENCH_r15 min-of-2): every evicted-then-reread block became
+    // real disk I/O. Lazy persist collapses the whole query into ONE
+    // action; eviction under pressure recomputes the (deterministic,
+    // dimension-sized) frame instead of touching a cold disk. The
+    // truth probe is likewise ONE pass (left join + conditional agg)
+    // where it was a checkpoint split into two aggregate branches.
     QEntry("q321_blocking_audit",
       (s, d) => {
+        import org.apache.spark.storage.StorageLevel
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"))
         val records = cust
           .union(cust.filter(col("c_custkey") % 10 === 0)
             .select((col("c_custkey") + 10000000L).as("c_custkey"),
               typoName.as("c_name")))
-          .localCheckpoint() // blocker input + truth + totals
+          .persist(StorageLevel.MEMORY_AND_DISK) // blocker input + truth + totals
         val byName = records.groupBy(col("c_name"))
           .agg(min(col("c_custkey")).as("rep"), count(lit(1)).as("m"))
-          .localCheckpoint() // distinct strings: sig join + multiplicities
+          .persist(StorageLevel.MEMORY_AND_DISK) // sig join + multiplicities
         val repCand = graft.operators.FuzzyJoin
           .deletionCandidates(byName, "rep", "c_name")
-          .localCheckpoint() // read by the pair count and the truth probe
+          .persist(StorageLevel.MEMORY_AND_DISK) // pair count + truth probe
         val crossPairs = repCand
           .join(byName.select(col("rep").as("a_id"), col("m").as("ma")),
             "a_id")
@@ -294,7 +308,10 @@ object Pipeline46 {
           .select((col("c_custkey") - 10000000L).as("a_id"),
             col("c_custkey").as("b_id"))
         // truth probe at rep grain: same rep -> exact-dup candidate;
-        // different reps -> the rep pair must be a signature candidate
+        // different reps -> the rep pair must be a signature candidate.
+        // ONE pass: left-join the candidate set and count same-rep OR
+        // hit rows (repCand is strictly a < b, so a same-rep pair can
+        // never also match the join — the two arms are disjoint).
         val truthReps = truth
           .join(records.select(col("c_custkey").as("a_id"),
             col("c_name").as("na")), "a_id")
@@ -306,22 +323,22 @@ object Pipeline46 {
             col("rep").as("rb")), "nb")
           .select(least(col("ra"), col("rb")).as("a_id"),
             greatest(col("ra"), col("rb")).as("b_id"))
-          .localCheckpoint() // split into the same-rep / cross-rep probes
-        val foundSame = truthReps.filter(col("a_id") === col("b_id"))
-          .agg(count(lit(1)).as("f_same"))
-        val foundCross = truthReps.filter(col("a_id") =!= col("b_id"))
-          .join(repCand, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("f_cross"))
+        val found = truthReps
+          .join(repCand.withColumn("__hit", lit(1)),
+            Seq("a_id", "b_id"), "left")
+          .agg(coalesce(sum(
+            when(col("a_id") === col("b_id"), 1L)
+              .when(col("__hit").isNotNull, 1L)
+              .otherwise(0L)), lit(0L)).as("truth_found"))
         records.agg(count(lit(1)).as("n_records"))
           .crossJoin(broadcast(crossPairs))
           .crossJoin(broadcast(samePairs))
           .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-          .crossJoin(broadcast(foundSame))
-          .crossJoin(broadcast(foundCross))
+          .crossJoin(broadcast(found))
           .select(col("n_records"),
             (col("cross_pairs") + col("same_pairs")).as("n_candidates"),
             col("n_truth"),
-            (col("f_same") + col("f_cross")).as("truth_found"))
+            col("truth_found"))
           .select(col("n_records"), col("n_candidates"), col("n_truth"),
             col("truth_found"),
             expr("truth_found * 1000000 div n_truth")

@@ -33,7 +33,11 @@ object Pipeline49 {
             "rn", col("o_orderkey"))
           .select(expr(s"CAST((rn - 1) AS BIGINT) div $F").as("file_id"),
             col("k"))
-          .localCheckpoint() // feeds exact containment + bloom bits
+          // lazy persist (not an eager localCheckpoint): feeds exact
+          // containment + bloom bits + probes + totals in one action;
+          // deterministic (o_orderkey is a total order), so pressure
+          // eviction recomputes instead of hitting cold disk
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def pos(key: org.apache.spark.sql.Column,
             h: org.apache.spark.sql.Column) =
           conv(substring(md5(concat(key.cast("string"), lit(":"),

@@ -31,7 +31,7 @@ object TimeQ {
       // checkpoint blocks (untimed) so multi-query invocations don't
       // accumulate dead blocks in the block manager
       try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }
     }
     spark.stop()

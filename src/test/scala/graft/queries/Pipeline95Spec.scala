@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-16 pack, first batch: the composed SFT release gate. */
+class Pipeline95Spec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q449: every stage fires; verdicts consistent; drops attributable") {
+    val rows = q("q449_sft_release_gate").collect()
+    assert(rows.nonEmpty)
+    val stages = Set("malformed", "inverted_label", "injection",
+      "canary_leak", "hidden_chars", "dup_dropped", "overflow_dropped",
+      "low_yield", "mode_collapsed", "kept")
+    val byStage = rows.groupBy(_.getString(4)).view.mapValues(_.length)
+    stages.foreach(st =>
+      assert(byStage.getOrElse(st, 0) > 0, s"stage $st never fired"))
+    // exactly one manifest row per conversation; verdict keyed on stage
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(stages.contains(r.getString(4)))
+      assert(r.getString(3) ==
+        (if (r.getString(4) == "kept") "keep" else "drop"))
+    }
+    // drop attributability: each planted stage only fires on its
+    // source slice (the same md5 slices the query derives)
+    def srcSlice(src: String, mod: Int): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(src)
+          .substring(0, 2), 16) % mod
+    rows.foreach { r =>
+      val src = r.getString(1)
+      r.getString(4) match {
+        case "malformed"      => assert(srcSlice(src, 7) == 0L)
+        case "inverted_label" => assert(srcSlice(src, 12) == 9L)
+        case "injection"      => assert(srcSlice(src, 10) == 7L)
+        case "canary_leak"    => assert(srcSlice(src, 8) == 2L)
+        case "hidden_chars"   => assert(srcSlice(src, 13) == 11L)
+        case _                => ()
+      }
+    }
+    // mode-collapse only hits the templated shared pools (pool id
+    // % 7 = 3), and leaves exactly one survivor per collapsed pool
+    val collapsed = rows.filter(_.getString(4) == "mode_collapsed")
+    assert(collapsed.nonEmpty)
+    collapsed.foreach { r =>
+      val p = r.getString(2)
+      assert(p.startsWith("shared_p") &&
+        p.stripPrefix("shared_p").toLong % 7 == 3, s"pool $p not templated")
+    }
+    // chain rescoping: a dup-dropped doc shares (prompt, stage-3 text)
+    // with a SMALLER surviving or later-dropped id — spot-check that no
+    // dup-dropped doc is the minimum id of its prompt pool
+    val minByPrompt = rows.groupBy(_.getString(2))
+      .map { case (p, rs) => p -> rs.map(_.getLong(0)).min }
+    rows.filter(_.getString(4) == "dup_dropped").foreach { r =>
+      assert(r.getLong(0) > minByPrompt(r.getString(2)),
+        s"min-id ${r.getLong(0)} of pool ${r.getString(2)} dup-dropped")
+    }
+  }
+
+  test("q450: stream == direct processBatch replay; novelty bounded") {
+    // the QEntry drives the REAL foreachBatch stream
+    val streamed = q("q450_stream_cdc_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.map(_._1).distinct.toSeq == Seq(0L, 1L, 2L),
+      "expected exactly batches 0..2")
+    streamed.foreach { case (_, src, n, bytes, nc, nb, bp) =>
+      assert(nc <= n && nb <= bytes, s"$src novelty exceeds census")
+      assert(bp == nb * 10000 / math.max(1L, bytes))
+    }
+    // direct replay: same seed, same three batch frames, no stream
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val draw = conv(substring(md5(col("doc_id").cast("string")),
+      1, 4), 16, 10).cast("long")
+    val seed = base.filter(col("doc_id") % 5 =!= 0)
+    val wave = base.filter(col("doc_id") % 5 === 0)
+      .join(base.select((col("doc_id") - 1L).as("doc_id"),
+        col("text").as("prev_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(draw % 2 === 0 && col("prev_text").isNotNull,
+          concat(lit("edited intro "), col("prev_text")))
+          .otherwise(col("text")).as("text"))
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val gate = new graft.pipeline.Dedup.StreamingCdcDedup(
+      seed, "text", 8, 16,
+      onBatch = df => emitted.synchronized { emitted += df })
+    for (b <- 0 until 3)
+      gate.processBatch(wave.filter(expr(s"(doc_id div 5) % 3 = $b")), b.toLong)
+    val direct = emitted.reduce(_ union _).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(direct.toSeq == streamed.toSeq, "stream != direct replay")
+  }
+}
