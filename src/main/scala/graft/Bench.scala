@@ -161,6 +161,14 @@ object Bench {
         // still resident queries later (the BENCH_r15 six-outlier
         // signature). Synchronous removal costs untimed milliseconds
         // and makes the block manager provably empty between queries.
+        // clearCache() FIRST: dropping the RDD blocks alone leaves the
+        // SQL CacheManager entry registered, and the next structurally
+        // identical plan (run 2 of this sweep!) resolves to a ZOMBIE
+        // InMemoryRelation that recomputes through the columnar build
+        // on every consumer — measured 83 s -> 459 s round-over-round
+        // on q449 at the 100x replica before this line existed.
+        try spark.catalog.clearCache()
+        catch { case _: Throwable => () }
         try spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         catch { case _: Throwable => () }

@@ -28,9 +28,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same between-query hygiene as Bench/TimeQ: drop the finished
-      // query's persist/checkpoint blocks synchronously so 448 queries
-      // in one 8 GiB JVM never queue behind block eviction
+      // same between-query hygiene as Bench/TimeQ: clear SQL cache
+      // ENTRIES (a dropped-blocks-only zombie IMR recomputes through
+      // the columnar build on the next identical plan) and drop the
+      // finished query's checkpoint blocks synchronously so 450
+      // queries in one 8 GiB JVM never queue behind block eviction
+      try spark.catalog.clearCache()
+      catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }

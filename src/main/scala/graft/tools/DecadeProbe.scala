@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (VERDICT r15 item 5): the fourth scaling decade for the
+  * flagship dedup families — run named gate queries against a replica
+  * dir (default the ×1000 sf0.1 replica ≈ sf100, 5M docs) and report
+  * wall, shuffle read/write, SPILL, and PEAK TASK MEMORY per round, so
+  * the SCALE.md decade rows carry memory-ceiling evidence, not just
+  * walls.
+  *
+  * Usage: runMain graft.tools.DecadeProbe <dir> <query> [query ...]
+  */
+object DecadeProbe {
+
+  private final class Meter extends SparkListener {
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    def reset(): Unit = {
+      shuffleRead.set(0); shuffleWrite.set(0); peakMem.set(0); spill.set(0)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sfrep1000")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q408_dedup_ladder", "q37_minhash_pairs",
+        "q55_dedup_components")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
+    for (name <- names; round <- 1 to 2) {
+      meter.reset()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gb = 1024.0 * 1024 * 1024
+      println(f"[decade] $name round $round: $wall%.1f s | " +
+        f"shuffle r/w ${meter.shuffleRead.get / gb}%.2f/" +
+        f"${meter.shuffleWrite.get / gb}%.2f GiB | " +
+        f"spill ${meter.spill.get / gb}%.2f GiB | " +
+        f"peak task mem ${meter.peakMem.get / (1024.0 * 1024)}%.0f MiB")
+      try spark.catalog.clearCache() // drop SQL cache ENTRIES, not just blocks
+      catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => () }
+    }
+    spark.stop()
+  }
+}

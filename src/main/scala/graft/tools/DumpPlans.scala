@@ -25,7 +25,7 @@ object DumpPlans {
     "q45_skew_twophase_agg" -> "salted partial agg, tiny re-merge without the salt",
     "q47_ann_ivf" -> "IVF: broadcast centroids/probes, corpus never sort-merged",
     "q48_cube_pricing" -> "whole grouping-set lattice expanded in one pass",
-    "q05_row_number" -> "two-pass global rank: range partition + broadcast offsets, no single-partition window over data",
+    "q05_row_number" -> "global rank: ONE materialized range partition (InMemoryRelation — both branches read the same physical partitions, r16 cached-plan fix) + broadcast offsets, no single-partition window over data",
     "q20_phone_validate" -> "when-tree validator with With-hoisted shared subexpressions (stacked _common_expr projections, codegen-sized)",
     "q53_simhash_pairs" -> "banded hamming LSH: bucket group-by (no self-join), capped fan-out",
     "q54_csv_profile" -> "CSV scan with inferred schema through the validator projection",

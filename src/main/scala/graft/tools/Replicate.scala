@@ -37,8 +37,24 @@ object Replicate {
     "embeddings" -> Seq("vec_id"))
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: Replicate <srcSfDir> <outDir> <replicas>")
+    require(args.length >= 3,
+      "usage: Replicate <srcSfDir> <outDir> <replicas> [table,table,...]")
     val (src, out, n) = (args(0), args(1), args(2).toInt)
+    // optional 4th arg: only these tables (the ×1000 corpus decade needs
+    // documents alone — replicating 600M lineitem rows alongside would
+    // be wasted disk)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    // optional 5th arg "salt": per-replica salt on EVERY document token
+    // instead of the one-suffix text tag. The suffix keeps exact-dedup
+    // density honest but leaves shingle sets ~identical across replicas
+    // — at ×1000 every base doc becomes a 1000-member NEAR-dup cluster,
+    // band buckets sit exactly at the 1000 cap and candidate pairs go
+    // quadratic (measured: the q37 verify shuffle filled a 77 GB disk).
+    // Token salting keeps each replica's INTERNAL dup structure (the
+    // realistic crawl shape: density constant as the corpus grows)
+    // while making replicas textually unrelated.
+    val salt = args.length > 4 && args(4) == "salt"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,21 +63,28 @@ object Replicate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for ((table, keys) <- keyCols) {
+    for ((table, keys) <- keyCols if only.forall(_.contains(table))) {
       val base = graft.queries.Tables.load(spark, src, table)
       val replicated: DataFrame =
         if (keys.isEmpty) base
         else {
-          val reps = (0 until n).map { r =>
-            val shifted = keys.foldLeft(base) { (df, k) =>
-              df.withColumn(k, col(k) + lit(r * Off))
-            }
-            if (table == "documents")
-              shifted.withColumn("text",
-                concat(col("text"), lit(s" r$r")))
-            else shifted
+          // replica dimension as a crossJoin with range(n), not an
+          // n-way union — at ×1000 the union plan chokes Catalyst
+          // (1000 children to analyze/codegen) while this stays one
+          // narrow operator at any n
+          val reps = base.crossJoin(
+            base.sparkSession.range(n).select(col("id").as("__r")))
+          val shifted = keys.foldLeft(reps) { (df, k) =>
+            df.withColumn(k, col(k) + col("__r") * Off)
           }
-          reps.reduce(_ union _)
+          (if (table == "documents" && salt)
+            shifted.withColumn("text",
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit("~"), col("__r"))), " "))
+          else if (table == "documents")
+            shifted.withColumn("text",
+              concat(col("text"), lit(" r"), col("__r")))
+          else shifted).drop("__r")
         }
       replicated.write.mode("overwrite")
         .parquet(s"$out/$table.parquet")

@@ -30,6 +30,8 @@ object TimeQ {
       // same between-query hygiene as Bench: drop the finished round's
       // checkpoint blocks (untimed) so multi-query invocations don't
       // accumulate dead blocks in the block manager
+      try spark.catalog.clearCache() // drop SQL cache ENTRIES, not just blocks
+      catch { case _: Throwable => () }
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       catch { case _: Throwable => () }

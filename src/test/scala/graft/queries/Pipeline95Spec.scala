@@ -100,4 +100,42 @@ class Pipeline95Spec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
     assert(direct.toSeq == streamed.toSeq, "stream != direct replay")
   }
+
+  test("q451: curve monotone in τ; graded plant families live where expected") {
+    val rows = q("q451_dedup_threshold_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5000L, 6000L, 7000L, 8000L, 9000L))
+    // pairs / implied pairs / involved reps all non-increasing in τ
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3 && lo._4 >= hi._4,
+        s"curve not monotone: $lo -> $hi")
+    }
+    assert(rows.head._2 > rows.last._2,
+      "loosening the threshold must find strictly more pairs on the graded plant")
+    assert(rows.last._2 > 0, "light edits (J≈(n-1)/n) must survive τ=.9")
+    // implied >= rep pairs (multiplicities only add)
+    rows.foreach { case (_, np, imp, _) => assert(imp >= np) }
+  }
+
+  test("q452: verdict keys on co-occurrence; plants attributable") {
+    val rows = q("q452_contact_block_census").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, em, ph, cb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cb <= math.min(em, ph) && em <= n && ph <= n)
+      assert(r.getString(6) == (if (cb > 0) "pii_risk" else "clean"))
+      if (r.getString(6) == "pii_risk") {
+        // only the planted risky slice may carry contact blocks
+        val s = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(r.getString(0)).substring(0, 2), 16) % 14
+        assert(s == 6L, s"${r.getString(0)} flagged but not a risky source")
+        // email-only and phone-only plants exceed the co-occurrence mass
+        assert(em > cb && ph > cb)
+      }
+    }
+    assert(rows.exists(_.getString(6) == "pii_risk"), "plant never fired")
+  }
 }
