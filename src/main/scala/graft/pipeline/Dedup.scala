@@ -1050,12 +1050,19 @@ object Dedup {
     *     the edited heads' chunks,
     *  5. absorb the batch's digests into state.
     *
-    * State is digest-only (16-byte md5 keys + nothing), swapped as
-    * localCheckpoint'd frames per batch — the [[IncrementalNearDup]]
-    * in-memory convention; a cluster deployment would keep the digest
-    * table as batch_id-partitioned parquet exactly like that operator's
-    * `stateDir` mode (each batch overwrite-writes its own partition,
-    * idempotent under foreachBatch's at-least-once replay). */
+    * State is digest-only (16-byte md5 keys + nothing) and APPEND-ONLY:
+    * an in-memory list of per-batch distinct-digest frames (seed +
+    * one per absorbed batch, each localCheckpoint'd once). The novelty
+    * anti-join runs against their bare UNION — an anti-join needs no
+    * distinct-ed right side, so absorbing a batch costs O(batch), not
+    * an O(total state) rewrite. The first cut re-distinct'd the whole
+    * state per batch and priced the 5M-doc replica at 890 s (14.7× the
+    * 100× wall for 10× data — super-linear exactly because each batch
+    * re-shuffled every digest ever seen); the append-only state is the
+    * [[IncrementalNearDup]] `stateDir` dataflow kept in memory, and a
+    * cluster deployment writes the same per-batch frames as batch_id-
+    * partitioned parquet (append per batch, idempotent under
+    * foreachBatch's at-least-once replay). */
   final class StreamingCdcDedup(
       seedDocs: DataFrame,
       textCol: String,
@@ -1071,8 +1078,10 @@ object Dedup {
       .select(col("source"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("b"))
 
-    @volatile private var state: DataFrame =
-      chunks(seedDocs).select(col("h")).distinct().localCheckpoint()
+    // per-batch distinct digest frames, oldest first; novelty joins
+    // their union (duplicates ACROSS frames are fine for an anti-join)
+    @volatile private var state: List[DataFrame] =
+      List(chunks(seedDocs).select(col("h")).distinct().localCheckpoint())
 
     /** foreachBatch body — also callable directly on batch frames
       * (the stream≡batch spec drives both paths). */
@@ -1080,7 +1089,7 @@ object Dedup {
       val ch = chunks(batch).localCheckpoint() // census + novelty + absorb
       val census = ch.groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"), sum(col("b")).as("bytes"))
-      val novel = ch.join(state, Seq("h"), "left_anti")
+      val novel = ch.join(state.reduce(_ union _), Seq("h"), "left_anti")
         .groupBy(col("source"), col("h")).agg(min(col("b")).as("b"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("novel_chunks"),
@@ -1094,7 +1103,8 @@ object Dedup {
           col("n_chunks"), col("bytes"), col("novel_chunks"),
           col("novel_bytes"), col("novel_bp"))
       onBatch(emit.localCheckpoint())
-      state = state.union(ch.select(col("h"))).distinct().localCheckpoint()
+      // absorb: O(batch) — distinct the BATCH's digests only, append
+      state = state :+ ch.select(col("h")).distinct().localCheckpoint()
     }
 
     def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =

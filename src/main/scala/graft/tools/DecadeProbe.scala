@@ -47,7 +47,8 @@ object DecadeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val meter = new Meter
     spark.sparkContext.addSparkListener(meter)
-    for (name <- names; round <- 1 to 2) {
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "2").toInt
+    for (name <- names; round <- 1 to rounds) {
       meter.reset()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
