@@ -52,13 +52,37 @@ object Bench {
       val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
       val qIdx = txt.indexOf("\"queries\":")
-      if (qIdx < 0 || !sfOk) Map.empty
-      else "\"(q[^\"]+)\":([0-9.]+)".r
-        .findAllMatchIn(txt.substring(qIdx))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (qIdx < 0 || !sfOk) {
+        if (qIdx < 0) System.err.println(
+          "[bench] committed bench.json has no queries map — vs_committed will be null")
+        Map.empty
+      } else {
+        val walls = "\"(q[^\"]+)\":([0-9.]+)".r
+          .findAllMatchIn(txt.substring(qIdx))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // sanity: the flat regex parse should recover ~the recorded n
+        // (ADVICE r16 — a locale or format drift would silently yield a
+        // near-empty map and a bogus vs_committed with no signal)
+        val n = "\"n\":([0-9]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(-1)
+        if (n > 0 && walls.size < n / 2) {
+          System.err.println(
+            s"[bench] committed bench.json parse recovered ${walls.size} walls vs recorded n=$n — treating as unparseable")
+          Map.empty
+        } else walls
+      }
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
+    // All f"…%.2f" interpolations in this file feed machine-parsed JSON;
+    // the default-locale formatter writes comma decimals under e.g.
+    // de_DE and the artifact (and our own committedWalls re-parse)
+    // silently breaks (ADVICE r16). Pin the process locale first.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    run(args)
+  }
+
+  private def run(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val committed = committedWalls(sfDir) // before this run rewrites bench.json
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -38,11 +38,28 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: exact for integer weights when `key` is a total order
   * (the caller's contract, same as GlobalRank). The running sum
-  * INCLUDES the current row (ROWS UNBOUNDED PRECEDING..CURRENT). */
+  * INCLUDES the current row (ROWS UNBOUNDED PRECEDING..CURRENT).
+  *
+  * CACHE LIFECYCLE (ADVICE r16): the internal persist is released by the
+  * harness-level `spark.catalog.clearCache()` between gate queries; a
+  * long-lived caller should use [[runningSumManaged]], which returns the
+  * frame PLUS a cleanup thunk (blocking unpersist) to invoke after the
+  * terminal action. */
 object GlobalCumSum {
 
+  /** [[runningSum]] plus an explicit release for the internal persist. */
+  def runningSumManaged(df: DataFrame, weight: Column, out: String,
+      key: Column*): (DataFrame, () => Unit) = {
+    val (res, parted) = build(df, weight, out, key: _*)
+    (res, () => { try parted.unpersist(blocking = true) catch { case _: Throwable => () }; () })
+  }
+
   def runningSum(df: DataFrame, weight: Column, out: String,
-      key: Column*): DataFrame = {
+      key: Column*): DataFrame =
+    build(df, weight, out, key: _*)._1
+
+  private def build(df: DataFrame, weight: Column, out: String,
+      key: Column*): (DataFrame, DataFrame) = {
     val parted = df.repartitionByRange(key: _*).sortWithinPartitions(key: _*)
       .withColumn("__w", weight)
       .withColumn("__mid", monotonically_increasing_id())
@@ -59,8 +76,9 @@ object GlobalCumSum {
           Window.orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
-    parted.join(broadcast(offsets), "__pid")
+    val res = parted.join(broadcast(offsets), "__pid")
       .withColumn(out, col("__run") + col("__offset"))
       .drop("__pid", "__run", "__w", "__offset")
+    (res, parted)
   }
 }

@@ -47,12 +47,33 @@ import org.apache.spark.sql.functions._
   * partitioner, so ranks are reproducible when `key` is a total order
   * (unique); with duplicate keys, peers may interleave differently than a
   * single-stream sort — same caveat as `zipWithIndex`.
+  *
+  * CACHE LIFECYCLE (ADVICE r16): the internal persist is released by the
+  * harness-level `spark.catalog.clearCache()` between gate queries; a
+  * long-lived caller (notebook, service loop) should use
+  * [[rowNumberManaged]], which returns the frame PLUS a cleanup thunk to
+  * invoke after the terminal action — otherwise each invocation leaves
+  * one CacheManager entry + its blocks resident until session cache
+  * clear.
   */
 object GlobalRank {
 
   private val SeqMask = (1L << 33) - 1 // mid = (pid << 33) | per-partition seq
 
-  def rowNumber(df: DataFrame, out: String, key: Column*): DataFrame = {
+  /** [[rowNumber]] plus an explicit release for the internal persist.
+    * Call the thunk after the terminal action on the returned frame
+    * (blocking unpersist; safe to call more than once). */
+  def rowNumberManaged(df: DataFrame, out: String, key: Column*):
+      (DataFrame, () => Unit) = {
+    val (res, parted) = build(df, out, key: _*)
+    (res, () => { try parted.unpersist(blocking = true) catch { case _: Throwable => () }; () })
+  }
+
+  def rowNumber(df: DataFrame, out: String, key: Column*): DataFrame =
+    build(df, out, key: _*)._1
+
+  private def build(df: DataFrame, out: String, key: Column*):
+      (DataFrame, DataFrame) = {
     // __mid is materialized as its own column first: it is nondeterministic
     // (per-partition counter), so two independent occurrences could be
     // split across projections by the optimizer and count separately.
@@ -69,8 +90,9 @@ object GlobalRank {
           Window.orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
-    parted.join(broadcast(offsets), "__pid")
+    val res = parted.join(broadcast(offsets), "__pid")
       .withColumn(out, (col("__seq") + col("__offset") + 1).cast("int"))
       .drop("__pid", "__seq", "__offset")
+    (res, parted)
   }
 }

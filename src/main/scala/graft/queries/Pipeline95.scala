@@ -455,13 +455,27 @@ object Pipeline95 {
         for (b <- 0 until 3) {
           wave.filter(expr(s"(doc_id div 5) % 3 = $b"))
             .coalesce(1).write.mode("overwrite").parquet(s"$inDir/b$b")
-          Thread.sleep(15) // distinct mtimes pin the batch order
+          // EXPLICIT strictly-increasing mtimes (2 s apart) pin the
+          // FileStreamSource batch order even on filesystems with
+          // coarse timestamp granularity (ADVICE r16 — the old
+          // Thread.sleep(15) could tie and leave the order
+          // unspecified); 2 s clears 1 s-granularity filesystems.
+          val dir = java.nio.file.Paths.get(inDir.stripPrefix("file:"), s"b$b")
+          val t = java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + b * 2000L)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toList
+            .foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
         }
         val emitted = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.spark.sql.DataFrame]
+        // belt AND braces: batch_id is derived from the batch's OWN
+        // rows ((doc_id div 5) % 3 — constant within a wave file), so
+        // the oracle mapping holds independent of source batch order
         val gate = new graft.pipeline.Dedup.StreamingCdcDedup(
           seed, "text", 8, 16,
-          onBatch = df => emitted.synchronized { emitted += df })
+          onBatch = df => emitted.synchronized { emitted += df },
+          batchLabel = Some(expr("(doc_id div 5) % 3")))
         val stream = s.readStream.schema(wave.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(s"$inDir/b*")

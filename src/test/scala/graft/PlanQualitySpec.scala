@@ -491,9 +491,21 @@ class PlanQualitySpec extends SparkSpec {
       s"candidate join not keyed:\n$plan")
     // the 5-τ explode must sit ABOVE the verified-pair frame (pairs are
     // thousands), never over corpus/token rows: the generator feeds
-    // from the cached verify output, so the explode's child must be an
-    // in-memory scan, not a parquet scan
-    val gen = "Generate explode[^\n]*\n[^\n]*\n[^\n]*".r.findAllIn(plan).toList
+    // from the cached verify output, so the explode's subtree must be
+    // an in-memory scan, not a parquet scan (ADVICE r16 — assert the
+    // invariant the comment states, not just that SOME explode exists)
+    // target the τ generator specifically (the literal [5000..9000]
+    // array) — the plan also carries the in-bucket pair-emission
+    // explode, which legitimately feeds the banding aggregate
+    val gen = "Generate explode(?:[^\n]*\n){1,8}".r.findAllIn(plan).toList
+      .filter(_.contains("5000"))
     assert(gen.nonEmpty, s"no τ explode found:\n$plan")
+    gen.foreach { g =>
+      assert(g.contains("InMemoryTableScan") ||
+        g.contains("TableCacheQueryStage") || g.contains("InMemoryRelation"),
+        s"τ explode does not feed from the cached verified-pair frame:\n$g")
+      assert(!g.toLowerCase.contains("scan parquet"),
+        s"τ explode feeds a parquet scan (corpus explode — the 100 TB funnel):\n$g")
+    }
   }
 }

@@ -138,4 +138,85 @@ class Pipeline95Spec extends SparkSpec {
     }
     assert(rows.exists(_.getString(6) == "pii_risk"), "plant never fired")
   }
+
+  // VERDICT r16 item 2: the q450 state made production-shaped — tiered
+  // compaction bounds plan leaves; the parquet stateDir arm is a single
+  // scan leaf, restart-safe, idempotent under at-least-once replay, and
+  // compactable offline. Differential: three state configurations must
+  // emit IDENTICAL per-batch frames over a 12-micro-batch run.
+  test("StreamingCdcDedup: tiered/parquet state arms agree over 12 batches; leaves bounded; restart + compaction + replay") {
+    import graft.pipeline.Dedup.StreamingCdcDedup
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val seed = docs.filter(col("doc_id") % 13 === 0)
+    val arrivals = docs.filter(col("doc_id") % 13 =!= 0)
+    def batchOf(b: Int) = arrivals.filter(col("doc_id") % 12 === b)
+
+    def collectEmit(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val outA = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long, Long, Long, Long, Long)]]
+    val gateA = new StreamingCdcDedup(seed, "text", 8, 16,
+      onBatch = df => outA += collectEmit(df), compactK = 3)
+    val outB = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long, Long, Long, Long, Long)]]
+    val gateB = new StreamingCdcDedup(seed, "text", 8, 16,
+      onBatch = df => outB += collectEmit(df), compactK = 64)
+    val dir = Scratch.dir(spark, "cdc_state_spec")
+    val outC = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long, Long, Long, Long, Long)]]
+    val gateC = new StreamingCdcDedup(seed, "text", 8, 16,
+      onBatch = df => outC += collectEmit(df), stateDir = Some(dir))
+    for (b <- 0 until 12) {
+      gateA.processBatch(batchOf(b), b.toLong)
+      gateB.processBatch(batchOf(b), b.toLong)
+      gateC.processBatch(batchOf(b), b.toLong)
+    }
+    assert(outA.toSeq == outB.toSeq,
+      "compactK=3 arm diverged from compactK=64 arm")
+    assert(outA.toSeq == outC.toSeq,
+      "parquet stateDir arm diverged from in-memory arm")
+    assert(outA.exists(_.exists(_._5 > 0)), "no batch ever saw novelty")
+    // leaf bounds: force-merge cap is ABSOLUTE; tiering alone is
+    // logarithmic (12 batches + seed -> <= ~log2(13)+2 tiers); parquet
+    // is a single scan leaf by construction
+    assert(gateA.stateLeaves <= 3, s"compactK=3 arm at ${gateA.stateLeaves} leaves")
+    assert(gateB.stateLeaves <= 6,
+      s"tiered merge did not bound leaves: ${gateB.stateLeaves} after 12 batches")
+    assert(gateC.stateLeaves == 1)
+
+    // restart: a NEW instance over the existing stateDir must resume
+    // (no re-seed; prior digests judge novelty) — replaying batch 0's
+    // docs as batch 12 yields ZERO novel chunks
+    val outD = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long, Long, Long, Long, Long)]]
+    val gateD = new StreamingCdcDedup(seed, "text", 8, 16,
+      onBatch = df => outD += collectEmit(df), stateDir = Some(dir))
+    gateD.processBatch(batchOf(0), 12L)
+    assert(outD.head.forall(_._5 == 0L),
+      s"restarted instance lost state: ${outD.head.filter(_._5 > 0)}")
+
+    // at-least-once replay: re-processing batch 5 (overwrite of its own
+    // partition) leaves the distinct state unchanged
+    val before = spark.read.parquet(dir).select(col("h")).distinct().count()
+    gateD.processBatch(batchOf(5), 5L)
+    val after = spark.read.parquet(dir).select(col("h")).distinct().count()
+    assert(before == after, s"replay mutated state: $before -> $after")
+
+    // offline compaction: partitions fold to one generation; novelty
+    // behavior is unchanged afterwards
+    gateD.compactState()
+    val parts = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir)).iterator()
+    var n = 0
+    while (parts.hasNext) { if (parts.next().getFileName.toString
+      .startsWith("batch_id=")) n += 1 }
+    assert(n == 1, s"compaction left $n partitions")
+    assert(spark.read.parquet(dir).select(col("h")).distinct().count() == after,
+      "compaction changed the digest set")
+    val outE = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long, Long, Long, Long, Long)]]
+    val gateE = new StreamingCdcDedup(seed, "text", 8, 16,
+      onBatch = df => outE += collectEmit(df), stateDir = Some(dir))
+    gateE.processBatch(batchOf(3), 13L)
+    assert(outE.head.forall(_._5 == 0L), "novelty leaked after compaction")
+  }
 }
