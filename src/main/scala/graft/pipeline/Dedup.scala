@@ -545,6 +545,69 @@ object Dedup {
     verifyJaccard(cand, tokenArrays(docs, idCol, textCol), threshold)
   }
 
+  /** Bucket-occupancy census + run recommendation for a banded LSH
+    * index — the planner the ×1000 suffix-replica probe showed the
+    * pipeline needs (VERDICT r16 item 3, SCALE.md §Round-16): band
+    * buckets saturating the membership cap mean in-bucket candidate
+    * emission has gone quadratic in family size, and the right response
+    * differs by WHY. Per band, from one occupancy aggregate:
+    *
+    *  - `n_buckets` / `n_members` / `max_occ`: the occupancy profile;
+    *  - `buckets_at_cap` / `mass_at_cap`: how many buckets sit at or
+    *    over the cap and how much member mass lives there — the
+    *    measured saturation signal;
+    *  - `uncapped_pairs` vs `capped_pairs`: projected in-bucket
+    *    candidate pairs without and with the cap — the quadratic blowup
+    *    the cap is buying down (the 77 GB disk-fill, priced BEFORE the
+    *    run instead of discovered during it);
+    *  - `recommendation`, integer-exact so both engines agree:
+    *     - `run_as_is`    — no bucket reaches the cap;
+    *     - `cap_tail`     — saturated mass < 2000 bp of members: the
+    *       cap absorbs a thin tail, run with the cap;
+    *     - `ladder_first` — saturated buckets average ≥ 2× the cap:
+    *       giant near-identical families (re-publication storms) that a
+    *       collapse ladder (exact + high-τ near-dup collapse) removes
+    *       BEFORE banding — capping alone would silently drop their
+    *       true-duplicate pairs;
+    *     - `escalate_resplit` — saturation is broad but families are
+    *       cap-sized: the banding itself is under-discriminating;
+    *       re-split bands (more rows per band) or raise shingle k.
+    *
+    * Scale shape: occupancy is one (band, bkey) aggregate over the
+    * bucket frame; the census is a ≤ #bands-row rollup. Nothing here
+    * touches candidate emission — the census runs BEFORE the expensive
+    * stage, which is the point.
+    *
+    * @param buckets (doc_id, band, bkey) — e.g. the q37 production
+    *                index's bucket frame
+    * @param cap     the in-bucket membership cap the run would use
+    */
+  def bucketCensus(buckets: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val occ = buckets.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ"))
+    occ.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("occ")).as("n_members"),
+        max(col("occ")).as("max_occ"),
+        sum(when(col("occ") >= cap, 1L).otherwise(0L))
+          .as("buckets_at_cap"),
+        sum(when(col("occ") >= cap, col("occ")).otherwise(0L))
+          .as("mass_at_cap"),
+        sum(expr("occ * (occ - 1) div 2")).as("uncapped_pairs"),
+        sum(expr(s"least(occ, ${cap}L) * (least(occ, ${cap}L) - 1) div 2"))
+          .as("capped_pairs"))
+      .withColumn("sat_bp",
+        expr("mass_at_cap * 10000 div greatest(1L, n_members)"))
+      .withColumn("recommendation",
+        when(col("buckets_at_cap") === 0L, "run_as_is")
+          .when(col("sat_bp") < 2000L, "cap_tail")
+          .when(expr(s"mass_at_cap div greatest(1L, buckets_at_cap) >= ${2 * cap}L"),
+            "ladder_first")
+          .otherwise(lit("escalate_resplit")))
+      .orderBy(col("band"))
+  }
+
   /** Distinct-token arrays per doc (for set-based verification). */
   def tokenArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -50,10 +50,12 @@ object Pipeline {
       d: String): org.apache.spark.sql.DataFrame =
     minhashCandidatesOver(Tables.documents(s, d))
 
-  /** [[minhashCandidatesMd5]] over an explicit corpus frame — shared
-    * with the collapsed [[minhashPairsMd5]], whose input is the rep
-    * set, not the raw table. */
-  private[queries] def minhashCandidatesOver(
+  /** The (doc_id, band, bkey) band-bucket frame of the md5-twin MinHash
+    * index over an explicit corpus frame — the shared substrate of
+    * [[minhashCandidatesOver]] (pair emission) and the q454 bucket-
+    * occupancy census (the saturation planner). Checkpointed: every
+    * consumer re-reads the signature lineage otherwise. */
+  private[queries] def minhashBucketsMd5Over(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val P = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
     val perms = MinHashPerms
@@ -77,10 +79,18 @@ object Pipeline {
       .filter(size(col("shingles")) > 0) // short docs can't band-collide
       .select(col("doc_id"), hs.as("hs"))
       .select((col("doc_id") +: sigs): _*)
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .localCheckpoint()
+  }
+
+  /** [[minhashCandidatesMd5]] over an explicit corpus frame — shared
+    * with the collapsed [[minhashPairsMd5]], whose input is the rep
+    * set, not the raw table. */
+  private[queries] def minhashCandidatesOver(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val buckets = minhashBucketsMd5Over(docs)
     val grouped = Dedup.dropOversizedBuckets(buckets, Seq("band", "bkey"), 1000)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

@@ -484,6 +484,26 @@ class PlanQualitySpec extends SparkSpec {
       s"stage frames not materialized through the cache:\n$plan")
   }
 
+  test("q453 preference gate: prompt-partitioned windows only, conviction dims broadcast, no cartesian") {
+    val plan = finalPlan(query("q453_preference_release_gate"))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the composed gate:\n$plan")
+    // the ONLY window is the per-prompt pool rank — anything ordering
+    // pairs without the prompt key is the single-partition funnel
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no pool-rank window in the gate plan:\n$plan")
+    assert(specs.forall(_.contains("prompt")),
+      s"window not partitioned by prompt (pair funnel):\n$specs")
+    // the source/judge conviction sets rejoin as broadcasts (feeds and
+    // raters are dims); the heavy pair frames must never broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"conviction sets not broadcast:\n$plan")
+    // stage frames are lazily persisted projections read through the cache
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"stage frames not materialized through the cache:\n$plan")
+  }
+
   test("q451 threshold curve: banding joins hash, thresholds explode pairs not the corpus") {
     val plan = finalPlan(query("q451_dedup_threshold_curve"))
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
