@@ -89,8 +89,14 @@ object Pipeline {
     * with the collapsed [[minhashPairsMd5]], whose input is the rep
     * set, not the raw table. */
   private[queries] def minhashCandidatesOver(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val buckets = minhashBucketsMd5Over(docs)
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashCandidatesFromBuckets(minhashBucketsMd5Over(docs))
+
+  /** Capped in-group pair emission over an existing bucket frame —
+    * factored so q455 can reuse ONE signature build for candidate
+    * generation and both of its occupancy censuses. */
+  private[queries] def minhashCandidatesFromBuckets(
+      buckets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val grouped = Dedup.dropOversizedBuckets(buckets, Seq("band", "bkey"), 1000)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

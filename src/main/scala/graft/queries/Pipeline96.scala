@@ -469,6 +469,159 @@ object Pipeline96 {
                   THEN 'ladder_first'
                 ELSE 'escalate_resplit' END AS recommendation
             FROM census ORDER BY band"""
+      }),
+
+    // The q454 planner's recommendation, ACTED ON and re-measured — the
+    // closed loop that proves the census is operational, not advisory:
+    // same saturating plant, census reads 'ladder_first' on every band
+    // (before phase); apply the ladder — exact collapse (already in the
+    // q454 shape) + near-dup collapse at the q37 verify threshold
+    // (J >= 4/5, min-id-keep: any doc with a verified smaller-id
+    // neighbor drops — exact for the plant's clique families, the q30
+    // convention); re-census the SAME bucket frame restricted to
+    // survivors (after phase). Expected flip: every replica collapses
+    // into its seed, zero saturated buckets remain, recommendation
+    // reads 'run_as_is', and the projected uncapped pair mass drops
+    // from ~4k per band to 0. ONE signature build feeds candidate
+    // generation and BOTH censuses (minhashCandidatesFromBuckets over
+    // the checkpointed bucket frame).
+    QEntry("q455_census_replan",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        val fam = base.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), lit(40))).as("i"))
+          .select((col("doc_id") * 1000L + col("i") + 40000000L)
+            .as("doc_id"),
+            concat(col("text"), lit(" rep "), col("i")).as("text"))
+        val corpus = base.union(fam)
+        val (reps0, _) = graft.pipeline.Dedup
+          .collapseExactDocs(corpus, "doc_id", "text")
+        val reps = reps0.select(col("doc_id"), col("text"))
+          .localCheckpoint() // buckets + token arrays + kept anti-join
+        val buckets = Pipeline.minhashBucketsMd5Over(reps)
+        val ver = graft.pipeline.Dedup.verifyJaccard(
+            Pipeline.minhashCandidatesFromBuckets(buckets),
+            graft.pipeline.Dedup.tokenArrays(reps, "doc_id", "text"), 0.0)
+          .filter(col("inter") * 5 >= col("uni") * 4)
+        val kept = reps.select(col("doc_id"))
+          .join(ver.select(col("b_id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+        def census(b: org.apache.spark.sql.DataFrame, phase: String) =
+          graft.pipeline.Dedup.bucketCensus(b, 16L)
+            .select(lit(phase).as("phase"),
+              col("band").cast("long").as("band"), col("n_buckets"),
+              col("buckets_at_cap"), col("mass_at_cap"),
+              col("uncapped_pairs"), col("recommendation"))
+        census(buckets, "before")
+          .union(census(buckets.join(kept, "doc_id"), "after"))
+          .orderBy(col("phase").desc, col("band"))
+      },
+      Some {
+        val P = 4294967311L
+        val sigList = Pipeline.MinHashPerms.map { case (a, b) =>
+          s"list_min(list_transform(hs, x -> (x*$a+$b)%$P))"
+        }.mkString("[", ",\n                  ", "]")
+        s"""WITH b0 AS (SELECT doc_id, text FROM documents),
+            fam AS (
+              SELECT doc_id * 1000 + i + 40000000 AS doc_id,
+                text || ' rep ' || i AS text
+              FROM b0, (SELECT unnest(generate_series(1, 40)) AS i) i
+              WHERE doc_id % 97 = 0),
+            corpus AS (
+              SELECT * FROM b0 UNION ALL SELECT * FROM fam),
+            grp AS (
+              SELECT md5(text) AS h0, min(doc_id) AS keep_id
+              FROM corpus GROUP BY 1),
+            reps AS (
+              SELECT c.doc_id, c.text
+              FROM corpus c JOIN grp g ON g.keep_id = c.doc_id),
+            t AS (
+              SELECT doc_id,
+                string_split_regex(lower(text), '\\s+') AS toks
+              FROM reps),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+              FROM t),
+            h AS (
+              SELECT doc_id, list_transform(shingles,
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM sh WHERE len(shingles) > 0),
+            sig AS (SELECT doc_id, $sigList AS sig FROM h),
+            bands AS (
+              SELECT doc_id, band,
+                array_to_string(list_transform(sig[band*4+1:band*4+4],
+                  x -> CAST(x AS VARCHAR)), ',') AS bkey
+              FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+            ok AS (
+              SELECT band, bkey FROM bands
+              GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a
+              JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+                          AND b.doc_id > a.doc_id
+              JOIN ok ON ok.band = a.band AND ok.bkey = a.bkey),
+            tok AS (
+              SELECT doc_id, unnest(list_distinct(
+                string_split_regex(lower(text), '\\s+'))) AS tok
+              FROM reps),
+            sizes AS (
+              SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT c.a_id, c.b_id, count(*) AS inter
+              FROM cand c
+              JOIN tok a ON a.doc_id = c.a_id
+              JOIN tok b ON b.doc_id = c.b_id AND b.tok = a.tok
+              GROUP BY c.a_id, c.b_id),
+            ver AS (
+              SELECT i.a_id, i.b_id FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE i.inter * 5 >= (sa.ntok + sb.ntok - i.inter) * 4),
+            kept AS (
+              SELECT doc_id FROM reps
+              WHERE doc_id NOT IN (SELECT b_id FROM ver)),
+            occ1 AS (
+              SELECT band, bkey, count(*) AS occ
+              FROM bands GROUP BY 1, 2),
+            occ2 AS (
+              SELECT band, bkey, count(*) AS occ
+              FROM bands JOIN kept USING (doc_id) GROUP BY 1, 2),
+            c1 AS (
+              SELECT 'before' AS phase, band, count(*) AS n_buckets,
+                sum(CASE WHEN occ >= 16 THEN 1 ELSE 0 END)
+                  AS buckets_at_cap,
+                sum(CASE WHEN occ >= 16 THEN occ ELSE 0 END)
+                  AS mass_at_cap,
+                sum(occ) AS n_members,
+                sum(occ * (occ - 1) // 2) AS uncapped_pairs
+              FROM occ1 GROUP BY band),
+            c2 AS (
+              SELECT 'after' AS phase, band, count(*) AS n_buckets,
+                sum(CASE WHEN occ >= 16 THEN 1 ELSE 0 END)
+                  AS buckets_at_cap,
+                sum(CASE WHEN occ >= 16 THEN occ ELSE 0 END)
+                  AS mass_at_cap,
+                sum(occ) AS n_members,
+                sum(occ * (occ - 1) // 2) AS uncapped_pairs
+              FROM occ2 GROUP BY band),
+            u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+            SELECT phase, CAST(band AS BIGINT) AS band,
+              CAST(n_buckets AS BIGINT) AS n_buckets,
+              CAST(buckets_at_cap AS BIGINT) AS buckets_at_cap,
+              CAST(mass_at_cap AS BIGINT) AS mass_at_cap,
+              CAST(uncapped_pairs AS BIGINT) AS uncapped_pairs,
+              CASE WHEN buckets_at_cap = 0 THEN 'run_as_is'
+                WHEN mass_at_cap * 10000 // greatest(1, n_members)
+                  < 2000 THEN 'cap_tail'
+                WHEN mass_at_cap // greatest(1, buckets_at_cap) >= 32
+                  THEN 'ladder_first'
+                ELSE 'escalate_resplit' END AS recommendation
+            FROM u ORDER BY phase DESC, band"""
       })
   )
 }

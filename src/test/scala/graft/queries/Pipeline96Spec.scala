@@ -102,6 +102,29 @@ class Pipeline96Spec extends SparkSpec {
     assert(lad.getLong(7) == 16L * 15 / 2 + 3 * (5L * 4 / 2))
   }
 
+  test("q455: acting on ladder_first flips every band to run_as_is; blowup bought down") {
+    val rows = q("q455_census_replan").collect()
+    assert(rows.length == 8)
+    val (before, after) = rows.partition(_.getString(0) == "before")
+    assert(before.length == 4 && after.length == 4)
+    before.foreach { r =>
+      assert(r.getString(6) == "ladder_first",
+        s"before band ${r.getLong(1)} read ${r.getString(6)}")
+      assert(r.getLong(3) > 0 && r.getLong(5) > 0)
+    }
+    after.foreach { r =>
+      assert(r.getString(6) == "run_as_is",
+        s"after band ${r.getLong(1)} read ${r.getString(6)}")
+      assert(r.getLong(3) == 0L, "saturated buckets must vanish post-ladder")
+      assert(r.getLong(4) == 0L)
+    }
+    // the ladder buys down the projected candidate mass
+    val ub = before.map(_.getLong(5)).sum
+    val ua = after.map(_.getLong(5)).sum
+    assert(ua < ub / 10,
+      s"uncapped pair projection barely moved: $ub -> $ua")
+  }
+
   test("q454: saturating plant reads ladder_first on every band; blowup priced") {
     val rows = q("q454_lsh_bucket_census").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
