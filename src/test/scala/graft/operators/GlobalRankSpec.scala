@@ -60,4 +60,29 @@ class GlobalRankSpec extends SparkSpec {
         "cum not the 1..n prefix in cached copy")
     } finally cum.unpersist(true)
   }
+
+  test("rowNumberManaged/runningSumManaged cleanup releases the internal persist (ADVICE r16)") {
+    val df = graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), lit(1L).as("w"))
+    // quiet baseline: the shared session carries prior suites' blocks
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def cachedRdds() = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedRdds() == 0)
+    val (rn, cleanRn) = GlobalRank.rowNumberManaged(df, "rn", col("o_orderkey"))
+    rn.agg(max(col("rn"))).collect()
+    assert(cachedRdds() > 0, "operator should register its internal persist")
+    cleanRn()
+    assert(cachedRdds() == 0,
+      s"rowNumber cleanup left ${cachedRdds()} persisted RDDs")
+    val (cum, cleanCum) = GlobalCumSum.runningSumManaged(
+      df, col("w"), "cum", col("o_orderkey"))
+    cum.agg(max(col("cum"))).collect()
+    assert(cachedRdds() > 0)
+    cleanCum()
+    cleanCum() // safe to call more than once (the documented contract)
+    assert(cachedRdds() == 0,
+      s"runningSum cleanup left ${cachedRdds()} persisted RDDs")
+  }
 }
