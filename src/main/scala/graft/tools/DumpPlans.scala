@@ -92,7 +92,10 @@ object DumpPlans {
     "q408_dedup_ladder" -> "dedup ladder: ONE corpus scan computing 4 digests (rungs 2/3 via the fused PunctWs byte kernel), x4 multi-distinct expand on digests, no join",
     "q416_tokenizer_migration" -> "tokenizer migration: both BPE vocabularies snapshotted from ONE train, segment frames BROADCAST onto the (source, word) census",
     "q429_semantic_outliers" -> "semantic outliers: centroid sums via one posexplode to the (source x 64) grid, 20-row broadcast dim, one integer-dot pass per doc — zero pairwise work",
-    "q433_source_xentropy_map" -> "source xentropy map: the 20x20 matrix from ONE type-grain inner join (add-1 log decomposition — absent words cost nothing)")
+    "q433_source_xentropy_map" -> "source xentropy map: the 20x20 matrix from ONE type-grain inner join (add-1 log decomposition — absent words cost nothing)",
+    "q449_sft_release_gate" -> "composed SFT gate: one corpus scan feeds the spine, lazily-persisted slim stage frames, prompt-partitioned dedup-rank window only, trigram explode on stage-5 survivors",
+    "q453_preference_release_gate" -> "composed DPO gate: pair-grain chain; source/judge conviction censuses rejoin as BROADCAST dims, pool-rank window prompt-partitioned, trigram explode on cap survivors",
+    "q455_census_replan" -> "census->ladder->re-census: ONE checkpointed bucket frame feeds candidate emission and BOTH occupancy censuses; collapse is an anti-join on verified b_ids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
