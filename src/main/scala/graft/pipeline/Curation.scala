@@ -359,6 +359,116 @@ object Curation {
           lit(EmailRe), lit("<EMAIL>")), lit(SsnRe), lit("<ID>")),
           lit(PhoneRe), lit("<PHONE>")).as("redacted"))
 
+  /** Stateless per-doc ingest stages of the corpus release gate (q456/
+    * q458): the drop stage — 'non_english' (content-derived q33
+    * detector: pred must be 'en' with at least one English marker, the
+    * label column is never consulted) or the first failing Gopher gate
+    * ('quality_len' | 'quality_word_len' | 'quality_stopword' |
+    * 'quality_repetition', q89 thresholds with the max-length and
+    * distinct-ratio knobs parameterized; `repTenths` = 4 is q89's
+    * n_distinct/n_tok >= 0.4) — or NULL for a passing doc. One
+    * projection, all integer compares; works unchanged on batch and
+    * streaming children. */
+  def ingestDropStage(text: Column, maxLen: Int,
+      repTenths: Int = 4): Column = {
+    val ls = TextAnalysis.langScores(text)
+    val toks = TextAnalysis.toks(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = TextAnalysis.stopwordCount(text).cast("long")
+    val nDist = TextAnalysis.distinctTokenCount(text).cast("long")
+    when(!(ls.getField("pred") === "en" && ls.getField("en") >= 1),
+      "non_english")
+      .when(!(nTok >= 10 && nTok <= maxLen), "quality_len")
+      .when(!(sumLen >= nTok * 3 && sumLen <= nTok * 10),
+        "quality_word_len")
+      .when(!(nStop * 100 >= nTok), "quality_stopword")
+      .when(!(nDist * 10 >= nTok * repTenths), "quality_repetition")
+  }
+
+  /** Streaming arm of the corpus ingest gate (q458) — the q456 release
+    * gate's admission-control shape: docs arrive in micro-batches and
+    * each batch emits one manifest row per arriving doc
+    * (batch_id, doc_id, source, verdict keep/drop, stage). Stages:
+    *
+    *  1. the stateless [[ingestDropStage]] (lang + quality) — pure
+    *     projection, no state;
+    *  2. `dup_vs_state` — the doc's text digest was already accepted in
+    *     an EARLIER batch (novelty judged against pre-batch state only,
+    *     the [[Dedup.StreamingCdcDedup]] stream≡batch contract, so a
+    *     SQL replay of the closed batch prefix is exact);
+    *  3. `dup_in_batch` — a smaller-id passing doc in the SAME batch
+    *     has the digest (min-id-keep, the q30 convention);
+    *  4. keep — the digest joins the accepted-state.
+    *
+    * State is digest-only (16-byte md5 + nothing), size-tiered via
+    * [[Dedup.DigestTiers]] — O(batch·log n) amortized absorb, O(log n)
+    * plan leaves, the VERDICT r16 item-2 discipline. Docs dropped by
+    * lang/quality do NOT enter state: a re-arrival of the same junk
+    * re-drops for the same stateless reason, so state carries only
+    * digests that gate re-publication cost. Micro-batch labeling via
+    * `batchLabel` derives batch_id from the batch's own rows (ADVICE
+    * r16 — FileStreamSource order on coarse-mtime filesystems is
+    * unspecified). */
+  final class StreamingIngestGate(
+      maxLen: Int,
+      onBatch: DataFrame => Unit,
+      batchLabel: Option[Column] = None,
+      compactK: Int = 8) {
+
+    private val state = new Dedup.DigestTiers(compactK)
+
+    /** Plan leaves the state anti-join reads (spec metric). */
+    def stateLeaves: Int = state.leaves
+
+    /** foreachBatch body — also callable directly on batch frames
+      * (the stream≡batch spec drives both paths). */
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      val label = batchLabel.flatMap { e =>
+        val r = batch.agg(min(e).cast("long")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0)) // empty batch
+      }.getOrElse(batchId)
+      val staged = batch.select(col("doc_id"), col("source"),
+          md5(col("text")).as("h"),
+          ingestDropStage(col("text"), maxLen).as("stage0"))
+        .localCheckpoint() // verdict join + fresh-digest absorb
+      val passing = staged.filter(col("stage0").isNull)
+      // semi/anti split (never a left join against the bare tier union —
+      // cross-tier duplicate digests would fan passing rows out; never a
+      // distinct() of the whole state — that re-shuffles every digest
+      // ever seen per batch, the r15 super-linear trap)
+      val (inState, fresh) = state.frame match {
+        case Some(st) => (passing.join(st, Seq("h"), "left_semi"),
+          passing.join(st, Seq("h"), "left_anti"))
+        case None => (passing.limit(0), passing)
+      }
+      val minIds = fresh.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val verdicts = inState
+        .select(col("doc_id"), lit("dup_vs_state").as("stage1"))
+        .union(fresh.join(minIds, "h")
+          .select(col("doc_id"),
+            when(col("doc_id") =!= col("keep_id"), "dup_in_batch")
+              .as("stage1")))
+      val emit = staged.join(verdicts, Seq("doc_id"), "left")
+        .select(lit(label).as("batch_id"), col("doc_id"), col("source"),
+          coalesce(col("stage0"), col("stage1")).as("__s"))
+        .select(col("batch_id"), col("doc_id"), col("source"),
+          when(col("__s").isNull, "keep").otherwise("drop").as("verdict"),
+          coalesce(col("__s"), lit("kept")).as("stage"))
+      onBatch(emit.localCheckpoint())
+      // absorb AFTER the emit is materialized (pre-batch state judges
+      // this batch's novelty; the checkpointed emit pins that reading)
+      state.absorb(fresh.select(col("h")).distinct())
+    }
+
+    def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+  }
+
   /** Equi-depth binning of a score column (feature bucketing / score
     * calibration): nBins buckets of near-equal population, each reported
     * as (bin, n_rows, score_lo, score_hi) — the bucket-boundary artifact

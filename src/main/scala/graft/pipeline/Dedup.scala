@@ -1092,6 +1092,47 @@ object Dedup {
           i => element_at(col("tk"), i + 1)), " ").as("cleaned_text"))
   }
 
+  /** Size-tiered list of distinct-digest frames — the LSM / logarithmic-
+    * method absorb extracted from [[StreamingCdcDedup]]'s in-memory arm
+    * so [[Curation.StreamingIngestGate]] (q458) shares it. Frames live
+    * in ascending-size tiers; after an absorb, adjacent tiers within 2×
+    * merge (`union.distinct`, localCheckpoint'd once) and a list past
+    * `compactK` force-merges its two smallest tiers, so each digest is
+    * rewritten O(log n) times over n absorbs and [[frame]] has O(log n)
+    * plan leaves (absolute bound `compactK`, not only amortized). */
+  private[graft] final class DigestTiers(compactK: Int) {
+    require(compactK >= 2, s"compactK must be >= 2, got $compactK")
+
+    @volatile private var tiers: List[(Long, DataFrame)] = Nil
+
+    /** Plan leaves [[frame]] reads — the CdcBatchProbe/spec metric. */
+    def leaves: Int = tiers.size
+
+    /** Bare tier union (None before the first absorb). Cross-tier
+      * duplicates are possible and harmless for anti-join consumers; a
+      * consumer needing exact membership distinct()s on read. */
+    def frame: Option[DataFrame] =
+      tiers match { case Nil => None; case ts => Some(ts.map(_._2).reduce(_ union _)) }
+
+    /** Insert one distinct-digest frame and re-establish the tier
+      * invariant. Dropped tier refs free their checkpoint blocks via
+      * ContextCleaner (DataFrame.unpersist would be a no-op —
+      * localCheckpoint frames are not CacheManager entries). */
+    def absorb(batchDigests: DataFrame): Unit = {
+      val bd = batchDigests.localCheckpoint()
+      var ts = ((bd.count(), bd) :: tiers).sortBy(_._1)
+      def mergeSmallest(): Unit = ts match {
+        case (_, a) :: (_, b) :: rest =>
+          val m = a.union(b).distinct().localCheckpoint()
+          ts = ((m.count(), m) :: rest).sortBy(_._1)
+        case _ => ()
+      }
+      while (ts.size >= 2 && ts(1)._1 <= 2 * ts.head._1) mergeSmallest()
+      while (ts.size > compactK) mergeSmallest()
+      tiers = ts
+    }
+  }
+
   /** Streaming arm of CDC chunk dedup (q446 → VERDICT r15 item 3): the
     * incremental crawl-refresh shape. State is the distinct CHUNK-DIGEST
     * table of everything ingested so far; per micro-batch of arriving
@@ -1178,53 +1219,30 @@ object Dedup {
       digests.write.mode("overwrite")
         .parquet(s"${stateDir.get}/batch_id=$label")
 
-    // ascending-size tiers (size, frame), in-memory arm only; seed sits
-    // in the first tier. Parquet arm: seed partition written once,
-    // skipped if a prior instance already materialized it (restart).
-    @volatile private var tiers: List[(Long, DataFrame)] = stateDir match {
+    // in-memory arm: [[DigestTiers]] seeded with the seed corpus'
+    // digests. Parquet arm: seed partition written once, skipped if a
+    // prior instance already materialized it (restart).
+    private val mem: Option[DigestTiers] = stateDir match {
       case Some(dir) =>
         val seedPath = java.nio.file.Paths.get(
           dir.stripPrefix("file:"), "batch_id=-1")
         if (!java.nio.file.Files.exists(seedPath))
           writePart(-1L, chunks(seedDocs).select(col("h")).distinct())
-        Nil
+        None
       case None =>
-        val s0 = chunks(seedDocs).select(col("h")).distinct().localCheckpoint()
-        List((s0.count(), s0))
+        val t = new DigestTiers(compactK)
+        t.absorb(chunks(seedDocs).select(col("h")).distinct())
+        Some(t)
     }
 
     /** Plan leaves the novelty anti-join reads — O(log n) by the tier
       * invariant in the in-memory arm, constant 1 in the parquet arm.
       * Exposed for the compaction spec. */
-    def stateLeaves: Int = if (stateDir.isDefined) 1 else tiers.size
+    def stateLeaves: Int = mem.map(_.leaves).getOrElse(1)
 
     private def stateFrame: DataFrame = stateDir match {
       case Some(dir) => spark.read.parquet(dir).select(col("h"))
-      case None      => tiers.map(_._2).reduce(_ union _)
-    }
-
-    // size-tiered merge: adjacent tiers within 2x collapse (binary-
-    // counter amortization -> O(log n) tiers, each digest rewritten
-    // O(log n) times); a list past compactK force-merges its two
-    // smallest tiers so the leaf bound is also ABSOLUTE, not only
-    // amortized. distinct-on-merge shrinks tiers toward the true
-    // distinct digest count (crawl refreshes repeat most digests).
-    private def absorbInMemory(batchDigests: DataFrame): Unit = {
-      val bd = batchDigests.localCheckpoint()
-      var ts = ((bd.count(), bd) :: tiers).sortBy(_._1)
-      def mergeSmallest(): Unit = ts match {
-        case (_, a) :: (_, b) :: rest =>
-          // merged tier is eagerly materialized; the dropped a/b refs
-          // free their checkpoint blocks via ContextCleaner (DataFrame
-          // .unpersist would be a no-op — localCheckpoint frames are
-          // not CacheManager entries)
-          val m = a.union(b).distinct().localCheckpoint()
-          ts = ((m.count(), m) :: rest).sortBy(_._1)
-        case _ => ()
-      }
-      while (ts.size >= 2 && ts(1)._1 <= 2 * ts.head._1) mergeSmallest()
-      while (ts.size > compactK) mergeSmallest()
-      tiers = ts
+      case None      => mem.get.frame.get
     }
 
     /** Offline maintenance for the parquet arm: fold every state
@@ -1278,7 +1296,7 @@ object Dedup {
       // absorb AFTER novelty (pre-batch state judges novelty); ch's
       // checkpoint blocks free via ContextCleaner once this ref drops
       val bd = ch.select(col("h")).distinct()
-      if (stateDir.isDefined) writePart(label, bd) else absorbInMemory(bd)
+      if (stateDir.isDefined) writePart(label, bd) else mem.get.absorb(bd)
     }
 
     def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =

@@ -528,4 +528,44 @@ class PlanQualitySpec extends SparkSpec {
         s"τ explode feeds a parquet scan (corpus explode — the 100 TB funnel):\n$g")
     }
   }
+
+  test("q456 corpus gate: no cartesian, eval grams broadcast, gram explodes feed cached stage frames") {
+    val plan = finalPlan(query("q456_pretraining_release_gate"))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the corpus gate:\n$plan")
+    // the contamination semi-join broadcasts the eval gram set (eval
+    // sets are fixed-size however big the corpus); the corpus side
+    // must never be the broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 1,
+      s"eval gram set not broadcast:\n$plan")
+    // stage frames are persisted projections read through the cache
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"stage frames not materialized through the cache:\n$plan")
+    // both contamination gram explodes (eval set + stage-4 survivors)
+    // must feed from cached stage frames, never re-scan the parquet
+    // corpus (the banding explodes are behind localCheckpoint and never
+    // appear here; the plant explode is explode(sequence), excluded)
+    val gen = "Generate explode\\(ngram_?shingles(?:[^\n]*\n){1,8}".r
+      .findAllIn(plan).toList
+    assert(gen.nonEmpty, s"no contamination gram explode found:\n$plan")
+    gen.foreach { g =>
+      assert(!g.toLowerCase.contains("scan parquet"),
+        s"gram explode re-scans the corpus (the 100 TB funnel):\n$g")
+    }
+  }
+
+  test("q457 regression diff: two full chains, still no cartesian, manifests join hash") {
+    val plan = finalPlan(query("q457_gate_regression_diff"))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the gate diff:\n$plan")
+    // the doc-grain manifest join is keyed (hash or sort-merge), and
+    // the shared corpus spine is read through the cache — the second
+    // chain must not pay a second parquet scan family
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"manifest diff join not keyed:\n$plan")
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"shared corpus spine not materialized through the cache:\n$plan")
+  }
 }
