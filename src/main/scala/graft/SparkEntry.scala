@@ -51,7 +51,7 @@ object SparkEntry {
       Pipeline87.entries ++ Pipeline88.entries ++ Pipeline89.entries ++
       Pipeline90.entries ++ Pipeline91.entries ++ Pipeline92.entries ++
       Pipeline93.entries ++ Pipeline94.entries ++ Pipeline95.entries ++
-      Pipeline96.entries ++ Pipeline97.entries
+      Pipeline96.entries ++ Pipeline97.entries ++ Pipeline98.entries
   // NOTE for the driver (re-raised each round since 6, latest round 17):
   // the long-document fixture is still absent — q101/q132/q139 run on
   // derived long docs and upgrade the session it lands.

@@ -95,7 +95,10 @@ object DumpPlans {
     "q433_source_xentropy_map" -> "source xentropy map: the 20x20 matrix from ONE type-grain inner join (add-1 log decomposition — absent words cost nothing)",
     "q449_sft_release_gate" -> "composed SFT gate: one corpus scan feeds the spine, lazily-persisted slim stage frames, prompt-partitioned dedup-rank window only, trigram explode on stage-5 survivors",
     "q453_preference_release_gate" -> "composed DPO gate: pair-grain chain; source/judge conviction censuses rejoin as BROADCAST dims, pool-rank window prompt-partitioned, trigram explode on cap survivors",
-    "q455_census_replan" -> "census->ladder->re-census: ONE checkpointed bucket frame feeds candidate emission and BOTH occupancy censuses; collapse is an anti-join on verified b_ids")
+    "q455_census_replan" -> "census->ladder->re-census: ONE checkpointed bucket frame feeds candidate emission and BOTH occupancy censuses; collapse is an anti-join on verified b_ids",
+    "q456_pretraining_release_gate" -> "composed corpus gate: doc-grain chain over one persisted spine; near-dup over exact-collapsed reps only, eval gram set BROADCAST (fixed-size however big the corpus), gram explodes feed cached stage frames",
+    "q459_takedown_propagation" -> "takedown: one digest group-by + keyed join back; packing window source-partitioned over REPS only; manifest is id-grain unions",
+    "q460_eval_refresh_delta" -> "eval refresh: both gram probes broadcast semi-joins (old-set replay + new-gram delta); corpus scanned, never shuffled pre-agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
   * 15000 rows surviving its pid join.
   *
   * Subset justification (VERDICT r16 asked for "every gate query or the
-  * multi-branch-operator subset, justified"): every one of the 452 gate
+  * multi-branch-operator subset, justified"): every one of the gate
   * queries is already value-pinned against the DuckDB oracle each round,
   * and the oracle compare IS a second independent computation — what it
   * cannot exercise is a SECOND COMPILATION of the same Spark plan. The

@@ -555,6 +555,40 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q459 takedown: digest group keyed, packing window partitioned by source, no cartesian") {
+    val plan = finalPlan(query("q459_takedown_propagation"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the family join back is keyed on the digest
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"family join not keyed:\n$plan")
+    // the packing window must partition by source — an unpartitioned
+    // window is the single-partition funnel at corpus scale
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no packing window found:\n$plan")
+    assert(specs.forall(_.contains("source")),
+      s"packing window not source-partitioned:\n$specs")
+    // the shared (doc, td, digest, n_tok) projection is read through
+    // the cache, not re-derived per consumer
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"takedown spine not materialized through the cache:\n$plan")
+  }
+
+  test("q460 eval refresh: gram reference sets broadcast, corpus never the build side") {
+    val plan = finalPlan(query("q460_eval_refresh_delta"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // both contamination probes (old-gram replay, new-gram delta) are
+    // semi-joins with the EVAL-sized gram set broadcast — eval sets are
+    // fixed-size however big the corpus, the corpus side must shuffle
+    // for neither
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).length >= 2,
+      s"gram probes not broadcast semi-joins:\n$plan")
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"corpus spine not materialized through the cache:\n$plan")
+  }
+
   test("q457 regression diff: two full chains, still no cartesian, manifests join hash") {
     val plan = finalPlan(query("q457_gate_regression_diff"))
     assert(!plan.contains("CartesianProduct"),
