@@ -409,17 +409,44 @@ object Curation {
     * digests that gate re-publication cost. Micro-batch labeling via
     * `batchLabel` derives batch_id from the batch's own rows (ADVICE
     * r16 — FileStreamSource order on coarse-mtime filesystems is
-    * unspecified). */
+    * unspecified).
+    *
+    * `stateDir` switches to the deployment-shaped state arm (the
+    * [[Dedup.StreamingCdcDedup]] pattern): accepted digests live in a
+    * batch_id-partitioned parquet directory — ONE scan leaf at any
+    * depth, restart-safe (a replayed batch overwrites its own partition
+    * idempotently), survivable across driver restarts where the
+    * in-memory tiers are not. */
   final class StreamingIngestGate(
       maxLen: Int,
       onBatch: DataFrame => Unit,
       batchLabel: Option[Column] = None,
-      compactK: Int = 8) {
+      compactK: Int = 8,
+      stateDir: Option[String] = None) {
 
-    private val state = new Dedup.DigestTiers(compactK)
+    private val mem: Option[Dedup.DigestTiers] =
+      if (stateDir.isDefined) None else Some(new Dedup.DigestTiers(compactK))
 
-    /** Plan leaves the state anti-join reads (spec metric). */
-    def stateLeaves: Int = state.leaves
+    // parquet arm: None until the first accepted batch materializes a
+    // partition (the gate has no seed corpus, unlike the CDC dedup).
+    // The batch's OWN partition is excluded from the read — partition
+    // pruning makes that free, and it is what makes a crash-replayed
+    // batch emit-idempotent, not just state-idempotent: novelty is
+    // judged against strictly-earlier batches even when the replayed
+    // batch's digests already landed on disk.
+    private def parquetState(spark: org.apache.spark.sql.SparkSession,
+        label: Long): Option[DataFrame] = stateDir.flatMap { dir =>
+      val p = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+      if (java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.list(p).findFirst().isPresent)
+        Some(spark.read.parquet(dir)
+          .filter(col("batch_id") =!= label).select(col("h")))
+      else None
+    }
+
+    /** Plan leaves the state anti-join reads (spec metric): O(log n)
+      * tiers in the in-memory arm, constant 1 in the parquet arm. */
+    def stateLeaves: Int = mem.map(_.leaves).getOrElse(1)
 
     /** foreachBatch body — also callable directly on batch frames
       * (the stream≡batch spec drives both paths). */
@@ -437,7 +464,9 @@ object Curation {
       // cross-tier duplicate digests would fan passing rows out; never a
       // distinct() of the whole state — that re-shuffles every digest
       // ever seen per batch, the r15 super-linear trap)
-      val (inState, fresh) = state.frame match {
+      val st0 = mem.map(_.frame).getOrElse(
+        parquetState(batch.sparkSession, label))
+      val (inState, fresh) = st0 match {
         case Some(st) => (passing.join(st, Seq("h"), "left_semi"),
           passing.join(st, Seq("h"), "left_anti"))
         case None => (passing.limit(0), passing)
@@ -459,7 +488,12 @@ object Curation {
       onBatch(emit.localCheckpoint())
       // absorb AFTER the emit is materialized (pre-batch state judges
       // this batch's novelty; the checkpointed emit pins that reading)
-      state.absorb(fresh.select(col("h")).distinct())
+      val bd = fresh.select(col("h")).distinct()
+      stateDir match {
+        case Some(dir) => bd.write.mode("overwrite")
+          .parquet(s"$dir/batch_id=$label")
+        case None => mem.get.absorb(bd)
+      }
     }
 
     def start(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =

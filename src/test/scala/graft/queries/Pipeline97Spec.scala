@@ -126,4 +126,39 @@ class Pipeline97Spec extends SparkSpec {
       assert(r.getString(4) != "kept",
         s"same-batch duplicate out-kept its smaller-id twin: $r"))
   }
+
+  test("q458 parquet stateDir arm: emits equal the in-memory arm; crash-replayed batch is emit-idempotent") {
+    val arr = Pipeline97.ingestArrivals(spark, sf).localCheckpoint()
+    def run(stateDir: Option[String]) = {
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val gate = new graft.pipeline.Curation.StreamingIngestGate(
+        90, df => emitted += df, batchLabel = Some(col("wave")),
+        stateDir = stateDir)
+      for (b <- 0 to 2) gate.processBatch(arr.filter(col("wave") === b), b)
+      (gate, emitted.map(_.orderBy(col("doc_id")).collect().toSeq))
+    }
+    val dir = Scratch.dir(spark, "q458_state")
+    val (gp, ep) = run(Some(dir))
+    val (gm, em) = run(None)
+    assert(ep == em, "parquet and in-memory state arms disagree")
+    assert(gp.stateLeaves == 1 && gm.stateLeaves >= 1)
+    // restart recovery: a NEW gate instance over the same stateDir
+    // replays wave 2 (whose digests are already on disk) — the emit
+    // must match the original run exactly (own-partition exclusion),
+    // and the replay must not have duplicated state (wave-2 digests
+    // appear in exactly one partition)
+    val replayed = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val g2 = new graft.pipeline.Curation.StreamingIngestGate(
+      90, df => replayed += df, batchLabel = Some(col("wave")),
+      stateDir = Some(dir))
+    g2.processBatch(arr.filter(col("wave") === 2), 2)
+    assert(replayed.head.orderBy(col("doc_id")).collect().toSeq == ep(2),
+      "crash-replayed batch emitted a different manifest")
+    val st = spark.read.parquet(dir)
+    assert(st.count() == st.select(col("h"), col("batch_id")).distinct().count())
+    assert(st.groupBy(col("h")).count().filter(col("count") > 1).count() == 0,
+      "a digest landed in more than one state partition after replay")
+  }
 }
