@@ -591,6 +591,35 @@ object functions {
     * instead of a dim-length dot product. */
   def pq_adc_score(codes: Column, dtable: Column, ksub: Int): Column =
     Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(dtable), ksub))
+
+  /** Element-wise md5-prefix uint32 hashes — fused twin of
+    * `transform(arr, s -> conv(substring(md5(s),1,8),16,10))`. */
+  def md5_hash32_array(arr: Column): Column =
+    Bridge.column(Md5Hash32Array(Bridge.expression(arr)))
+
+  /** md5-twin MinHash signatures from shingle strings: one fused pass
+    * (md5-prefix hash + every affine perm's running min). Null for an
+    * empty array, mirroring `array_min([])`. */
+  def md5_minhash_sigs(shingles: Column, perms: Seq[(Long, Long)],
+      p: Long): Column =
+    Bridge.column(Md5MinHashSigs(Bridge.expression(shingles),
+      perms.map(_._1), perms.map(_._2), p))
+
+  /** md5-twin MinHash signatures from pre-hashed uint32 values. */
+  def minhash_over_hashes(hs: Column, perms: Seq[(Long, Long)],
+      p: Long): Column =
+    Bridge.column(MinHashOverHashes(Bridge.expression(hs),
+      perms.map(_._1), perms.map(_._2), p))
+
+  /** Portable 32-bit SimHash of a token multiset — fused twin of the
+    * explode + 32-conditional-sum aggregation (Pipeline.portableSimhash32). */
+  def md5_simhash32(tokens: Column): Column =
+    Bridge.column(Md5SimHash32(Bridge.expression(tokens)))
+
+  /** SymSpell deletion-signature neighborhood of a string (fused twin of
+    * FuzzyJoin's array_distinct(transform(sequence(...), ...))). */
+  def del_signatures(s: Column): Column =
+    Bridge.column(DelSignatures(Bridge.expression(s)))
 }
 
 /** `min_md5_window(text, k)`: string → min md5 hex over k-char windows

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** D(x): the string itself plus every single-character deletion,
-    * deduplicated (repeated chars collapse). */
+    * deduplicated (repeated chars collapse). Fused codegen kernel
+    * (round 17, guide §4) — the interpreted
+    * `array_distinct(transform(sequence(0, len), i -> concat(substr...)))`
+    * lambda was the dominant task time of q192/q321/q76; same signature
+    * set, first-occurrence order (expressions/Md5Sig.delSignatures). */
   private def delSignatures(s: org.apache.spark.sql.Column) =
-    array_distinct(transform(sequence(lit(0), length(s)),
-      i => concat(s.substr(lit(1), i), s.substr(i + 2, length(s)))))
+    graft.expressions.functions.del_signatures(s)
 
   /** The blocking stage alone: distinct candidate id pairs (a_id <
     * b_id) sharing a deletion signature, BEFORE the exact levenshtein

@@ -61,15 +61,14 @@ object Pipeline {
     val perms = MinHashPerms
     val bands = 4
     val rows = perms.size / bands
-    val hs = transform(col("shingles"),
-      sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
-    val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig$j")
-    }
+    // Fused md5-twin signature kernel (round 17, guide §4): one codegen'd
+    // pass per doc replaces the interpreted per-shingle md5 lambda plus
+    // 16 × array_min(transform(...)) — bit-identical values (see
+    // expressions/Md5Sig.scala), every md5-twin oracle re-verified.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
-          .as("bkey"))
+        concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sigs"), b * rows + r + 1)): _*).as("bkey"))
     }
     val sig = docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
@@ -77,8 +76,8 @@ object Pipeline {
         graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true)
           .as("shingles"))
       .filter(size(col("shingles")) > 0) // short docs can't band-collide
-      .select(col("doc_id"), hs.as("hs"))
-      .select((col("doc_id") +: sigs): _*)
+      .select(col("doc_id"), graft.expressions.functions
+        .md5_minhash_sigs(col("shingles"), perms, P).as("sigs"))
     sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -128,20 +127,16 @@ object Pipeline {
   private[queries] val SimBits = 32
 
   private[queries] def portableSimhash32(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-    val ones = (0 until SimBits).map(j =>
-      sum(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L))).as(s"o$j"))
-    val sig = (0 until SimBits).map(j =>
-        when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    docs
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), h.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), ones: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    // Fused kernel (round 17, guide §2.4/§4): the explode + 33-aggregate
+    // hash aggregation shuffled every TOKEN of the corpus just to count
+    // per-doc hash bits; the signature is a pure per-row function of the
+    // token multiset, so it now computes in one codegen'd pass with ZERO
+    // shuffle — bit-identical (ties → 0, duplicates counted; see
+    // expressions/Md5Sig.simhash32), q38/q53 oracles pin it.
+    docs.select(col("doc_id"),
+      graft.expressions.functions.md5_simhash32(
+        split(lower(col("text")), "\\s+")).as("simhash"))
 
   /** DuckDB twin of [[portableSimhash32]] — CTEs ending in `sig(doc_id,
     * simhash)`, generated with the same bit constants. `from` lets the

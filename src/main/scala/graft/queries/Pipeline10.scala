@@ -504,13 +504,13 @@ object Pipeline10 {
       (s, d) => {
         // distinct AFTER hashing too: a 32-bit md5-prefix collision
         // inside one doc would otherwise make the Spark set-intersect
-        // and the oracle's membership count disagree on multiplicity
-        val hs = array_distinct(transform(
-          graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true),
-          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))
-        val sig = array(perms.map { case (a, b) =>
-          array_min(transform(col("hs"), h => (h * a + b) % P))
-        }: _*)
+        // and the oracle's membership count disagree on multiplicity.
+        // Fused md5-prefix + perm-min kernels (round 17, guide §4) —
+        // bit-identical to the HOF lambdas they replace.
+        val hs = array_distinct(graft.expressions.functions.md5_hash32_array(
+          graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true)))
+        val sig = graft.expressions.functions.minhash_over_hashes(
+          col("hs"), perms, P)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
           .select(col("doc_id"), hs.as("hs"))

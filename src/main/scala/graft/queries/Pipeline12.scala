@@ -562,6 +562,17 @@ object Pipeline12 {
           .union(cust.filter(col("c_custkey") % 10 === 0)
             .select((col("c_custkey") + 10000000L).as("c_custkey"),
               typo.as("c_name")))
+          // Round 17 (guide §2.5 "input skew"/parallelism): the union of
+          // two tiny parquet reads checkpoints as 2 partitions, and the
+          // downstream deletion-signature explode — HALF this query's
+          // task time — inherited that layout (8.5 s over 2 tasks with
+          // 30 idle cores, JobProfile-measured). Key-hash repartition to
+          // the session's parallelism BEFORE the checkpoint: one tiny
+          // exchange of (key, name) rows, deterministic layout, every
+          // consumer (both fuzzy-join sides, components, final join)
+          // parallel. At real scale the scan has many splits and this
+          // exchange is noise relative to the explode it feeds.
+          .repartition(s.sparkContext.defaultParallelism, col("c_custkey"))
           .localCheckpoint() // both fuzzy-join sides + nodes + final join
         val pairs = graft.operators.FuzzyJoin.editDistance1(
             records.select(col("c_custkey").as("k"), col("c_name").as("n")),

@@ -298,21 +298,16 @@ object Pipeline81 {
               distinct = true).as("toks"))
           .filter(size(col("toks")) > 0)
           .localCheckpoint() // both pair sides + signatures
-        // positional band keys (4 x 4 of the 16 affine perms)
+        // positional band keys (4 x 4 of the 16 affine perms) — fused
+        // md5-twin kernel (round 17, guide §4), bit-identical values
         val P = 4294967311L
         val perms = Pipeline.MinHashPerms
-        val hs = transform(col("toks"),
-          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
-        val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
-          array_min(transform(col("hs"), h => (h * a + b) % P))
-            .as(s"sig$j")
-        }
         val bkeys = array((0 until 4).map(b =>
           concat_ws(",", (0 until 4).map(r =>
-            col(s"sig${b * 4 + r}")): _*)): _*)
+            element_at(col("sigs"), b * 4 + r + 1)): _*)): _*)
         val sigd = shingleArrs
-          .select(col("doc_id"), hs.as("hs"))
-          .select(col("doc_id") +: sigs: _*)
+          .select(col("doc_id"), graft.expressions.functions
+            .md5_minhash_sigs(col("toks"), perms, P).as("sigs"))
           .select(col("doc_id"), bkeys.as("bk"))
           .localCheckpoint() // both pair sides
         // the random floor needs MASS, not the whole corpus: the
