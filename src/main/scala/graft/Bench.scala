@@ -298,6 +298,18 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (head + s""","queries":$qs}""" + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Round 18 (VERDICT r17 item 2): the driver's round-over-round
+    // per-query comparison ran on ZERO data both optimization rounds
+    // (PERF_r17 n_common: 0) because the walls map lived only in
+    // bench.json / the stderr bench-full line. Restore the brief's
+    // stdout contract — the metric line WITH the full "queries" map —
+    // as its own stdout line, followed by the constant-size line as the
+    // very last write (unchanged since r11, proven to survive the
+    // driver's ~2000-char tail capture). A full-log parser gets every
+    // wall from the first line; a tail parser still gets the totals
+    // line plus the tail end of the walls map. Measurement methodology
+    // is untouched — this is output plumbing after the timed region.
+    println(head + s""","queries":$qs}""")
     println(head + "}")
     System.out.flush()
   }

@@ -620,6 +620,21 @@ object functions {
     * FuzzyJoin's array_distinct(transform(sequence(...), ...))). */
   def del_signatures(s: Column): Column =
     Bridge.column(DelSignatures(Bridge.expression(s)))
+
+  /** Fused ColBERT-style MaxSim in integer micro (round 18 — see
+    * VecSim.maxsimMicro): Σᵢ maxⱼ over nSlices×nSlices dim-wide slice
+    * cosines of two quantized int64 vectors, norms re-derived in-kernel. */
+  def maxsim_micro(qv: Column, v: Column, nSlices: Int = 4,
+      dim: Int = 16): Column =
+    Bridge.column(MaxSimMicro(Bridge.expression(qv), Bridge.expression(v),
+      nSlices, dim))
+
+  /** Clipped positional n-gram multiset overlap of two token arrays
+    * (round 18 — see VecSim.clippedNgramOverlap): the per-row BLEU/ROUGE
+    * match count, replacing the gram explode + count shuffle. */
+  def clipped_ngram_overlap(cand: Column, ref: Column, n: Int): Column =
+    Bridge.column(ClippedNgramOverlap(Bridge.expression(cand),
+      Bridge.expression(ref), n))
 }
 
 /** `min_md5_window(text, k)`: string → min md5 hex over k-char windows

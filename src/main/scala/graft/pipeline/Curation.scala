@@ -1034,8 +1034,29 @@ object Curation {
           // lineage, no per-batch re-checkpoint of the whole union
           // (measured: the union re-checkpoints re-ran the exBatch
           // lineage 3x per batch and dominated q147's wall).
-          val exB = exBatch.localCheckpoint()
-          val qualC = qual.localCheckpoint()
+          //
+          // Round 18 (guide §1.2/§2.6 — fewer serial driver actions):
+          // the exact-dedup survivors and the quality verdicts used to
+          // be TWO eager localCheckpoints per batch; they now ride ONE
+          // union-tagged checkpoint (slot 0 = survivor rows, slot 1 =
+          // quality rows) and exB/qualC are narrow filters over the same
+          // materialized blocks. Both branches share the oldDig
+          // broadcast (ReusedExchange); per batch this halves the
+          // checkpoint actions — with the guard fold below, 4 eager
+          // actions per batch become 2 (JobProfile before/after in
+          // OPTIMIZATION_r18.md).
+          val combined = exBatch
+            .select(lit(0).as("slot"), col("id"), col("text"),
+              col("source"), col("h"), lit(null).cast("boolean").as("keep"))
+            .union(qual.select(lit(1).as("slot"), col("id"),
+              lit(null).cast("string").as("text"),
+              lit(null).cast("string").as("source"),
+              lit(null).cast("string").as("h"), col("keep")))
+            .localCheckpoint()
+          val exB = combined.filter(col("slot") === 0)
+            .select(col("id"), col("text"), col("source"), col("h"))
+          val qualC = combined.filter(col("slot") === 1)
+            .select(col("id"), col("keep"))
           val bp = grams(exB) // projection over materialized blocks
           docsS = Some(docsS.fold(
             exB.select(col("id"), col("text"), col("source")))(
@@ -1053,15 +1074,20 @@ object Curation {
       // Fail fast on degenerate postings, the ngramJaccardPairs
       // contract: candidate rows grow with df_batch·df_state per gram,
       // and an exact operator may not silently drop oversized postings.
-      if (maxPosting > 0) {
+      // stateDir arm: keep the driver-side guard BEFORE the pair write,
+      // so a tripped cap never lands a partial pairs partition. The
+      // in-memory arm (the q147/q153 query path) folds the guard into
+      // the pair-checkpoint action below instead — round 18, guide
+      // §1.2/§2.4: the guard's posting join was a full extra pass over
+      // allPost⨝batch-grams per batch; as a zero-row union branch over
+      // the SAME join subtree it shares the join's exchanges
+      // (ReusedExchange) and its own driver action disappears.
+      if (maxPosting > 0 && stateDir.isDefined) {
         val worst = allPost.join(bPostC.select(col("g")).distinct(), "g")
           .groupBy(col("g")).agg(count(lit(1)).as("pn"))
           .agg(max(col("pn"))).head()
         val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-        require(biggest <= maxPosting,
-          s"IncrementalCuration: largest posting touched by this batch holds " +
-            s"$biggest docs, over the cap $maxPosting — raise jacN (vocabulary " +
-            "too degenerate) or raise maxPosting (0 disables)")
+        require(biggest <= maxPosting, postingCapMsg(biggest))
       }
       // 4. exact pair discovery: shared grams counted once per pair
       // (least/greatest + distinct folds the two join directions and the
@@ -1069,7 +1095,8 @@ object Curation {
       // the two distinct-gram sets — identical to the PPJoin verify.
       val a = allPost.select(col("id").as("ia"), col("g"))
       val b = bPostC.select(col("id").as("ib"), col("g"))
-      val inter = a.join(b, "g")
+      val joined = a.join(b, "g")
+      val inter = joined
         .filter(col("ia") =!= col("ib"))
         .select(least(col("ia"), col("ib")).as("a_id"),
           greatest(col("ia"), col("ib")).as("b_id"), col("g"))
@@ -1090,11 +1117,50 @@ object Curation {
           readState("pairs")
         case None =>
           // checkpoint only THIS batch's pairs (the posting join runs
-          // once); the running set is a lazy union of checkpointed leaves
-          val np = newPairs.localCheckpoint()
+          // once); the running set is a lazy union of checkpointed leaves.
+          // The posting-cap guard rides the same action as a zero-row
+          // branch — the exact aggregation the old head() guard ran
+          // (allPost joined to the batch's distinct grams, rows counted
+          // per gram), built over the same `a` projection as the pair
+          // join so the big side's exchange is shared (ReusedExchange);
+          // assert_true trips the identical message, rethrown as the
+          // contract's IllegalArgumentException.
+          val guarded =
+            if (maxPosting <= 0) newPairs
+            else newPairs.union(a
+              .join(b.select(col("g")).distinct(), "g")
+              .groupBy(col("g")).agg(count(lit(1)).as("pn"))
+              .agg(max(col("pn")).as("mx"))
+              .filter(assert_true(
+                coalesce(col("mx"), lit(0L)) <= maxPosting,
+                concat(lit("IncrementalCuration: largest posting touched "
+                    + "by this batch holds "), col("mx"),
+                  lit(s" docs, over the cap $maxPosting — raise jacN "
+                    + "(vocabulary too degenerate) or raise maxPosting "
+                    + "(0 disables)"))).isNotNull)
+              .select(lit(null).cast("long").as("a_id"),
+                lit(null).cast("long").as("b_id")))
+          val np =
+            try guarded.localCheckpoint()
+            catch { case e: Throwable =>
+              var c: Throwable = e
+              var found: String = null
+              while (c != null && found == null) {
+                val m = c.getMessage
+                if (m != null && m.contains("largest posting")) found = m
+                c = c.getCause
+              }
+              if (found != null) throw new IllegalArgumentException(found)
+              else throw e
+            }
           Some(pairsS.fold(np: DataFrame)(_.union(np)))
       }
     }
+
+    private def postingCapMsg(biggest: Long): String =
+      s"IncrementalCuration: largest posting touched by this batch holds " +
+        s"$biggest docs, over the cap $maxPosting — raise jacN (vocabulary " +
+        "too degenerate) or raise maxPosting (0 disables)"
 
     /** The running quality-survivor DOCUMENT table (id, text, source):
       * keep-best over the near-dup components found so far ∩

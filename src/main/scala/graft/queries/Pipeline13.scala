@@ -74,39 +74,27 @@ object Pipeline13 {
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
           .filter(size(col("toks")) >= 4)
           .withColumn("cand", candidate)
-        val counts = toks.select(col("doc_id"),
-            explode(array(
-              struct(lit(1).as("n"), grams("cand", 1).as("g"),
-                lit("c").as("side")),
-              struct(lit(1).as("n"), grams("toks", 1).as("g"),
-                lit("r").as("side")),
-              struct(lit(2).as("n"), grams("cand", 2).as("g"),
-                lit("c").as("side")),
-              struct(lit(2).as("n"), grams("toks", 2).as("g"),
-                lit("r").as("side")))).as("e"))
-          .select(col("doc_id"), col("e.n").as("n"), col("e.side").as("side"),
-            explode(col("e.g")).as("g"))
-          .groupBy(col("doc_id"), col("n"), col("g"))
-          .agg(sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"),
-            sum(when(col("side") === "r", 1L).otherwise(0L)).as("rc"))
-        counts.groupBy(col("doc_id"), col("n"))
-          .agg(sum(least(col("cc"), col("rc"))).as("m"),
-            sum(col("cc")).as("c"), sum(col("rc")).as("r"))
-          .groupBy(col("doc_id"))
-          .agg(
-            max(when(col("n") === 1, col("m"))).as("m1"),
-            max(when(col("n") === 1, col("c"))).as("c1"),
-            max(when(col("n") === 1, col("r"))).as("r1"),
-            max(when(col("n") === 2, col("m"))).as("m2"),
-            max(when(col("n") === 2, col("c"))).as("c2"),
-            max(when(col("n") === 2, col("r"))).as("r2"))
+        // Round 18 (guide §2.3 + §4): the clipped match count is a pure
+        // per-row function of (cand, toks) — the old shape exploded every
+        // uni/bigram of the corpus into a (doc, n, gram)-keyed count
+        // aggregate and re-aggregated twice (two corpus-sized token-
+        // stream shuffles) to compute it. One fused kernel call per
+        // (doc, n) now; c/r are just the positional gram counts
+        // (size - n + 1; every doc here has >= 4 tokens so both exist,
+        // matching the old coalesce paths). Bit-identical per doc
+        // (VecSimSpec differential) and the q193 oracle re-verified.
+        val mi = graft.expressions.functions.clipped_ngram_overlap _
+        toks.select(col("doc_id"),
+            mi(col("cand"), col("toks"), 1).as("m1"),
+            size(col("cand")).cast("long").as("c1"),
+            size(col("toks")).cast("long").as("r1"),
+            mi(col("cand"), col("toks"), 2).as("m2"),
+            (size(col("cand")) - 1).cast("long").as("c2"),
+            (size(col("toks")) - 1).cast("long").as("r2"))
           .select(col("doc_id"), col("m1"), col("c1"), col("r1"),
             expr("(2 * m1 * 10000) div (c1 + r1)").as("f1_bp"),
-            coalesce(col("m2"), lit(0L)).as("m2"),
-            coalesce(col("c2"), lit(0L)).as("c2"),
-            coalesce(col("r2"), lit(0L)).as("r2"),
-            coalesce(expr("(2 * m2 * 10000) div (c2 + r2)"), lit(0L))
-              .as("f2_bp"))
+            col("m2"), col("c2"), col("r2"),
+            expr("(2 * m2 * 10000) div (c2 + r2)").as("f2_bp"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (
@@ -177,33 +165,24 @@ object Pipeline13 {
             split(lower(col("text")), "\\s+").as("toks"))
           .filter(size(col("toks")) >= 4)
           .withColumn("cand", candidate)
-        val clipped = toks.select(col("lang"), col("doc_id"),
-            explode(array(
-              struct(lit(1).as("n"), grams("cand", 1).as("g"),
-                lit("c").as("side")),
-              struct(lit(1).as("n"), grams("toks", 1).as("g"),
-                lit("r").as("side")),
-              struct(lit(2).as("n"), grams("cand", 2).as("g"),
-                lit("c").as("side")),
-              struct(lit(2).as("n"), grams("toks", 2).as("g"),
-                lit("r").as("side")))).as("e"))
-          .select(col("lang"), col("doc_id"), col("e.n").as("n"),
-            col("e.side").as("side"), explode(col("e.g")).as("g"))
-          .groupBy(col("lang"), col("doc_id"), col("n"), col("g"))
-          .agg(sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"),
-            sum(when(col("side") === "r", 1L).otherwise(0L)).as("rc"))
-          .groupBy(col("lang"), col("n"))
-          .agg(sum(least(col("cc"), col("rc"))).as("m"),
-            sum(col("cc")).as("c"))
-        val lens = toks.groupBy(col("lang"))
-          .agg(sum(size(col("cand")).cast("long")).as("cand_len"),
-            sum(size(col("toks")).cast("long")).as("ref_len"))
-        clipped.groupBy(col("lang"))
-          .agg(max(when(col("n") === 1, col("m"))).as("m1"),
-            max(when(col("n") === 1, col("c"))).as("c1"),
-            max(when(col("n") === 2, col("m"))).as("m2"),
-            max(when(col("n") === 2, col("c"))).as("c2"))
-          .join(lens, "lang")
+        // Round 18 (guide §2.3 + §4, the q193 rewrite coarsened to lang
+        // grain): per-doc clipped counts via ONE fused kernel call per
+        // (doc, n) — the corpus-sized double gram explode and the
+        // (lang, doc, n, gram)-keyed count shuffle are gone; the only
+        // shuffle left is the dimension-sized map-side-combined
+        // groupBy(lang). Clipping stays per doc BEFORE the corpus sum
+        // (the BLEU definition), exactly as before.
+        val mi = graft.expressions.functions.clipped_ngram_overlap _
+        toks.select(col("lang"),
+            mi(col("cand"), col("toks"), 1).as("m1d"),
+            size(col("cand")).cast("long").as("c1d"),
+            mi(col("cand"), col("toks"), 2).as("m2d"),
+            (size(col("cand")) - 1).cast("long").as("c2d"),
+            size(col("toks")).cast("long").as("refd"))
+          .groupBy(col("lang"))
+          .agg(sum(col("m1d")).as("m1"), sum(col("c1d")).as("c1"),
+            sum(col("m2d")).as("m2"), sum(col("c2d")).as("c2"),
+            sum(col("c1d")).as("cand_len"), sum(col("refd")).as("ref_len"))
           .select(col("lang"),
             expr("(m1 * 10000) div c1").as("p1_bp"),
             expr("(m2 * 10000) div c2").as("p2_bp"),

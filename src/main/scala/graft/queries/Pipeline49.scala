@@ -42,10 +42,20 @@ object Pipeline49 {
             h: org.apache.spark.sql.Column) =
           conv(substring(md5(concat(key.cast("string"), lit(":"),
             h.cast("string"))), 1, 8), 16, 10).cast("long") % M
+        // Round 18 (guide §2.3/§4): the bloom positions are a function
+        // of k alone, but the old shape md5-hashed every (row, h) pair —
+        // 3 md5s per ORDER row (~450k at sf0.1) before the distinct.
+        // Hash the ~10x-smaller distinct-key dim once (3 md5s per KEY)
+        // and attach positions to the distinct (file_id, k) pairs by a
+        // broadcastable join: same distinct (file_id, p) set, an order
+        // of magnitude less hashing and narrower pre-distinct rows.
+        val keyPos = rows.select(col("k")).distinct()
+          .select(col("k"), explode(array(lit(0), lit(1), lit(2))).as("h"))
+          .select(col("k"), pos(col("k"), col("h")).as("p"))
         val filePos = rows
-          .select(col("file_id"), col("k"),
-            explode(array(lit(0), lit(1), lit(2))).as("h"))
-          .select(col("file_id"), pos(col("k"), col("h")).as("p"))
+          .select(col("file_id"), col("k")).distinct()
+          .join(keyPos, "k")
+          .select(col("file_id"), col("p"))
           .distinct()
         val probes = rows.select(col("k")).distinct()
           .filter(col("k") % 50 === 0)

@@ -24,6 +24,10 @@ object Pipeline69 {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"),
             graft.pipeline.Similarity.quantize(col("embedding")).as("v"))
+          // round 18 (guide §2.5, the q192 pattern): the 1-partition scan
+          // checkpoint serialized every maxsim stage; one tiny (id, vec)
+          // exchange parallelizes all of them
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .localCheckpoint()
         // md5-hashed panel draw (id-density-free; ADVICE/SCALE r13:
         // a raw `vec_id % stride` panel collapsed to 1 probe on the
@@ -32,33 +36,20 @@ object Pipeline69 {
         val panelHash =
           conv(substring(md5(col("vec_id").cast("string")), 1, 15),
             16, 10).cast("long")
-        // slice norms once per vector (the in-cell formulation paid
-        // 4× the norm folds + sqrts per pair)
-        val normed = emb.withColumn("nm",
-          expr("transform(sequence(0, 3), k -> " +
-            "sqrt(CAST(aggregate(slice(v, k * 16 + 1, 16), 0L, " +
-            "(acc, e) -> acc + e * e, acc -> acc) AS DOUBLE)))"))
-        val probes = normed.filter(panelHash % stride === 0)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nm").as("qn"))
-        val subCos =
-          """CAST(round(
-               aggregate(zip_with(slice(qv, i * 16 + 1, 16),
-                                  slice(v, j * 16 + 1, 16),
-                                  (x, y) -> x * y), 0L,
-                         (acc, e) -> acc + e, acc -> acc) /
-               (element_at(qn, i + 1) * element_at(nm, j + 1))
-               * 1000000.0) AS BIGINT)"""
-        val maxsim = normed.filter(panelHash % stride =!= 0)
+        // Round 18 (guide §4 + §2.4): the per-vector norm transform, the
+        // i-explode, the 16 interpreted subCos lambda cells per pair and
+        // the (q_id, vec_id) re-aggregation SHUFFLE all collapse into ONE
+        // codegen'd maxsim_micro kernel call per (probe, doc) pair —
+        // bit-identical Σᵢ maxⱼ (slice norms re-derived in-kernel as the
+        // same sqrt(CAST(Σe² AS DOUBLE)); VecSimSpec differential +
+        // re-verified oracle pin it).
+        val probes = emb.filter(panelHash % stride === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val maxsim = emb.filter(panelHash % stride =!= 0)
           .join(broadcast(probes), lit(true))
           .select(col("q_id"), col("vec_id"),
-            explode(sequence(lit(0), lit(3))).as("i"),
-            col("qv"), col("v"), col("qn"), col("nm"))
-          .select(col("q_id"), col("vec_id"),
-            expr(s"array_max(transform(sequence(0, 3), j -> $subCos))")
-              .as("best_micro"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(sum(col("best_micro")).as("maxsim_micro"))
+            graft.expressions.functions.maxsim_micro(col("qv"), col("v"))
+              .as("maxsim_micro"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id"))
           .orderBy(col("maxsim_micro").desc, col("vec_id").asc)

@@ -18,19 +18,19 @@ object Pipeline75 {
       .select(col("vec_id"),
         graft.pipeline.Similarity.quantize(col("embedding")).as("v"))
 
-  /** Per-slice norms + the ~30-probe md5 panel flag over a quantized
-    * frame — the shared input of the production and eval arms. */
+  /** The ~30-probe md5 panel flag over a quantized frame — the shared
+    * input of the production and eval arms. (Round 18: the per-slice
+    * `nm` norm column is gone — [[maxsimOn]]'s fused kernel re-derives
+    * the identical IEEE norms in-row, so the checkpoint carries one
+    * fewer array column and the interpreted norm `transform` lambda
+    * disappears; see expressions/VecSim.scala.) */
   private[graft] def probeNormed(emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val stride = math.max(1L, emb.count() / 30L)
     val panelHash =
       conv(substring(md5(col("vec_id").cast("string")), 1, 15),
         16, 10).cast("long")
-    emb.withColumn("nm",
-        expr("transform(sequence(0, 3), k -> " +
-          "sqrt(CAST(aggregate(slice(v, k * 16 + 1, 16), 0L, " +
-          "(acc, e) -> acc + e * e, acc -> acc) AS DOUBLE)))"))
-      .withColumn("is_probe", panelHash % stride === 0)
+    emb.withColumn("is_probe", panelHash % stride === 0)
       .localCheckpoint() // slices + probes + rerank sides
   }
 
@@ -59,8 +59,12 @@ object Pipeline75 {
         expr("slice(v, k * 16 + 1, 16)").as("sv"))
       .join(broadcast(cent), lit(true))
       .select(col("vec_id"), col("is_probe"), col("k"), col("cid"),
-        (expr("aggregate(zip_with(sv, ce, (x, y) -> x * y), 0L, " +
-          "(acc, e) -> acc + e)").cast("double") /
+        // round 18: fused exact int64 dot (same ordered integer sum as
+        // the aggregate(zip_with(...)) lambda it replaces — integer adds
+        // are order-free anyway) — the 256-cells-per-vector assignment
+        // loop is now whole-stage-codegen'd
+        (graft.expressions.functions.dot_long(col("sv"), col("ce"))
+          .cast("double") /
           sqrt(col("nc").cast("double"))).as("cs"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("k"))
@@ -71,32 +75,23 @@ object Pipeline75 {
   }
 
   /** q370's integer-micro MaxSim scorer on an explicit (q_id, vec_id)
-    * pair frame against the shared normed sides. */
+    * pair frame against the shared normed sides. Round 18 (guide §4 +
+    * §2.4): the i-explode + 16 interpreted subCos lambda cells + the
+    * (q_id, vec_id) re-aggregation SHUFFLE are replaced by ONE codegen'd
+    * kernel call per pair — bit-identical Σᵢ maxⱼ (VecSimSpec pins it
+    * differentially against the verbatim HOF on the real corpus; the
+    * q370/q383 oracles re-verified at sf0.001 and sf0.01). Pairs are
+    * unique, so removing the explode removes the need to re-group. */
   private[graft] def maxsimOn(pairs: org.apache.spark.sql.DataFrame,
       normed: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val subCos =
-      """CAST(round(
-           aggregate(zip_with(slice(qv, i * 16 + 1, 16),
-                              slice(v, j * 16 + 1, 16),
-                              (x, y) -> x * y), 0L,
-                     (acc, e) -> acc + e, acc -> acc) /
-           (element_at(qn, i + 1) * element_at(nm, j + 1))
-           * 1000000.0) AS BIGINT)"""
+      : org.apache.spark.sql.DataFrame =
     pairs
-      .join(normed.select(col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nm").as("qn")), "q_id")
-      .join(normed.select(col("vec_id"), col("v"), col("nm")),
-        "vec_id")
+      .join(normed.select(col("vec_id").as("q_id"), col("v").as("qv")),
+        "q_id")
+      .join(normed.select(col("vec_id"), col("v")), "vec_id")
       .select(col("q_id"), col("vec_id"),
-        explode(sequence(lit(0), lit(3))).as("i"),
-        col("qv"), col("v"), col("qn"), col("nm"))
-      .select(col("q_id"), col("vec_id"),
-        expr(s"array_max(transform(sequence(0, 3), j -> $subCos))")
-          .as("best_micro"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("best_micro")).as("maxsim_micro"))
-  }
+        graft.expressions.functions.maxsim_micro(col("qv"), col("v"))
+          .as("maxsim_micro"))
 
   val entries: Seq[QEntry] = Seq(
 
@@ -117,7 +112,18 @@ object Pipeline75 {
     // both rankings, the intersection — replays in the oracle.
     QEntry("q383_maxsim_ivf_rerank",
       (s, d) => {
-        val emb = quantEmb(s, d).localCheckpoint()
+        // Round 18 (guide §2.5 parallelism, the q192/Pipeline12 pattern):
+        // JobProfile measured this query as 29 jobs × exactly ONE task
+        // each — the small scan checkpoints as 1 partition and every
+        // downstream stage (assignment 1.5 s, candidate maxsim 1.7 s,
+        // brute-force maxsim 3.6 s of task time) ran serially with 31
+        // idle cores. Key-hash repartition of the slim (vec_id, v) rows
+        // BEFORE the checkpoint gives every consumer the session's
+        // parallelism; at real scale the scan has many splits and this
+        // exchange is noise relative to the kernels it feeds.
+        val emb = quantEmb(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .localCheckpoint()
         val normed = probeNormed(emb)
         // 64-list coarse quantizer over the shared 16-dim slice space
         // (the gate pins 64; tools.IvfScale measures 64/256/1024)

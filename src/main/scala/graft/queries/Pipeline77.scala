@@ -126,6 +126,13 @@ object Pipeline77 {
     * mass (the eval arm — q394's cell census is the production arm). */
   private[graft] def auditPairsDocGrain(corpusIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // round 18 note: a defaultParallelism key-hash repartition before
+    // this checkpoint was MEASURED NET-NEGATIVE here (q387 4.5 -> 8.3 s
+    // at 32c): unlike q192/q383 no downstream stage is serial — they
+    // already run 3-6 tasks of ~100-300 ms — so 32-way layout only
+    // multiplied per-task overhead across ~24 tiny stages. Left at the
+    // scan layout deliberately (OPTIMIZATION_r18.md "measured and
+    // reverted").
     val corpus = corpusIn.localCheckpoint() // both detectors + evidence joins
     val toks = graft.pipeline.Dedup
       .tokenArrays(corpus, "doc_id", "text")

@@ -21,6 +21,11 @@ object Pipeline80 {
       : org.apache.spark.sql.DataFrame = {
     val (reps0, _) = graft.pipeline.Dedup
       .collapseExactDocs(corpus, "doc_id", "text")
+    // round 18 note: a defaultParallelism key-hash repartition here was
+    // MEASURED NET-NEGATIVE (q394 6.7 -> 8.1 s at 32c): the detector
+    // stages already ran 5 tasks and the 32-way layout only multiplied
+    // per-task overhead (see OPTIMIZATION_r18.md "measured and
+    // reverted"). Kept at the collapse layout.
     val reps = reps0.localCheckpoint() // toks + both detectors + n_dups×2
     val toks = graft.pipeline.Dedup
       .tokenArrays(reps, "doc_id", "text")

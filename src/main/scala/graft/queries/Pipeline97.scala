@@ -90,6 +90,81 @@ object Pipeline97 {
 
   // ---- the gate chain, knob-parameterized for q457 ----
 
+  /** Round 18 (guide §1.2/§2.3): the knob-independent per-doc features,
+    * computed in ONE text pass over the whole corpus — the two-knob q457
+    * used to run the full lang/quality tokenize pass per chain, md5 the
+    * text twice more inside each chain's dedup stage, and tokenize the
+    * corpus yet again for each manifest's n_tok. Every chain stage is
+    * now a cheap comparison over this persisted spine. Quantities are
+    * the exact ingestDropStage/Gopher integers (same expressions —
+    * toks/langScores/stopwordCount/distinctTokenCount), so the staged
+    * verdicts are bit-identical and the q456/q457/q458 oracles stay
+    * green (re-verified at sf0.001 and sf0.01). Repartitioned by doc_id
+    * first (guide §2.5, the q192 pattern): measured BOTH ways at 32c —
+    * with the slim (doc_id…text) exchange the two-chain q457 runs
+    * 10.1 s vs 12.3 s without it (the spine build and both chains'
+    * stage frames otherwise inherit the derived-union's 6 partitions
+    * and the driver gap grows as every downstream job serializes over
+    * few fat tasks); the task-count overhead it adds is micro-task
+    * fixed cost that amortizes away above toy scale. */
+  private[queries] def gateFeats(corpus: DataFrame): DataFrame = {
+    val t = col("text")
+    val ls = graft.pipeline.TextAnalysis.langScores(t)
+    val toks = graft.pipeline.TextAnalysis.toks(t)
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), col("source"), t, isEval.as("is_eval"),
+        (ls.getField("pred") === "en" && ls.getField("en") >= 1)
+          .as("lang_ok"),
+        size(toks).cast("long").as("n_tok"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        graft.pipeline.TextAnalysis.stopwordCount(t).cast("long")
+          .as("n_stop"),
+        graft.pipeline.TextAnalysis.distinctTokenCount(t).cast("long")
+          .as("n_dist"),
+        md5(t).as("h"))
+  }
+
+  /** Stage-1/2 verdict over a [[gateFeats]] row — the same when-cascade
+    * as [[graft.pipeline.Curation.ingestDropStage]] (q458's streaming
+    * arm keeps calling that directly), on the precomputed quantities. */
+  private def stage12Col(maxLen: Int, repTenths: Int): Column =
+    when(!col("lang_ok"), "non_english")
+      .when(!(col("n_tok") >= 10 && col("n_tok") <= maxLen), "quality_len")
+      .when(!(col("sum_len") >= col("n_tok") * 3 &&
+        col("sum_len") <= col("n_tok") * 10), "quality_word_len")
+      .when(!(col("n_stop") * 100 >= col("n_tok")), "quality_stopword")
+      .when(!(col("n_dist") * 10 >= col("n_tok") * repTenths),
+        "quality_repetition")
+
+  /** The shared per-doc substrate both q457 chains (and q456's single
+    * chain) read: the feature spine, the 16-perm md5-twin MinHash
+    * signatures and the distinct-token arrays — each computed ONCE over
+    * the union of every knob setting's stage-1/2 survivors (the minimal
+    * superset of any chain's dedup population; a doc only in the other
+    * chain's survivor set costs one wasted signature, nothing else).
+    * sigs/dtoks persist because each chain consumes them from several
+    * joins (the old per-chain tokenArrays frame was built twice per
+    * chain — once per verify side). */
+  private[queries] final case class GateSpine(
+      feats: DataFrame, sigs: DataFrame, dtoks: DataFrame)
+
+  private[queries] def gateSpine(corpus: DataFrame,
+      knobs: Seq[(Int, Int)]): GateSpine = {
+    val feats = gateFeats(corpus)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val passAny = knobs.map { case (ml, rt) => stage12Col(ml, rt).isNull }
+      .reduce(_ || _)
+    val superset = feats.filter(!col("is_eval") && passAny)
+    val sigs = Pipeline.minhashSigsOver(
+        superset.select(col("doc_id"), col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dtoks = graft.pipeline.Dedup.tokenArrays(superset, "doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    GateSpine(feats, sigs, dtoks)
+  }
+
   /** One manifest row per corpus doc: verdict keep/drop/hold, the ONE
     * stage that decided it, and its token count (the yield ledger).
     * Stages, each rescoped to the prior stage's survivors:
@@ -112,49 +187,57 @@ object Pipeline97 {
     * every stage output is a slim (doc_id, stage) projection; the only
     * wide shuffles are the digest group-by and the banded candidate
     * join, both keyed and capped; nothing driver-sided. */
-  private[queries] def gateManifest(corpus: DataFrame, maxLen: Int,
+  private[queries] def gateManifest(spine: GateSpine, maxLen: Int,
       repTenths: Int, tauNum: Int, tauDen: Int, gramN: Int): DataFrame = {
-    val train = corpus.filter(!isEval)
-    // stages 1-2: the stateless lang + quality gates (shared with the
-    // q458 streaming arm via Curation.ingestDropStage)
-    val t1 = train.withColumn("__stage12",
-      graft.pipeline.Curation.ingestDropStage(col("text"), maxLen,
-        repTenths))
+    val train = spine.feats.filter(!col("is_eval"))
+    // stages 1-2: the stateless lang + quality gates — the same
+    // ingestDropStage cascade, evaluated over the precomputed spine
+    val t1 = train.withColumn("__stage12", stage12Col(maxLen, repTenths))
     val d12 = t1.filter(col("__stage12").isNotNull)
       .select(col("doc_id"), col("__stage12").as("stage"))
     val g2 = t1.filter(col("__stage12").isNull)
-      .select(col("doc_id"), col("source"), col("text"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // digest group + join back
-    // stage 3: exact dedup (min-id representative)
-    val grp = g2.groupBy(md5(col("text")).as("__k"))
+      .select(col("doc_id"), col("source"), col("text"), col("h"))
+    // stage 3: exact dedup (min-id representative); the digest is the
+    // spine's h — the old shape md5'd the text twice per chain here
+    val grp = g2.groupBy(col("h").as("__k"))
       .agg(min(col("doc_id")).as("rep_id"))
-    val withRep = g2.withColumn("__k", md5(col("text"))).join(grp, "__k")
+    val withRep = g2.withColumn("__k", col("h")).join(grp, "__k")
     val d3 = withRep.filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id"), lit("exact_dup").as("stage"))
     val g3 = withRep.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("source"), col("text"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // buckets + toks + anti-join
+      .persist(StorageLevel.MEMORY_AND_DISK) // bands + anti-join + grams
     // stage 4: near-dup (banded candidates, exact verify, min-id kept)
+    // over the SHARED signature/token-array spine (round 18): only the
+    // banding, capping and verify joins are per-chain now
     val ver = graft.pipeline.Dedup.verifyJaccard(
         Pipeline.minhashCandidatesFromBuckets(
-          Pipeline.minhashBucketsMd5Over(
-            g3.select(col("doc_id"), col("text")))),
-        graft.pipeline.Dedup.tokenArrays(g3, "doc_id", "text"), 0.0)
+          Pipeline.bandsFromSigs(
+            g3.select(col("doc_id")).join(spine.sigs, "doc_id"))),
+        spine.dtoks, 0.0)
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
     val nd = ver.select(col("b_id").as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // drop label + anti-join
     val d4 = nd.select(col("doc_id"), lit("near_dup").as("stage"))
     val g4 = g3.join(nd, Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // gram explode + anti-join
-    // stage 5: eval contamination (distinct n-gram overlap, broadcast)
+    // stage 5: eval contamination (distinct n-gram overlap, broadcast).
+    // Round 18 (guide §4/§2.3): gram identity via the fused
+    // ngram_shingle_hashes (xxhash64 of the same space-joined shingle,
+    // hashed as it is formed) instead of ngram_shingles + md5-per-gram —
+    // membership semantics unchanged (both digests are collision-free
+    // on these sets, and the oracle replays its md5 twin and stays
+    // green), the broadcast set carries 8-byte longs instead of 32-hex
+    // strings, and the gram strings never leave the expression.
     def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        explode(graft.expressions.functions.ngram_shingles(
-          split(lower(col("text")), "\\s+"), gramN, distinct = true))
-          .as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gh"))
-    val evg = grams(corpus.filter(isEval)).select(col("gh")).distinct()
+      explode(graft.expressions.functions.ngram_shingle_hashes(
+        split(lower(col("text")), "\\s+"), gramN, distinct = true))
+        .as("gh"))
+    val evg = grams(spine.feats.filter(col("is_eval")))
+      .select(col("gh")).distinct()
     val contaminated = grams(g4)
       .join(broadcast(evg), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // drop label + anti-join
     val d5 = contaminated
       .select(col("doc_id"), lit("eval_contaminated").as("stage"))
     val g5 = g4.join(contaminated, Seq("doc_id"), "left_anti")
@@ -163,11 +246,11 @@ object Pipeline97 {
         col("text").rlike("[a-z0-9.]+@[a-z0-9.]+\\.[a-z][a-z]+") &&
         col("text").rlike("\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"))
       .select(col("doc_id"), lit("contact_block").as("stage"))
-    // manifest: every doc, exactly one stage
+    // manifest: every doc, exactly one stage; n_tok from the spine (the
+    // same size(split(lower(text))) integer, tokenized once)
     val drops = d12.union(d3).union(d4).union(d5).union(d6)
-    corpus.select(col("doc_id"), col("source"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"),
-        isEval.as("__eval"))
+    spine.feats.select(col("doc_id"), col("source"), col("n_tok"),
+        col("is_eval").as("__eval"))
       .join(drops, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         when(col("__eval"), "hold")
@@ -411,9 +494,11 @@ object Pipeline97 {
 
     QEntry("q456_pretraining_release_gate",
       (s, d) => {
-        val corpus = gateCorpus(s, d)
-          .persist(StorageLevel.MEMORY_AND_DISK) // spine: 6 stages + manifest
-        gateManifest(corpus, 90, 4, 4, 5, 6).orderBy(col("doc_id"))
+        // round 18: the raw corpus union is consumed exactly once (by
+        // the gateFeats pass) — the persisted spine replaces the old
+        // corpus persist, and every stage reads precomputed features
+        val spine = gateSpine(gateCorpus(s, d), Seq((90, 4)))
+        gateManifest(spine, 90, 4, 4, 5, 6).orderBy(col("doc_id"))
       },
       Some(s"""WITH $corpusSql,
               ${chainSql("a_", 90, 4, 4, 5, 6)}
@@ -435,12 +520,17 @@ object Pipeline97 {
     // ONE corpus synthesis feeds both chains.
     QEntry("q457_gate_regression_diff",
       (s, d) => {
-        val corpus = gateCorpus(s, d)
-          .persist(StorageLevel.MEMORY_AND_DISK) // both chains + manifests
-        val a = gateManifest(corpus, 90, 4, 4, 5, 6)
+        // round 18 (guide §1.2, VERDICT r17 item 4): ONE feature/
+        // signature/token-array spine feeds BOTH knob chains — the old
+        // shape ran the full lang/quality/digest text pass, the 16-perm
+        // signature build and two token-array builds per chain (and the
+        // corpus tokenize a 5th time per manifest). Only the banding,
+        // bucket caps, verify joins and gram explodes are per-knob.
+        val spine = gateSpine(gateCorpus(s, d), Seq((90, 4), (150, 3)))
+        val a = gateManifest(spine, 90, 4, 4, 5, 6)
           .select(col("doc_id"), col("source"),
             col("verdict").as("verdict_a"), col("stage").as("stage_a"))
-        val b = gateManifest(corpus, 150, 3, 9, 10, 4)
+        val b = gateManifest(spine, 150, 3, 9, 10, 4)
           .select(col("doc_id"), col("verdict").as("verdict_b"),
             col("stage").as("stage_b"))
         a.join(b, "doc_id")

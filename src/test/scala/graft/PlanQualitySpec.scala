@@ -545,8 +545,11 @@ class PlanQualitySpec extends SparkSpec {
     // both contamination gram explodes (eval set + stage-4 survivors)
     // must feed from cached stage frames, never re-scan the parquet
     // corpus (the banding explodes are behind localCheckpoint and never
-    // appear here; the plant explode is explode(sequence), excluded)
-    val gen = "Generate explode\\(ngram_?shingles(?:[^\n]*\n){1,8}".r
+    // appear here; the plant explode is explode(sequence), excluded).
+    // Round 18: the gram column is the fused ngram_shingle_hashes
+    // (xxhash64-as-formed) instead of ngram_shingles + md5 — the prefix
+    // match covers both spellings.
+    val gen = "Generate explode\\(ngram_?shingle(?:[^\n]*\n){1,8}".r
       .findAllIn(plan).toList
     assert(gen.nonEmpty, s"no contamination gram explode found:\n$plan")
     gen.foreach { g =>

@@ -45,7 +45,7 @@ class Md5SigSpec extends SparkSpec {
       graft.expressions.functions.md5_minhash_sigs(col("shingles"), perms, P)
         .as("sig"))
     val diff = hof.join(fused, "doc_id")
-      .filter(hof("sig") =!= fused("sig")).count()
+      .filter(!(hof("sig") <=> fused("sig"))).count()
     assert(diff == 0)
     assert(fused.count() > 100)
   }
@@ -71,7 +71,7 @@ class Md5SigSpec extends SparkSpec {
     val j = hof.select(col("doc_id"), col("hs").as("h1"), col("sig").as("s1"))
       .join(fused.select(col("doc_id"), col("hs").as("h2"), col("sig").as("s2")),
         "doc_id")
-    assert(j.filter(col("h1") =!= col("h2") || col("s1") =!= col("s2"))
+    assert(j.filter(!(col("h1") <=> col("h2")) || !(col("s1") <=> col("s2")))
       .count() == 0)
   }
 
@@ -94,7 +94,7 @@ class Md5SigSpec extends SparkSpec {
     val j = hof.withColumnRenamed("simhash", "s1")
       .join(fused.withColumnRenamed("simhash", "s2"), "doc_id")
     assert(j.count() == corpus.count())
-    assert(j.filter(col("s1") =!= col("s2")).count() == 0)
+    assert(j.filter(!(col("s1") <=> col("s2"))).count() == 0)
   }
 
   test("del_signatures == array_distinct(transform(sequence...)) twin") {
@@ -107,6 +107,6 @@ class Md5SigSpec extends SparkSpec {
         col("s").substr(i + 2, length(col("s"))))))
     val d = names.select(col("s"), hof.as("h"),
       graft.expressions.functions.del_signatures(col("s")).as("f"))
-    assert(d.filter(col("h") =!= col("f")).count() == 0)
+    assert(d.filter(!(col("h") <=> col("f"))).count() == 0)
   }
 }
