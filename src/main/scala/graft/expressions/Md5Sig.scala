@@ -43,7 +43,12 @@ object Md5Sig {
   }
 
   /** Element-wise md5-prefix uint32 hashes of a string array — the fused
-    * twin of `transform(arr, s -> conv(substring(md5(s),1,8),16,10))`. */
+    * twin of `transform(arr, s -> conv(substring(md5(s),1,8),16,10))`.
+    *
+    * PRECONDITION (ADVICE r17): element arrays must be containsNull=false
+    * (all producers are split()/ngram_shingles, which never emit null
+    * elements). A null element NPEs here where the HOF twin would have
+    * propagated null — deliberate fail-loud, not silent divergence. */
   def hash32Array(arr: ArrayData): ArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = arr.numElements()

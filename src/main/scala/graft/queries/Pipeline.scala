@@ -140,7 +140,14 @@ object Pipeline {
     * hash aggregate, fully codegen'd — the portable twin of the fused
     * zero-shuffle [[graft.pipeline.Dedup.simhash64]] (xxhash64), which
     * DuckDB cannot recompute. Both engines evaluate this formulation
-    * bit-for-bit (q38 pins it; q53 builds its LSH on top). */
+    * bit-for-bit (q38 pins it; q53 builds its LSH on top).
+    *
+    * Non-null invariant (ADVICE r17): the fixture `documents.text` is
+    * never null, and every caller feeds non-null text. NOTE the fused
+    * kernel KEEPS a null-text row (null simhash) where the old explode
+    * formulation (and the DuckDB unnest twin) dropped it — if a nullable
+    * corpus ever reaches this, add `.filter(col(textCol).isNotNull)` at
+    * the caller or the q38/q53/q387/q394 oracles will flag the drift. */
   private[queries] val SimBits = 32
 
   private[queries] def portableSimhash32(docs: org.apache.spark.sql.DataFrame)
